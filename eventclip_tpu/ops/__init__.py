@@ -1,0 +1,12 @@
+from .windows import event_count_windows, num_windows
+from .rasterize import RasterSpec, rasterize_windows
+from .preprocess import ClipPreprocess, preprocess_frames
+
+__all__ = [
+    "event_count_windows",
+    "num_windows",
+    "RasterSpec",
+    "rasterize_windows",
+    "ClipPreprocess",
+    "preprocess_frames",
+]

@@ -1,0 +1,131 @@
+"""Golden tests: TPU rasterizer vs the numpy oracle (reference semantics)."""
+
+import numpy as np
+import pytest
+
+from eventclip_tpu.ops import (
+    RasterSpec,
+    event_count_windows,
+    num_windows,
+    rasterize_windows,
+)
+from eventclip_tpu.ops.numpy_ref import events_to_frames_np
+
+
+def synth_events(rng, n, H, W, hot_pixels=0):
+    x = rng.integers(0, W, size=n)
+    y = rng.integers(0, H, size=n)
+    t = np.sort(rng.uniform(0, 0.3, size=n))
+    p = rng.choice([-1.0, 1.0], size=n)
+    ev = np.stack([x, y, t, p], axis=1).astype(np.float32)
+    # concentrate extra events on a few pixels to trigger hot-pixel removal
+    for _ in range(hot_pixels):
+        px, py = rng.integers(0, W), rng.integers(0, H)
+        k = int(0.05 * n)
+        idx = rng.integers(0, n, size=k)
+        ev[idx, 0], ev[idx, 1] = px, py
+    return ev
+
+
+class TestWindows:
+    @pytest.mark.parametrize(
+        "n,N,expected",
+        [
+            (10, 100, [(0, 10)]),  # short stream -> single window
+            (100, 100, [(0, 100)]),  # exact multiple -> tail covers last N
+            (199, 100, [(0, 100), (99, 199)]),  # rem 99 > N/2 -> tail
+            (150, 100, [(0, 100)]),  # rem 50, 2*50 == 100 not > -> no tail
+            (151, 100, [(0, 100), (51, 151)]),  # rem 51 -> tail
+            (350, 100, [(0, 100), (100, 200), (200, 300)]),  # rem 50 dropped
+        ],
+    )
+    def test_spans(self, n, N, expected):
+        assert event_count_windows(n, N) == expected
+        assert num_windows(n, N) == len(expected)
+
+    def test_matches_reference_arange_semantics(self):
+        # oracle re-derivation: boundaries at arange(0, n, N), consecutive
+        # pairs, plus tail [n-N, n) iff n - last_boundary > N/2
+        for n in range(1, 700, 7):
+            for N in (32, 100, 128):
+                idx = list(range(0, n, N))
+                if n < N:
+                    expected = [(0, n)]
+                else:
+                    expected = list(zip(idx[:-1], idx[1:]))
+                    if n - idx[-1] > N * 0.5:
+                        expected.append((n - N, n))
+                assert event_count_windows(n, N) == expected, (n, N)
+
+
+def gather_windows(events, N):
+    """Host-side gather: [n,4] -> [T, N, 4] with p=0 padding (short case)."""
+    spans = event_count_windows(len(events), N)
+    out = np.zeros((len(spans), N, 4), dtype=np.float32)
+    for i, (a, b) in enumerate(spans):
+        out[i, : b - a] = events[a:b]
+    return out
+
+
+@pytest.mark.parametrize("count_non_zero", [False, True])
+@pytest.mark.parametrize("background_mask", [False, True])
+@pytest.mark.parametrize("grayscale", [True, False])
+def test_rasterize_matches_oracle(rng, count_non_zero, background_mask, grayscale):
+    H, W, N = 60, 80, 2000
+    ev = synth_events(rng, 5000, H, W, hot_pixels=3)
+    spec = RasterSpec(
+        height=H,
+        width=W,
+        window=N,
+        count_non_zero=count_non_zero,
+        background_mask=background_mask,
+        grayscale=grayscale,
+    )
+    got = np.asarray(rasterize_windows(spec, gather_windows(ev, N)))
+    want = events_to_frames_np(
+        ev,
+        N,
+        (H, W),
+        count_non_zero=count_non_zero,
+        background_mask=background_mask,
+        grayscale=grayscale,
+    )
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # XLA may evaluate x/peak as x*rcp(peak), so values landing exactly on a
+    # .5 rounding boundary can flip by 1; anything larger is a real bug.
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff != 0).mean() < 5e-3, f"mismatch rate {(diff != 0).mean()}"
+
+
+def test_rasterize_short_stream(rng):
+    H, W, N = 40, 50, 1000
+    ev = synth_events(rng, 123, H, W)
+    spec = RasterSpec(height=H, width=W, window=N)
+    got = np.asarray(rasterize_windows(spec, gather_windows(ev, N)))
+    want = events_to_frames_np(ev, N, (H, W))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rasterize_zero_polarity_excluded(rng):
+    H, W, N = 16, 16, 256
+    ev = synth_events(rng, 256, H, W)
+    ev[::3, 3] = 0.0  # zero-polarity events fall out of both channels
+    spec = RasterSpec(height=H, width=W, window=N, thresh=0.0)
+    got = np.asarray(rasterize_windows(spec, gather_windows(ev, N)))
+    want = events_to_frames_np(ev, N, (H, W), thresh=0.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rasterize_batched_shapes(rng):
+    H, W, N = 24, 32, 500
+    spec = RasterSpec(height=H, width=W, window=N)
+    wins = np.stack(
+        [
+            np.stack([gather_windows(synth_events(rng, 1000, H, W), N)[0]] * 3)
+            for _ in range(4)
+        ]
+    )  # [4, 3, N, 4]
+    frames = rasterize_windows(spec, wins)
+    assert frames.shape == (4, 3, H, W, 3)
+    assert frames.dtype == np.uint8
