@@ -1,0 +1,281 @@
+"""EventCLIP classifiers (zero-shot / few-shot / fine-tune) as pure functions.
+
+Behavioral contracts:
+- ZSCLIPClassifier forward + aggregations  models/clip_cls.py:95-162
+- FSCLIPClassifier adapter/prompt path     models/clip_cls.py:222-350
+- FTCLIPClassifier selective unfreeze      models/clip_cls_ft.py:45-256
+- train/eval losses                        models/clip_cls.py:164-192
+
+One function serves all three regimes; the regime only decides which
+parameter leaves receive gradients (see partition.py) and whether image
+features flow through the adapter / get re-normalized:
+- ZS: raw (un-normalized!) frozen image features vs cached normalized text
+  features (the reference never normalizes image features in ZS);
+- FS: frozen image features -> TransformerAdapter -> L2 norm -> mask;
+- FT: (partially) trainable visual tower, adapter bypassed, L2 norm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapter import AdapterConfig, apply_adapter, init_adapter_params
+from .clip.config import CLIPConfig
+from .clip.model import encode_image, encode_text, init_clip_params, init_lora_params
+from .clip.tokenizer import SimpleTokenizer, tokenize
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifierConfig:
+    model: str  # 'ZSCLIP' | 'FSCLIP' | 'FTCLIP'
+    clip: CLIPConfig
+    agg_func: str = "mean"  # 'sum' | 'mean' | 'max'
+    logit_scale: float = 100.0  # exp(learned tau), snapshot like the reference
+    adapter: AdapterConfig = AdapterConfig()
+    prompt_tuning: bool = False
+    lora: Optional[str] = None  # e.g. 16 -> 'qkv-16'; None -> disabled
+    ft_mode: str = "full"  # 'full'|'conv1'|'bias'|'ln'|'cls_fc'|'cls_token'|'lora'
+    use_logits_loss: bool = True
+    use_probs_loss: bool = False
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        assert self.model in ("ZSCLIP", "FSCLIP", "FTCLIP"), self.model
+        assert self.agg_func in ("sum", "mean", "max"), self.agg_func
+        assert int(self.use_logits_loss) + int(self.use_probs_loss) == 1
+        if self.model == "FTCLIP":
+            # the reference asserts adapter==identity and bypasses it in
+            # forward (models/clip_cls_ft.py:119,228)
+            assert self.adapter.adapter_type == "identity"
+
+
+def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32) -> ClassifierConfig:
+    """Build from an experiment config object (utils.config.Params)."""
+    clip_dict = dict(params_cfg.clip_dict)
+    adapter_dict = dict(params_cfg.get("adapter_dict", {}) or {})
+    adapter_type = adapter_dict.pop("adapter_type", "identity").lower()
+    prompt_tuning = adapter_type.startswith("text-")
+    if prompt_tuning:
+        adapter_type = adapter_type[len("text-"):]
+    residual = AdapterConfig.residual_value(adapter_dict.pop("residual", False))
+    norm_first = adapter_dict.pop("norm_first", True)
+    assert norm_first, "reference adapters are pre-norm"
+    adapter = AdapterConfig(
+        adapter_type=adapter_type,
+        in_dim=adapter_dict.pop("in_dim", clip_cfg.embed_dim),
+        d_model=adapter_dict.pop("d_model", 256),
+        num_heads=adapter_dict.pop("num_heads", 4),
+        ffn_dim=adapter_dict.pop("ffn_dim", 1024),
+        num_layers=adapter_dict.pop("num_layers", 2),
+        residual=residual,
+    )
+    lora = clip_dict.get("lora", -1)
+    lora_enabled = isinstance(lora, str) or (isinstance(lora, int) and lora > 0)
+    ft_mode = "full"
+    if params_cfg.model == "FTCLIP":
+        if lora_enabled:
+            ft_mode = "lora"
+        elif clip_dict.get("only_conv1"):
+            ft_mode = "conv1"
+        elif clip_dict.get("only_bias"):
+            ft_mode = "bias"
+        elif clip_dict.get("only_ln"):
+            ft_mode = "ln"
+        elif clip_dict.get("only_cls_fc"):
+            ft_mode = "cls_fc"
+        elif clip_dict.get("only_cls_token"):
+            ft_mode = "cls_token"
+    loss_dict = dict(params_cfg.get("loss_dict", {}) or {})
+    return ClassifierConfig(
+        model=params_cfg.model,
+        clip=clip_cfg,
+        agg_func=clip_dict.get("agg_func", "mean"),
+        adapter=adapter,
+        prompt_tuning=prompt_tuning,
+        lora=lora if lora_enabled else None,
+        ft_mode=ft_mode,
+        use_logits_loss=loss_dict.get("use_logits_loss", params_cfg.model != "FSCLIP"),
+        use_probs_loss=loss_dict.get("use_probs_loss", params_cfg.model == "FSCLIP"),
+        dtype=dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text features
+# ---------------------------------------------------------------------------
+
+
+def compute_text_features(
+    clip_params: Params,
+    cfg: CLIPConfig,
+    class_names: Sequence[str],
+    prompt: str,
+    tokenizer: SimpleTokenizer,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Prompted, L2-normalized class text features [n_cls, C].
+
+    Reference: models/clip_cls.py:64-93 (templated prompts, lowercase,
+    underscores to spaces, cached after first computation).
+    """
+    names = [c.lower().replace("_", " ") for c in class_names]
+    toks = tokenize([prompt.format(c) for c in names], tokenizer,
+                    cfg.text.context_length)
+    feats = encode_text(clip_params["text"], cfg.text, jnp.asarray(toks), dtype=dtype)
+    return normalize(feats)
+
+
+def normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """L2 normalize; zero vectors stay zero (torch F.normalize semantics)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+
+def init_classifier_params(
+    rng: jax.Array,
+    cfg: ClassifierConfig,
+    clip_params: Optional[Params] = None,
+    text_feats: Optional[jnp.ndarray] = None,
+    n_classes: Optional[int] = None,
+) -> Params:
+    """Assemble the full parameter tree.
+
+    text_feats seeds the prompt-tuning parameter (reference initializes the
+    trainable prompts from the frozen encoder output, clip_cls.py:253-259) or
+    is stored as the frozen cache for ZS/non-tuning models.
+    """
+    k_clip, k_ad, k_lora = jax.random.split(rng, 3)
+    if clip_params is None:
+        clip_params = init_clip_params(k_clip, cfg.clip)
+    if text_feats is None:
+        assert n_classes is not None
+        text_feats = normalize(
+            jax.random.normal(jax.random.fold_in(rng, 7),
+                              (n_classes, cfg.clip.embed_dim))
+        )
+    params = {
+        "clip": clip_params,
+        "text_feats": jnp.asarray(text_feats, dtype=jnp.float32),
+    }
+    if cfg.model == "FSCLIP":
+        params["adapter"] = init_adapter_params(k_ad, cfg.adapter)
+    if cfg.model == "FTCLIP" and cfg.lora is not None:
+        params["lora"] = init_lora_params(k_lora, cfg.clip.vision, cfg.lora)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def aggregate_logits(logits: jnp.ndarray, valid: jnp.ndarray, agg_func: str) -> jnp.ndarray:
+    """[B, T, n_cls] + [B, T] -> [B, n_cls] (clip_cls.py:104-121)."""
+    vm = valid.astype(logits.dtype)
+    if agg_func == "sum":
+        return (logits * vm[..., None]).sum(1)
+    if agg_func == "mean":
+        return (logits * vm[..., None]).sum(1) / vm.sum(1, keepdims=True)
+    if agg_func == "max":
+        return (logits - (1.0 - vm[..., None]) * 1e6).max(1)
+    raise NotImplementedError(agg_func)
+
+
+def aggregate_probs(logits: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean of per-view softmax (clip_cls.py:123-129)."""
+    vm = valid.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1) * vm[..., None]
+    return probs.sum(1) / vm.sum(1, keepdims=True)
+
+
+def classifier_forward(
+    params: Params,
+    cfg: ClassifierConfig,
+    imgs: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """imgs [B, T, 3, S, S] CLIP-normalized, valid [B, T] -> output dict.
+
+    All T views are encoded (padded views carry zeros) and masked afterwards;
+    the reference gathers valid views instead (clip_cls.py:139), which is
+    equivalent but shape-dynamic and hence hostile to XLA.
+    """
+    B, T = valid.shape
+    flat = imgs.reshape((B * T,) + imgs.shape[2:])
+    lora = params.get("lora")
+    img_feats = encode_image(
+        params["clip"]["visual"], cfg.clip.vision, flat,
+        dtype=cfg.dtype, lora=lora,
+    ).astype(jnp.float32)
+    if cfg.model != "FTCLIP":
+        img_feats = jax.lax.stop_gradient(img_feats)
+    feats = img_feats.reshape(B, T, -1)
+
+    if cfg.model == "FSCLIP":
+        feats = apply_adapter(
+            params.get("adapter"), cfg.adapter, feats, valid,
+            train=train, rng=rng,
+        )
+        feats = normalize(feats) * valid[..., None]
+    elif cfg.model == "FTCLIP":
+        # adapter bypassed (clip_cls_ft.py:228); features are L2-normalized
+        feats = normalize(feats) * valid[..., None]
+    # ZSCLIP: features used raw (clip_cls.py:148)
+
+    text_feats = params["text_feats"]
+    if cfg.prompt_tuning:
+        text_feats = normalize(text_feats)  # re-normalized every forward
+    else:
+        text_feats = jax.lax.stop_gradient(text_feats)
+
+    full_logits = cfg.logit_scale * jnp.einsum(
+        "btc,nc->btn", feats, text_feats, preferred_element_type=jnp.float32
+    )
+    full_logits = full_logits * valid[..., None]
+    return {
+        "full_logits": full_logits,
+        "valid_masks": valid,
+        "logits": aggregate_logits(full_logits, valid, cfg.agg_func),
+        "probs": aggregate_probs(full_logits, valid),
+    }
+
+
+# ---------------------------------------------------------------------------
+# losses & metrics
+# ---------------------------------------------------------------------------
+
+
+def train_loss(cfg: ClassifierConfig, out: Dict[str, jnp.ndarray], labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """CE over aggregated logits or NLL over aggregated probs (clip_cls.py:164-175)."""
+    if cfg.use_logits_loss:
+        logp = jax.nn.log_softmax(out["logits"], axis=-1)
+    else:
+        logp = jnp.log(out["probs"] + 1e-6)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+    return {"ce_loss": ce}
+
+
+def eval_metrics(cfg: ClassifierConfig, out: Dict[str, jnp.ndarray], labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    m = train_loss(cfg, out, labels)
+    m["probs_acc"] = (out["probs"].argmax(-1) == labels).mean()
+    m["logits_acc"] = (out["logits"].argmax(-1) == labels).mean()
+    return m
+
+
+def topk_accuracy(scores: jnp.ndarray, labels: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    _, idx = jax.lax.top_k(scores, k)
+    return (idx == labels[:, None]).any(-1).mean()

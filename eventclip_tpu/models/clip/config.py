@@ -1,0 +1,82 @@
+"""CLIP architecture configurations.
+
+Shape hyper-parameters of OpenAI's released CLIP checkpoints. The reference
+consumes these through `clip.load(arch)` (train.py:26); here they are plain
+static dataclasses that parameterize pure JAX functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    name: str
+    vision: VisionConfig
+    text: TextConfig
+
+    @property
+    def embed_dim(self) -> int:
+        return self.vision.output_dim
+
+
+def _vit(name, image, patch, width, layers, heads, embed, t_width, t_heads):
+    return CLIPConfig(
+        name=name,
+        vision=VisionConfig(
+            image_size=image,
+            patch_size=patch,
+            width=width,
+            layers=layers,
+            heads=heads,
+            output_dim=embed,
+        ),
+        text=TextConfig(
+            width=t_width, heads=t_heads, layers=12, output_dim=embed
+        ),
+    )
+
+
+CLIP_ARCHS = {
+    "ViT-B/32": _vit("ViT-B/32", 224, 32, 768, 12, 12, 512, 512, 8),
+    "ViT-B/16": _vit("ViT-B/16", 224, 16, 768, 12, 12, 512, 512, 8),
+    "ViT-L/14": _vit("ViT-L/14", 224, 14, 1024, 24, 16, 768, 768, 12),
+    "ViT-L/14@336px": _vit("ViT-L/14@336px", 336, 14, 1024, 24, 16, 768, 768, 12),
+}
+
+
+def clip_arch_config(arch: str) -> CLIPConfig:
+    if arch not in CLIP_ARCHS:
+        raise KeyError(
+            f"Unknown CLIP arch {arch!r}; available: {sorted(CLIP_ARCHS)}"
+        )
+    return CLIP_ARCHS[arch]

@@ -1,0 +1,144 @@
+"""OpenAI CLIP checkpoint -> parameter pytree conversion.
+
+Accepts a torch state_dict (as produced by `clip.load(...).state_dict()` or
+by torch.load of the released .pt archives, reference train.py:26) either as
+torch tensors or numpy arrays, and emits the layer-stacked pytree consumed by
+eventclip_tpu.models.clip.model.
+
+Only ViT checkpoints are supported so far (the reference's default and
+best-performing towers); ResNet towers raise with a clear message.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from .config import CLIPConfig, TextConfig, VisionConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def infer_config_from_state_dict(sd: Mapping[str, Any]) -> CLIPConfig:
+    """Recover the architecture hyper-parameters from checkpoint shapes."""
+    if "visual.conv1.weight" not in sd:
+        raise NotImplementedError(
+            "Only ViT CLIP checkpoints are supported (RN towers NYI)"
+        )
+    conv1 = _np(sd["visual.conv1.weight"])
+    width, _, patch, _ = conv1.shape
+    seq_len = _np(sd["visual.positional_embedding"]).shape[0]
+    grid = int(round((seq_len - 1) ** 0.5))
+    image_size = grid * patch
+    v_layers = (
+        max(
+            int(k.split(".")[3])
+            for k in sd
+            if k.startswith("visual.transformer.resblocks.")
+        )
+        + 1
+    )
+    heads = max(width // 64, 1)
+    output_dim = _np(sd["visual.proj"]).shape[1]
+    t_width = _np(sd["ln_final.weight"]).shape[0]
+    t_layers = (
+        max(int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks."))
+        + 1
+    )
+    vocab, _ = _np(sd["token_embedding.weight"]).shape
+    context = _np(sd["positional_embedding"]).shape[0]
+    return CLIPConfig(
+        name=f"ViT-{width}/{patch}@{image_size}",
+        vision=VisionConfig(
+            image_size=image_size,
+            patch_size=patch,
+            width=width,
+            layers=v_layers,
+            heads=heads,
+            output_dim=output_dim,
+        ),
+        text=TextConfig(
+            vocab_size=vocab,
+            context_length=context,
+            width=t_width,
+            layers=t_layers,
+            heads=max(t_width // 64, 1),
+            output_dim=output_dim,
+        ),
+    )
+
+
+def _stack_blocks(sd: Mapping[str, Any], prefix: str, layers: int) -> Dict[str, Any]:
+    def gather(suffix):
+        return np.stack([_np(sd[f"{prefix}.{i}.{suffix}"]) for i in range(layers)])
+
+    return {
+        "ln_1": {"scale": gather("ln_1.weight"), "bias": gather("ln_1.bias")},
+        "ln_2": {"scale": gather("ln_2.weight"), "bias": gather("ln_2.bias")},
+        "attn": {
+            "wqkv": gather("attn.in_proj_weight"),
+            "bqkv": gather("attn.in_proj_bias"),
+            "wo": gather("attn.out_proj.weight"),
+            "bo": gather("attn.out_proj.bias"),
+        },
+        "mlp": {
+            "w1": gather("mlp.c_fc.weight"),
+            "b1": gather("mlp.c_fc.bias"),
+            "w2": gather("mlp.c_proj.weight"),
+            "b2": gather("mlp.c_proj.bias"),
+        },
+    }
+
+
+def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """torch state_dict -> {'visual': ..., 'text': ..., 'logit_scale': ...}."""
+    cfg = infer_config_from_state_dict(sd)
+    v, t = cfg.vision, cfg.text
+    conv1 = _np(sd["visual.conv1.weight"]).reshape(v.width, -1)
+    visual = {
+        "patch_embed": conv1,
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "ln_pre": {
+            "scale": _np(sd["visual.ln_pre.weight"]),
+            "bias": _np(sd["visual.ln_pre.bias"]),
+        },
+        "ln_post": {
+            "scale": _np(sd["visual.ln_post.weight"]),
+            "bias": _np(sd["visual.ln_post.bias"]),
+        },
+        "proj": _np(sd["visual.proj"]),
+        "blocks": _stack_blocks(sd, "visual.transformer.resblocks", v.layers),
+    }
+    text = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": {
+            "scale": _np(sd["ln_final.weight"]),
+            "bias": _np(sd["ln_final.bias"]),
+        },
+        "projection": _np(sd["text_projection"]),
+        "blocks": _stack_blocks(sd, "transformer.resblocks", t.layers),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": _np(sd["logit_scale"]).reshape(()),
+    }
+
+
+def load_clip_checkpoint(path: str):
+    """Load an OpenAI CLIP .pt (jit archive or plain state dict) from disk."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    params = convert_clip_state_dict(obj)
+    cfg = infer_config_from_state_dict(obj)
+    return params, cfg

@@ -1,0 +1,304 @@
+"""CLIP encoders as pure JAX functions over explicit parameter pytrees.
+
+TPU-native re-implementation of the OpenAI CLIP ViT (image) and Transformer
+(text) towers used by the reference via `clip.load` (models/clip_cls.py:95-102
+`encode_image`, :64-93 `encode_text`).
+
+Design choices:
+- parameters live in a plain nested dict, weights kept in torch [out, in]
+  convention so checkpoint conversion is a reshape-free transpose-free walk
+  (convert.py);
+- transformer blocks are *stacked* along a leading layer axis and driven by
+  `lax.scan`, so a 24-layer tower compiles as one block (fast XLA compiles,
+  identical runtime);
+- the patch-embedding conv is expressed as patch extraction + one matmul,
+  which is exactly a stride-`ps` conv but guaranteed to land on the MXU;
+- all matmuls accumulate in float32 (`preferred_element_type`) while
+  activations can flow in bfloat16; layer norms always compute in float32;
+- LoRA (models/lora.py in the reference, a 400-line MHA fork) is just an
+  optional low-rank delta pytree applied inside attention -- W_eff = W + B@A
+  with A ~ N(0, 1/r), B = 0, matching the reference init
+  (models/lora.py:8-11) and merged-weight forward (models/lora.py:60-98).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CLIPConfig, TextConfig, VisionConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w.T + b with f32 accumulation; w is [out, in] (torch layout)."""
+    y = jnp.einsum(
+        "...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm in float32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _lora_delta(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
+    """Low-rank delta (x @ A.T) @ B.T; A [r, in], B [out, r]."""
+    h = jnp.einsum("...i,ri->...r", x, lp["a"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("...r,or->...o", h, lp["b"].astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def attention(
+    p: Params,
+    x: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+) -> jnp.ndarray:
+    """Multi-head self attention matching torch.nn.MultiheadAttention.
+
+    p: {'wqkv': [3D, D], 'bqkv': [3D], 'wo': [D, D], 'bo': [D]}
+    lora: optional {'q'|'k'|'v'|'o': {'a': [r, D], 'b': [D, r]}}
+    """
+    B, T, D = x.shape
+    dh = D // heads
+    qkv = dense(x, p["wqkv"], p["bqkv"])  # [B, T, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if lora is not None:
+        if "q" in lora:
+            q = q + _lora_delta(x, lora["q"])
+        if "k" in lora:
+            k = k + _lora_delta(x, lora["k"])
+        if "v" in lora:
+            v = v + _lora_delta(x, lora["v"])
+
+    def split_heads(t):
+        return t.reshape(B, T, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * (dh ** -0.5), k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+    out = dense(o, p["wo"], p["bo"])
+    if lora is not None and "o" in lora:
+        out = out + _lora_delta(o, lora["o"])
+    return out
+
+
+def transformer(
+    blocks: Params,
+    x: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    lora: Optional[Params] = None,
+) -> jnp.ndarray:
+    """Pre-norm residual transformer; layer-stacked params driven by scan."""
+
+    def body(h, layer):
+        lp, ll = layer
+        h = h + attention(lp["attn"], layer_norm(h, lp["ln_1"]), heads, mask, ll)
+        y = dense(layer_norm(h, lp["ln_2"]), lp["mlp"]["w1"], lp["mlp"]["b1"])
+        h = h + dense(quick_gelu(y), lp["mlp"]["w2"], lp["mlp"]["b2"])
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (blocks, lora))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# towers
+# ---------------------------------------------------------------------------
+
+
+def encode_image(
+    visual: Params,
+    cfg: VisionConfig,
+    images: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    lora: Optional[Params] = None,
+) -> jnp.ndarray:
+    """[B, 3, H, W] CLIP-normalized images -> [B, output_dim] features."""
+    B = images.shape[0]
+    ps, g, D = cfg.patch_size, cfg.grid, cfg.width
+    x = images.astype(dtype)
+    # patchify: equivalent to the stride-ps conv1 but explicitly one matmul
+    x = x.reshape(B, 3, g, ps, g, ps).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(B, g * g, 3 * ps * ps)
+    x = dense(x, visual["patch_embed"])
+    cls = jnp.broadcast_to(visual["class_embedding"].astype(dtype), (B, 1, D))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + visual["positional_embedding"].astype(dtype)
+    x = layer_norm(x, visual["ln_pre"])
+    x = transformer(visual["blocks"], x, cfg.heads, lora=lora)
+    x = layer_norm(x[:, 0], visual["ln_post"])
+    return jnp.einsum(
+        "bd,de->be", x, visual["proj"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def causal_mask(T: int) -> jnp.ndarray:
+    """Additive [T, T] mask, -inf above the diagonal (torch CLIP convention)."""
+    return jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
+
+
+def encode_text(
+    text: Params,
+    cfg: TextConfig,
+    tokens: jnp.ndarray,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """[B, context] int token ids -> [B, output_dim] features (EOT pooled)."""
+    T = tokens.shape[-1]
+    x = text["token_embedding"][tokens].astype(dtype)
+    x = x + text["positional_embedding"][:T].astype(dtype)
+    x = transformer(text["blocks"], x, cfg.heads, mask=causal_mask(T))
+    x = layer_norm(x, text["ln_final"])
+    eot = tokens.argmax(-1)  # EOT has the highest token id
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return jnp.einsum(
+        "bd,de->be", x, text["projection"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_ln(width: int) -> Params:
+    return {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))}
+
+
+def _init_blocks(rng, layers: int, width: int) -> Params:
+    ks = jax.random.split(rng, 6)
+    proj_std = (width ** -0.5) * ((2 * layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+
+    def stack(key, shape, std):
+        return jax.random.normal(key, (layers,) + shape) * std
+
+    return {
+        "ln_1": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "ln_2": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "attn": {
+            "wqkv": stack(ks[0], (3 * width, width), attn_std),
+            "bqkv": jnp.zeros((layers, 3 * width)),
+            "wo": stack(ks[1], (width, width), proj_std),
+            "bo": jnp.zeros((layers, width)),
+        },
+        "mlp": {
+            "w1": stack(ks[2], (4 * width, width), fc_std),
+            "b1": jnp.zeros((layers, 4 * width)),
+            "w2": stack(ks[3], (width, 4 * width), proj_std),
+            "b2": jnp.zeros((layers, width)),
+        },
+    }
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
+    """Random CLIP parameters (OpenAI init scheme); for tests & converters."""
+    kv, kt, kp, kc, ke, kx = jax.random.split(rng, 6)
+    v, t = cfg.vision, cfg.text
+    scale = v.width ** -0.5
+    visual = {
+        "patch_embed": jax.random.normal(kp, (v.width, 3 * v.patch_size ** 2))
+        * scale,
+        "class_embedding": jax.random.normal(kc, (v.width,)) * scale,
+        "positional_embedding": jax.random.normal(ke, (v.seq_len, v.width)) * scale,
+        "ln_pre": _init_ln(v.width),
+        "ln_post": _init_ln(v.width),
+        "proj": jax.random.normal(kx, (v.width, v.output_dim)) * scale,
+        "blocks": _init_blocks(kv, v.layers, v.width),
+    }
+    k1, k2, k3 = jax.random.split(kt, 3)
+    text = {
+        "token_embedding": jax.random.normal(k1, (t.vocab_size, t.width)) * 0.02,
+        "positional_embedding": jax.random.normal(k2, (t.context_length, t.width))
+        * 0.01,
+        "ln_final": _init_ln(t.width),
+        "projection": jax.random.normal(k3, (t.width, t.output_dim))
+        * (t.width ** -0.5),
+        "blocks": _init_blocks(kt, t.layers, t.width),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# LoRA parameter trees
+# ---------------------------------------------------------------------------
+
+
+def parse_lora_spec(spec) -> Optional[dict]:
+    """Parse the reference's LoRA rank spec (models/lora.py:356-368).
+
+    int r > 0      -> rank r on q, k, v
+    'qv-16'        -> rank 16 on q, v
+    'qkv-16'       -> q, k, v;  'qkvo-16' -> q, k, v and out-proj
+    anything else  -> None (LoRA disabled)
+    """
+    if isinstance(spec, bool) or spec is None:
+        return None
+    if isinstance(spec, int):
+        return {"rank": spec, "targets": ("q", "k", "v")} if spec > 0 else None
+    assert isinstance(spec, str) and "q" in spec and "v" in spec
+    rank = int(spec.split("-")[-1])
+    targets = ["q", "v"]
+    if "k" in spec.split("-")[0]:
+        targets.insert(1, "k")
+    if "o" in spec:
+        targets.append("o")
+    return {"rank": rank, "targets": tuple(targets)}
+
+
+def init_lora_params(rng: jax.Array, cfg: VisionConfig, spec) -> Optional[Params]:
+    """Stacked [L, ...] LoRA deltas for the visual tower; B zero, A ~ N(0, 1/r)."""
+    parsed = parse_lora_spec(spec)
+    if parsed is None:
+        return None
+    r, width, L = parsed["rank"], cfg.width, cfg.layers
+    out = {}
+    for i, tgt in enumerate(parsed["targets"]):
+        key = jax.random.fold_in(rng, i)
+        out[tgt] = {
+            "a": jax.random.normal(key, (L, r, width)) * (1.0 / r),
+            "b": jnp.zeros((L, width, r)),
+        }
+    return out

@@ -1,0 +1,172 @@
+"""CLIP byte-pair-encoding tokenizer.
+
+A from-scratch implementation of the tokenizer contract used by the
+reference through `clip.tokenize` (models/clip_cls.py:81-83): lowercased,
+whitespace-collapsed text is split by the CLIP lexer regex, each piece is
+byte-level BPE-encoded with `</w>` word-end markers, and sequences are
+wrapped in <|startoftext|> / <|endoftext|> and zero-padded to a fixed
+context length.
+
+The merge table is the standard `bpe_simple_vocab_16e6.txt.gz` asset from
+the CLIP release. Pass its path explicitly or drop it at
+assets/bpe_simple_vocab_16e6.txt.gz; tests exercise the algorithm with a
+synthetic merge table.
+
+Note: the reference additionally runs ftfy.fix_text; for the ASCII class
+names and prompt templates used by every dataset this is a no-op, so it is
+intentionally omitted (ftfy is not a dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Dict, List, Sequence, Tuple, Union
+
+import numpy as np
+import regex as re
+
+_LEXER = re.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    re.IGNORECASE,
+)
+
+SOT = "<|startoftext|>"
+EOT = "<|endoftext|>"
+
+DEFAULT_BPE_PATHS = (
+    os.environ.get("EVENTCLIP_BPE_PATH", ""),
+    os.path.join(os.path.dirname(__file__), "..", "..", "..", "assets",
+                 "bpe_simple_vocab_16e6.txt.gz"),
+)
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2 reversible byte <-> printable unicode mapping."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+class SimpleTokenizer:
+    def __init__(self, bpe_path: str = None, merges: Sequence[Tuple[str, str]] = None):
+        if merges is None:
+            merges = self._load_merges(bpe_path)
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab = vocab + ["".join(m) for m in merges]
+        vocab = vocab + [SOT, EOT]
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.cache = {SOT: SOT, EOT: EOT}
+
+    @staticmethod
+    def _load_merges(bpe_path):
+        if bpe_path is None:
+            for cand in DEFAULT_BPE_PATHS:
+                if cand and os.path.exists(cand):
+                    bpe_path = cand
+                    break
+        if bpe_path is None or not os.path.exists(bpe_path):
+            raise FileNotFoundError(
+                "CLIP BPE merge table not found; place "
+                "bpe_simple_vocab_16e6.txt.gz under assets/ or set "
+                "EVENTCLIP_BPE_PATH"
+            )
+        opener = gzip.open if bpe_path.endswith(".gz") else open
+        with opener(bpe_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        # the released table has a version header and is truncated to 48894
+        # usable merges (48895 - 257 special slots already accounted below)
+        merges = [tuple(m.split()) for m in lines[1 : 49152 - 256 - 2 + 1]]
+        return merges
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.encoder)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            merged: List[str] = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == first
+                    and word[i + 1] == second
+                ):
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for tok in re.findall(_LEXER, _clean(text).lower()):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+        return ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        text = "".join(self.decoder[i] for i in ids)
+        raw = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+
+def tokenize(
+    texts: Union[str, Sequence[str]],
+    tokenizer: SimpleTokenizer,
+    context_length: int = 77,
+    truncate: bool = False,
+) -> np.ndarray:
+    """Texts -> [B, context_length] int32 (SOT ... EOT, zero padded)."""
+    if isinstance(texts, str):
+        texts = [texts]
+    sot, eot = tokenizer.encoder[SOT], tokenizer.encoder[EOT]
+    out = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        ids = [sot] + tokenizer.encode(text) + [eot]
+        if len(ids) > context_length:
+            if not truncate:
+                raise RuntimeError(
+                    f"Input {text!r} is too long for context length {context_length}"
+                )
+            ids = ids[:context_length]
+            ids[-1] = eot
+        out[i, : len(ids)] = ids
+    return out

@@ -10,8 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# parity tests compare against float32 torch oracles; JAX's 'default' matmul
+# precision is lower (bf16-ish passes) even on CPU
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture
