@@ -1,0 +1,203 @@
+"""Mesh-sharded train / eval steps.
+
+Replaces the reference's nerv BaseMethod train loop + PyTorch DDP
+(method.py, scripts/sbatch_run.sh:48-53) with a single jit-compiled step over
+a ('data', 'model') mesh: the batch is sharded over the data axis, parameters
+follow eventclip_tpu.parallel.param_pspecs, and every collective (gradient
+all-reduce, TP reduces, eval-metric sums) is inserted by GSPMD from the
+sharding annotations.
+
+Mixed precision: master parameters live in float32; activations run in the
+classifier's configured dtype (bfloat16 on TPU — no loss scaling needed,
+unlike the reference's fp16 AMP, train.py:141-142).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.classifier import (
+    ClassifierConfig,
+    classifier_forward,
+    train_loss,
+)
+from ..parallel.sharding import MODEL_AXIS, batch_pspec, param_pspecs
+
+Params = Dict[str, Any]
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray  # i32 scalar
+    params: Params
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(
+    params: Params, tx: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def _state_shardings(state: TrainState, mesh: Mesh):
+    n_model = mesh.shape[MODEL_AXIS]
+    pspecs = param_pspecs(state.params, n_model)
+
+    def named(spec):
+        return NamedSharding(mesh, spec)
+
+    param_sh = jax.tree_util.tree_map(named, pspecs)
+    # optimizer state mirrors parameter shapes where it holds moments; any
+    # leaf that matches a param shape inherits its sharding, scalars replicate
+    flat_params = {
+        id(p): s
+        for p, s in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(param_sh),
+        )
+    }
+
+    def opt_leaf(leaf):
+        return NamedSharding(mesh, P())
+
+    # optax moment trees are structurally copies of the param tree; map by
+    # matching shapes via tree structure: adam state = ScaleByAdamState(mu, nu)
+    def match(opt_state):
+        return jax.tree_util.tree_map(opt_leaf, opt_state)
+
+    # simplest robust policy: replicate optimizer scalars, shard moments like
+    # params by re-using tree_map over the same structure when possible
+    try:
+        opt_sh = jax.tree_util.tree_map(
+            lambda leaf: _shard_like_param(leaf, state.params, param_sh, mesh),
+            state.opt_state,
+        )
+    except Exception:
+        opt_sh = match(state.opt_state)
+    return TrainState(
+        step=NamedSharding(mesh, P()),
+        params=param_sh,
+        opt_state=opt_sh,
+        rng=NamedSharding(mesh, P()),
+    )
+
+
+def _shard_like_param(leaf, params, param_sh, mesh):
+    """Moments have the same shape as their parameter; look the shape up."""
+    if not hasattr(leaf, "shape") or leaf.ndim == 0:
+        return NamedSharding(mesh, P())
+    for p, s in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(param_sh)
+    ):
+        if p.shape == leaf.shape:
+            return s
+    return NamedSharding(mesh, P())
+
+
+def make_train_step(
+    cfg: ClassifierConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    state: TrainState,
+    loss_weights: Optional[Dict[str, float]] = None,
+):
+    """Build the jitted, sharded train step: (state, batch) -> (state, metrics).
+
+    batch: {'img': [B,T,3,S,S] f32, 'valid_mask': [B,T] bool, 'label': [B] i32}
+    """
+    loss_weights = dict(loss_weights or {})
+    state_sh = _state_shardings(state, mesh)
+    batch_sh = NamedSharding(mesh, batch_pspec())
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, batch, rng):
+        out = classifier_forward(
+            params, cfg, batch["img"], batch["valid_mask"], train=True, rng=rng
+        )
+        losses = train_loss(cfg, out, batch["label"])
+        # nerv convention: total = sum(loss * params.<name>_w)
+        total = sum(
+            v * loss_weights.get(k, 1.0) for k, v in losses.items()
+        )
+        losses["total_loss"] = total
+        losses["train_acc"] = (out["probs"].argmax(-1) == batch["label"]).mean()
+        return total, losses
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(state.rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
+                   top5: bool = False):
+    """Jitted eval step returning summed counters (host accumulates).
+
+    batch adds 'sample_mask' [B] bool so ragged final batches stay static.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    param_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_pspecs(params_example, n_model)
+    )
+    batch_sh = NamedSharding(mesh, batch_pspec())
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(params, batch):
+        out = classifier_forward(
+            params, cfg, batch["img"], batch["valid_mask"], train=False
+        )
+        m = batch["sample_mask"].astype(jnp.float32)
+        label = batch["label"]
+        res = {
+            "n": m.sum(),
+            "probs_correct": ((out["probs"].argmax(-1) == label) * m).sum(),
+            "logits_correct": ((out["logits"].argmax(-1) == label) * m).sum(),
+        }
+        # per-sample CE, masked (padded rows can hold NaN aggregations)
+        if cfg.use_logits_loss:
+            logp = jax.nn.log_softmax(out["logits"], axis=-1)
+        else:
+            logp = jnp.log(out["probs"] + 1e-6)
+        ce = -jnp.take_along_axis(logp, label[:, None], axis=-1)[:, 0]
+        res["ce_loss_sum"] = jnp.where(m > 0, ce, 0.0).sum()
+        if top5:
+            _, idx5p = jax.lax.top_k(out["probs"], 5)
+            _, idx5l = jax.lax.top_k(out["logits"], 5)
+            res["probs_correct5"] = (
+                (idx5p == label[:, None]).any(-1) * m
+            ).sum()
+            res["logits_correct5"] = (
+                (idx5l == label[:, None]).any(-1) * m
+            ).sum()
+        return res
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(param_sh, batch_sh),
+        out_shardings=repl,
+    )

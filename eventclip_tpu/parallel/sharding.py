@@ -1,0 +1,117 @@
+"""Device-mesh sharding layout for EventCLIP-TPU.
+
+The reference's only parallelism is single-node PyTorch DDP over NCCL
+(scripts/sbatch_run.sh:48-53, train.py:34-35). The TPU-native design replaces
+that with a 2-D `jax.sharding.Mesh` ('data', 'model'):
+
+- **data axis**: the batch dimension of every input tensor is sharded; the
+  gradient all-reduce the reference gets from DDP/NCCL becomes an XLA `psum`
+  over ICI, inserted automatically by GSPMD from the sharding annotations.
+- **model axis**: Megatron-style tensor parallelism over the transformer
+  weights — qkv / mlp-up projections sharded on the output feature dim,
+  out / mlp-down projections sharded on the input feature dim, so each
+  block needs exactly one reduce per sublayer and activations stay
+  replicated at block boundaries (layer norms see full features).
+
+With `model=1` this degrades to pure data parallelism, which is the parity
+configuration (the reference never shards the model). All collectives are
+derived by GSPMD from these PartitionSpecs; there is no hand-written
+communication code, per the scaling-book recipe (mesh -> annotate -> let XLA
+insert collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+Params = Dict[str, Any]
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    Defaults to all devices on the data axis (DDP-equivalent). The device
+    grid is laid out so the model axis maps to adjacent devices (fastest ICI
+    hops) and the data axis to the remaining dimension.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        assert len(devices) % n_model == 0, (len(devices), n_model)
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_pspec() -> P:
+    """Inputs shard their leading (batch) dim over the data axis."""
+    return P(DATA_AXIS)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+# weight-name -> which dim (counted from the right, to be robust to the
+# leading stacked-layer axis) carries the sharded feature dimension.
+# Megatron layout: fused qkv + mlp-up shard the OUTPUT dim; attn-out +
+# mlp-down shard the INPUT dim (weights are torch [out, in]).
+_COL_SHARDED = ("wqkv", "b1", "w1", "bqkv")  # out-dim ([..., out, in] / [..., out])
+_ROW_SHARDED = ("wo", "w2")  # in-dim ([..., out, in])
+
+
+def _leaf_pspec(path: str, leaf, n_model: int) -> P:
+    ndim = np.ndim(leaf)
+    name = path.split("/")[-1]
+    if n_model > 1 and ("blocks" in path or name in ("wqkv",)):
+        if name in _COL_SHARDED:
+            dims = [None] * ndim
+            # bias [L, out] -> shard dim -1; weight [L, out, in] -> dim -2
+            dims[-1 if name.startswith("b") else -2] = MODEL_AXIS
+            shard_dim = np.shape(leaf)[-1 if name.startswith("b") else -2]
+            if shard_dim % n_model == 0:
+                return P(*dims)
+        if name in _ROW_SHARDED and ndim >= 2:
+            dims = [None] * ndim
+            dims[-1] = MODEL_AXIS
+            if np.shape(leaf)[-1] % n_model == 0:
+                return P(*dims)
+    # LoRA deltas follow the same layout: a [L, r, in] replicated (r tiny),
+    # b [L, out, r] replicated -- deltas are small, cheaper to replicate.
+    return P()
+
+
+def param_pspecs(params: Params, n_model: int = 1) -> Params:
+    """PartitionSpec pytree matching `params` for a ('data','model') mesh."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_pspec(_path_str(path), leaf, n_model), params
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a parameter tree onto the mesh with the canonical layout."""
+    n_model = mesh.shape[MODEL_AXIS]
+    specs = param_pspecs(params, n_model)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch: Params, mesh: Mesh) -> Params:
+    """Place a batch pytree onto the mesh, sharded over the data axis."""
+    s = NamedSharding(mesh, batch_pspec())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -3,7 +3,9 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the real
 # multi-chip path via __graft_entry__.dryrun_multichip).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when a TPU (axon tunnel) is attached: the suite needs an
+# 8-device mesh and bit-stable f32 matmuls for the torch-oracle parity tests
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# the container's sitecustomize imports jax (registering the TPU plugin)
+# before this conftest runs, so the env vars above may be snapshotted too
+# late -- override through the live config as well (backends init lazily)
+jax.config.update("jax_platforms", "cpu")
 
 # parity tests compare against float32 torch oracles; JAX's 'default' matmul
 # precision is lower (bf16-ish passes) even on CPU

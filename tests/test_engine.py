@@ -1,0 +1,203 @@
+"""Training engine tests on a virtual 8-device mesh (4 data x 2 model)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eventclip_tpu.engine import (
+    OptimConfig,
+    build_optimizer,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    warmup_cosine,
+)
+from eventclip_tpu.engine.checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+    save_trainable,
+)
+from eventclip_tpu.models.adapter import AdapterConfig
+from eventclip_tpu.models.classifier import (
+    ClassifierConfig,
+    init_classifier_params,
+)
+from eventclip_tpu.models.clip.config import CLIPConfig, TextConfig, VisionConfig
+from eventclip_tpu.models.partition import trainable_mask
+from eventclip_tpu.parallel import make_mesh, shard_batch, shard_params
+
+TINY = CLIPConfig(
+    name="tiny",
+    vision=VisionConfig(
+        image_size=32, patch_size=8, width=64, layers=2, heads=2, output_dim=32
+    ),
+    text=TextConfig(
+        vocab_size=128, context_length=16, width=32, layers=2, heads=2,
+        output_dim=32,
+    ),
+)
+N_CLS = 5
+
+
+def tiny_fs_config():
+    return ClassifierConfig(
+        model="FSCLIP",
+        clip=TINY,
+        adapter=AdapterConfig(
+            adapter_type="trans", in_dim=32, d_model=16, num_heads=2,
+            ffn_dim=32, num_layers=2, residual=0.8,
+        ),
+        use_logits_loss=True,
+        use_probs_loss=False,
+    )
+
+
+def make_batch(rng, B=8, T=2, n_cls=N_CLS, size=32):
+    return {
+        "img": rng.normal(size=(B, T, 3, size, size)).astype(np.float32),
+        "valid_mask": np.ones((B, T), dtype=bool),
+        "label": rng.integers(0, n_cls, size=(B,)).astype(np.int32),
+    }
+
+
+def test_warmup_cosine_matches_reference_semantics():
+    # nerv CosineAnnealingWarmupRestarts: lr(0)=min_lr, linear to max_lr at
+    # warmup, cosine back to min_lr at total (method.py:89-96)
+    sched = warmup_cosine(1.0, total_steps=100, warmup_pct=0.1)
+    assert np.isclose(float(sched(0)), 0.01)
+    assert np.isclose(float(sched(10)), 1.0, atol=1e-6)
+    assert np.isclose(float(sched(100)), 0.01, atol=1e-6)
+    mid = float(sched(55))  # halfway through decay
+    assert np.isclose(mid, 0.01 + 0.99 * 0.5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_model", [1, 2])
+def test_train_step_runs_and_learns(rng, n_model):
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=8 // n_model, n_model=n_model)
+    params = init_classifier_params(
+        jax.random.PRNGKey(0), cfg, n_classes=N_CLS
+    )
+    opt_cfg = OptimConfig(lr=1e-2, total_steps=20, warmup_steps_pct=0.0)
+    tx = build_optimizer(cfg, opt_cfg, params)
+    params = shard_params(params, mesh)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, mesh, state, loss_weights={"ce_loss": 1.0})
+
+    batch = shard_batch(make_batch(rng), mesh)
+    frozen_before = np.asarray(
+        jax.device_get(state.params["clip"]["visual"]["patch_embed"])
+    )
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["ce_loss"]))
+    # adapter learns to overfit a single tiny batch
+    assert losses[-1] < losses[0]
+    # frozen CLIP leaves must not move (requires_grad surgery parity)
+    frozen_after = np.asarray(
+        jax.device_get(state.params["clip"]["visual"]["patch_embed"])
+    )
+    np.testing.assert_array_equal(frozen_before, frozen_after)
+    assert int(state.step) == 8
+
+
+def test_tp_matches_dp_numerics(rng):
+    """The model-sharded forward must equal the replicated one."""
+    cfg = tiny_fs_config()
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    batch = make_batch(rng, B=8)
+    outs = []
+    for n_model in (1, 2):
+        mesh = make_mesh(n_data=8 // n_model, n_model=n_model)
+        p = shard_params(params, mesh)
+        ev = make_eval_step(cfg, mesh, p)
+        b = shard_batch({**batch, "sample_mask": np.ones(8, bool)}, mesh)
+        outs.append({k: float(v) for k, v in ev(p, b).items()})
+    assert outs[0]["n"] == 8
+    for k in outs[0]:
+        assert np.isclose(outs[0][k], outs[1][k], rtol=1e-4), (k, outs)
+
+
+def test_eval_step_masks_padded_rows(rng):
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = shard_params(
+        init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS),
+        mesh,
+    )
+    ev = make_eval_step(cfg, mesh, params, top5=True)
+    batch = make_batch(rng, B=8)
+    batch["sample_mask"] = np.array([True] * 5 + [False] * 3)
+    # padded rows have no valid views at all (worst case for NaN leaks)
+    batch["valid_mask"][5:] = False
+    res = ev(params, shard_batch(batch, mesh))
+    assert float(res["n"]) == 5
+    for k, v in res.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert 0 <= float(res["probs_correct"]) <= 5
+    assert float(res["probs_correct5"]) <= 5
+
+
+def test_ftclip_two_lr_groups(rng):
+    cfg = ClassifierConfig(
+        model="FTCLIP", clip=TINY, ft_mode="ln", use_logits_loss=True,
+        use_probs_loss=False,
+    )
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    tx = build_optimizer(
+        cfg, OptimConfig(lr=1e-2, clip_lr=1e-3, total_steps=10,
+                         warmup_steps_pct=0.0), params,
+    )
+    params = shard_params(params, mesh)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, mesh, state)
+    before = jax.device_get(state.params["clip"]["visual"])
+    state, _ = step(state, shard_batch(make_batch(rng), mesh))
+    after = jax.device_get(state.params["clip"]["visual"])
+    # ln leaves moved, everything else frozen
+    assert not np.allclose(before["ln_post"]["scale"], after["ln_post"]["scale"])
+    np.testing.assert_array_equal(before["patch_embed"], after["patch_embed"])
+    np.testing.assert_array_equal(
+        before["blocks"]["attn"]["wqkv"], after["blocks"]["attn"]["wqkv"]
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = tiny_fs_config()
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    path = str(tmp_path / "ck" / "best.npz")
+    save_trainable(path, cfg, params, extra={"step": 7})
+    # adapter leaves present, clip leaves absent (CLIP-free checkpoints)
+    flat, extra = load_checkpoint(path)
+    assert int(extra["step"]) == 7
+    assert any(k.startswith("adapter/") for k in flat)
+    assert not any(k.startswith("clip/") for k in flat)
+    # re-inject into a fresh tree
+    fresh = init_classifier_params(jax.random.PRNGKey(9), cfg, n_classes=N_CLS)
+    restored, _ = load_checkpoint(path, target=fresh)
+    mask = trainable_mask(cfg, params)
+    for (kp, a), (_, b), (_, m) in zip(
+        jax.tree_util.tree_flatten_with_path(restored)[0][:50],
+        jax.tree_util.tree_flatten_with_path(params)[0][:50],
+        jax.tree_util.tree_flatten_with_path(mask)[0][:50],
+    ):
+        if m:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=str(kp))
+
+
+def test_checkpoint_manager_best_tracking(tmp_path):
+    cfg = tiny_fs_config()
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    mgr = CheckpointManager(str(tmp_path), cfg, keep_last=2)
+    mgr.save(params, 1, {"probs_acc": 0.5})
+    mgr.save(params, 2, {"probs_acc": 0.9})
+    mgr.save(params, 3, {"probs_acc": 0.7})
+    mgr.save(params, 4, {"probs_acc": 0.8})
+    _, extra = load_checkpoint(str(tmp_path / "models" / "best.npz"))
+    assert int(extra["step"]) == 2
+    assert mgr.latest().endswith("best.npz")
+    import glob
+    assert len(glob.glob(str(tmp_path / "models" / "model_*.npz"))) == 2
