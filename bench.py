@@ -57,8 +57,8 @@ def main():
         init_classifier_params,
     )
     from eventclip_tpu.models.clip.config import clip_arch_config
-    from eventclip_tpu.ops.preprocess import ClipPreprocess, preprocess_frames
-    from eventclip_tpu.ops.rasterize import RasterSpec, rasterize_windows
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec, rasterize_for_clip
 
     H, W, N = 180, 240, 20000
     B = int(os.environ.get("BENCH_BATCH", "16"))
@@ -77,8 +77,7 @@ def main():
 
     @jax.jit
     def pipeline(params, windows, valid):
-        frames = rasterize_windows(spec, windows)
-        imgs = preprocess_frames(pp, frames)
+        imgs = rasterize_for_clip(spec, pp, windows)
         return classifier_forward(params, cfg, imgs, valid)["probs"]
 
     rng = np.random.default_rng(0)

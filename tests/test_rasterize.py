@@ -129,3 +129,19 @@ def test_rasterize_batched_shapes(rng):
     frames = rasterize_windows(spec, wins)
     assert frames.shape == (4, 3, H, W, 3)
     assert frames.dtype == np.uint8
+
+
+def test_fused_clip_path_matches_composition(rng):
+    """rasterize_for_clip == preprocess_frames(rasterize_windows(...))."""
+    from eventclip_tpu.ops import rasterize_for_clip
+    from eventclip_tpu.ops.preprocess import ClipPreprocess, preprocess_frames
+
+    H, W, N = 60, 80, 1500
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=32)
+    ev = synth_events(rng, 4000, H, W, hot_pixels=2)
+    wins = gather_windows(ev, N)[None]  # [1, T, N, 4]
+    fused = np.asarray(rasterize_for_clip(spec, pp, wins))
+    composed = np.asarray(preprocess_frames(pp, rasterize_windows(spec, wins)))
+    assert fused.shape == composed.shape
+    np.testing.assert_allclose(fused, composed, atol=1e-5)
