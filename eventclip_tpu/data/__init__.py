@@ -4,7 +4,23 @@ from .host_ops import (
     hflip_events,
     tflip_events,
     gather_event_windows,
+    max_views,
 )
+from .datasets import (
+    NCaltech101,
+    NCars,
+    NImageNet,
+    NImageNetMini,
+    MINI_NAMES,
+    NIN_VAL_SUBSETS,
+    build_dataset,
+    build_n_caltech_dataset,
+    build_n_cars_dataset,
+    build_n_imagenet_dataset,
+    build_n_imagenet_mini_dataset,
+)
+from .event_windows import EventWindowDataset
+from .loader import PrefetchLoader, collate
 
 __all__ = [
     "center_events",
@@ -12,4 +28,19 @@ __all__ = [
     "hflip_events",
     "tflip_events",
     "gather_event_windows",
+    "max_views",
+    "NCaltech101",
+    "NCars",
+    "NImageNet",
+    "NImageNetMini",
+    "MINI_NAMES",
+    "NIN_VAL_SUBSETS",
+    "build_dataset",
+    "build_n_caltech_dataset",
+    "build_n_cars_dataset",
+    "build_n_imagenet_dataset",
+    "build_n_imagenet_mini_dataset",
+    "EventWindowDataset",
+    "PrefetchLoader",
+    "collate",
 ]

@@ -1,0 +1,107 @@
+"""Event -> padded-window pipeline (the host half of Event2ImageDataset).
+
+The reference's Event2ImageDataset (datasets/event2img.py) converts events to
+CLIP-ready image tensors inside DataLoader workers. Here the host only
+selects and pads raw event windows — [V, N, 4] float32 per sample — and the
+device turns them into CLIP inputs (eventclip_tpu.ops.rasterize_for_clip),
+so the per-sample host cost is O(n) indexing instead of O(n + T*H*W) image
+math, and the PCIe/ICI payload is the (much smaller) windows.
+
+Behavioral contracts:
+- view budget max(min(round(max_n/N), max_imgs), 1)  event2img.py:70-72
+- random view subsample / zero-pad + valid_mask      event2img.py:80-92
+- 4-way TTA (id, h-flip, t-flip, h+t-flip)           event2img.py:94-112
+- keep_events hack for visualization                 event2img.py:74-76,137-139
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .host_ops import gather_event_windows, hflip_events, max_views, tflip_events
+
+
+class EventWindowDataset:
+    """Wraps an event dataset; items are padded window tensors + masks."""
+
+    def __init__(
+        self,
+        event_dataset,
+        quantize_args: Dict[str, Any],
+        augment: bool = False,
+        tta: bool = False,
+        seed: int = 0,
+    ):
+        self.event_dataset = event_dataset
+        self.classes = event_dataset.classes
+        self.resolution = event_dataset.resolution
+        self.max_t = event_dataset.max_t
+        self.max_n = event_dataset.max_n
+
+        q = dict(quantize_args)
+        assert q.pop("split_method", "event_count") == "event_count"
+        q.pop("convert_method", None)
+        self.window = int(q.pop("N"))
+        hard_limit = int(q.pop("max_imgs", 10))
+        self.max_imgs = max_views(self.max_n, self.window, hard_limit)
+        # remaining keys parameterize the on-device rasterizer
+        self.raster_args = dict(
+            height=self.resolution[0], width=self.resolution[1],
+            window=self.window, **q,
+        )
+
+        # `augment` requests image-space RandAugment; it is applied on-device
+        # in the training step (ops/randaugment.py), the dataset only records
+        # the flag (reference applies it in the worker, event2img.py:36-42)
+        self.augment = augment
+
+        self.tta = tta
+        if tta:
+            assert not event_dataset.augmentation, (
+                "Do not augment events in pseudo label generation"
+            )
+            assert not augment, "Do not augment twice"
+            assert event_dataset.num_shots is None, "Should sample all data"
+            assert "train" in event_dataset.root
+        self.keep_events = False
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.event_dataset)
+
+    def raster_spec(self):
+        from ..ops.rasterize import RasterSpec
+
+        return RasterSpec(**self.raster_args)
+
+    def _events2windows(self, events: np.ndarray):
+        return gather_event_windows(
+            events, self.window, self.max_imgs, rng=self._rng
+        )
+
+    def _load_tta_item(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        events = data.pop("events")
+        h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
+        t = tflip_events(events.copy(), p=1.0)
+        ht = tflip_events(h.copy(), p=1.0)
+        wins, valids = zip(*[
+            self._events2windows(e) for e in (events, h, t, ht)
+        ])
+        data["windows"] = np.stack(wins)  # [4, V, N, 4]
+        data["valid_mask"] = np.stack(valids)  # [4, V]
+        return data
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        data = self.event_dataset[idx]
+        if self.tta:
+            return self._load_tta_item(data)
+        events = data.pop("events")
+        if self.keep_events:
+            data["events"] = copy.deepcopy(events)
+        windows, valid = self._events2windows(events)
+        data["windows"] = windows  # [V, N, 4]
+        data["valid_mask"] = valid  # [V]
+        return data

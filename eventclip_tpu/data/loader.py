@@ -1,0 +1,147 @@
+"""Threaded prefetching batch loader.
+
+Replaces the reference's torch DataLoader + DistributedSampler (provided by
+nerv's BaseDataModule). Design for TPU input pipelines:
+
+- items are numpy dicts (padded event windows), collation is a stack;
+- a thread pool prefetches batches ahead of the train step, so host-side
+  event IO overlaps device compute (numpy IO releases the GIL);
+- per-host sharding: in a multi-process (multi-host) setup each process
+  loads `1/num_shards` of every batch (shard_index/num_shards), which is the
+  DistributedSampler contract without the torch dependency;
+- epochs are seeded: `loader.epoch(k)` reshuffles deterministically.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if np.isscalar(vals[0]) or np.ndim(vals[0]) == 0:
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class PrefetchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        pad_last: bool = False,
+    ):
+        """pad_last: repeat-pad the final ragged batch to batch_size and add
+        a 'sample_mask' key (static shapes for jit; masked in eval)."""
+        assert not (drop_last and pad_last)
+        assert batch_size % num_shards == 0, (batch_size, num_shards)
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = batch_size // num_shards
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = max(prefetch, 1)
+        self.seed = seed
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self._epoch = 0
+
+    def epoch(self, k: int) -> "PrefetchLoader":
+        self._epoch = k
+        return self
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n_batches = len(self)
+        # this shard's slice of every global batch
+        jobs = []
+        for b in range(n_batches):
+            sl = order[b * self.batch_size:(b + 1) * self.batch_size]
+            lo = self.shard_index * self.local_batch
+            jobs.append(sl[lo:lo + self.local_batch])
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        lock = threading.Lock()
+        next_job = [0]
+
+        def worker():
+            while not stop.is_set():
+                with lock:
+                    j = next_job[0]
+                    if j >= len(jobs):
+                        return
+                    next_job[0] += 1
+                try:
+                    batch = self._make_batch(jobs[j])
+                except BaseException as e:  # surfaced in the consumer
+                    batch = e
+                while not stop.is_set():
+                    try:
+                        out_q.put((j, batch), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.num_workers, max(len(jobs), 1)))
+        ]
+        for t in threads:
+            t.start()
+        # consumer-side reordering: drain unconditionally (no deadlock),
+        # yield strictly in batch order
+        pending: Dict[int, Any] = {}
+        try:
+            for want in range(len(jobs)):
+                while want not in pending:
+                    j, batch = out_q.get()
+                    pending[j] = batch
+                item = pending.pop(want)
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(i)] for i in idxs]
+        n = len(items)
+        if self.pad_last and n < self.local_batch:
+            items = items + [items[-1]] * (self.local_batch - n)
+        batch = collate(items)
+        if self.pad_last:
+            mask = np.zeros(self.local_batch, dtype=bool)
+            mask[:n] = True
+            batch["sample_mask"] = mask
+        return batch

@@ -1,0 +1,269 @@
+"""Dataset layer tests on synthetic event trees."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eventclip_tpu.data import (
+    EventWindowDataset,
+    NCaltech101,
+    NCars,
+    NImageNetMini,
+    PrefetchLoader,
+    build_dataset,
+)
+from eventclip_tpu.data.datasets import imagenet_folder2name, load_split_asset
+from eventclip_tpu.utils.config import Params
+
+
+def write_events(path, n, H=180, W=240, rng=None):
+    rng = rng or np.random.default_rng(0)
+    ev = np.stack(
+        [
+            rng.integers(0, W, n),
+            rng.integers(0, H, n),
+            np.sort(rng.uniform(0, 0.3, n)),
+            rng.choice([-1.0, 1.0], n),
+        ],
+        axis=1,
+    ).astype(np.float64)
+    np.save(path, ev)
+
+
+def make_caltech_tree(root, classes=("airplanes", "ant", "brain"),
+                      files_per_class=4, n_events=3000):
+    rng = np.random.default_rng(7)
+    for c in classes:
+        d = os.path.join(root, "training", c)
+        os.makedirs(d, exist_ok=True)
+        for i in range(files_per_class):
+            write_events(os.path.join(d, f"{c}_{i:03d}.npy"),
+                         n_events + 100 * i, rng=rng)
+        d = os.path.join(root, "testing", c)
+        os.makedirs(d, exist_ok=True)
+        for i in range(2):
+            write_events(os.path.join(d, f"{c}_{i:03d}.npy"), n_events,
+                         rng=rng)
+    return root
+
+
+class CaltechParams(Params):
+    dataset = "n_caltech"
+    data_root = ""
+    quantize_args = dict(
+        max_imgs=2,
+        split_method="event_count",
+        convert_method="event_histogram",
+        N=1000,
+        grayscale=True,
+        count_non_zero=False,
+        background_mask=True,
+    )
+
+
+def test_caltech_classes_and_renames(tmp_path):
+    make_caltech_tree(str(tmp_path))
+    ds = NCaltech101(str(tmp_path / "training"))
+    # 'airplanes' renamed to 'airplane' (CoOp map), rest untouched
+    assert ds.classes == ["airplane", "ant", "brain"]
+    assert len(ds) == 12
+    item = ds[0]
+    assert item["events"].shape[1] == 4
+    assert item["label"] == 0
+    # events are centered: bounding box midpoint ~ frame center
+    ev = item["events"]
+    assert abs((ev[:, 0].max() + ev[:, 0].min()) / 2 - 240 / 2) < 2
+    assert ev[:, 2].min() == 0
+
+
+def test_few_shot_sampling_deterministic(tmp_path):
+    make_caltech_tree(str(tmp_path))
+    a = NCaltech101(str(tmp_path / "training"), num_shots=2)
+    b = NCaltech101(str(tmp_path / "training"), num_shots=2)
+    assert len(a) == 6
+    assert list(a.labeled_files) == list(b.labeled_files)
+    assert list(a.labels) == [0, 0, 1, 1, 2, 2]
+
+
+def test_few_shot_repeat_oversampling(tmp_path):
+    make_caltech_tree(str(tmp_path), files_per_class=3)
+    ds = NCaltech101(str(tmp_path / "training"), num_shots=5, repeat=True)
+    assert len(ds) == 15  # oversampled with replacement
+    ds = NCaltech101(str(tmp_path / "training"), num_shots=5, repeat=False)
+    assert len(ds) == 9  # keeps all available
+
+
+def test_shipped_split_assets_present():
+    # all 31 reference splits must be loadable
+    counts = {
+        "NCaltech101": [1, 2, 3, 5, 10, 20, 50],
+        "NCars": [10, 20, 30, 50, 100, 200, 500],
+        "NImageNet": [1, 2, 3, 5, 10, 20, 50],
+        "NImageNetMini": [1, 2, 3, 5, 10, 20, 50],
+    }
+    for name, shots in counts.items():
+        for k in shots:
+            repeat = name in ("NCaltech101", "NImageNetMini")
+            split = load_split_asset(name, k, repeat)
+            if split is None and name == "NCars":
+                split = load_split_asset(name, k, False)
+            assert split, (name, k)
+            assert all(isinstance(v, int) for v in split.values())
+
+
+def test_split_asset_path_resolution(tmp_path):
+    # a dataset rooted elsewhere resolves shipped split paths by cls/file
+    make_caltech_tree(str(tmp_path), classes=("airplanes", "ant"))
+    root = str(tmp_path / "training")
+    split = {"data/N-Caltech101/training/ant/ant_001.npy": 1}
+    os.makedirs(tmp_path / "assets" / "NCaltech101", exist_ok=True)
+    ds = NCaltech101(root)
+    assert ds._resolve_split_path(
+        "data/N-Caltech101/training/ant/ant_001.npy"
+    ) == os.path.join(root, "ant", "ant_001.npy")
+
+
+def test_imagenet_folder2name_table():
+    m = imagenet_folder2name()
+    assert len(m) == 1000
+    assert m["n01440764"] == "tench"
+
+
+def test_imagenet_mini_classes(tmp_path):
+    m = imagenet_folder2name()
+    from eventclip_tpu.data import MINI_NAMES
+
+    wnids = [k for k, v in m.items() if v in MINI_NAMES]
+    root = tmp_path / "extracted_val"
+    rng = np.random.default_rng(0)
+    for w in wnids:
+        os.makedirs(root / w, exist_ok=True)
+    # put npz events in the first three classes
+    for w in wnids[:3]:
+        ev = np.zeros(
+            500,
+            dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"), ("p", "?")],
+        )
+        ev["x"] = rng.integers(0, 640, 500)
+        ev["y"] = rng.integers(0, 480, 500)
+        ev["t"] = np.sort(rng.integers(0, 55000, 500))
+        ev["p"] = rng.integers(0, 2, 500).astype(bool)
+        np.savez(root / w / "a.npz", event_data=ev)
+    ds = NImageNetMini(str(root))
+    assert len(ds.classes) == 100
+    assert len(ds) == 3
+    item = ds[0]
+    ev = item["events"]
+    assert set(np.unique(ev[:, 3])) <= {-1.0, 1.0}  # 0/1 -> -1/+1
+    assert ev[:, 2].max() < 1.0  # microseconds -> seconds, then zero-based
+
+
+def test_window_dataset_and_build(tmp_path):
+    make_caltech_tree(str(tmp_path))
+    params = CaltechParams(data_root=str(tmp_path))
+    train, val = build_dataset(params)
+    assert isinstance(train, EventWindowDataset)
+    # view budget: max_n=225000 / N=1000 -> 225 -> clamped to max_imgs=2
+    assert train.max_imgs == 2
+    assert val.max_imgs == 10  # val forced to 10
+    item = train[0]
+    assert item["windows"].shape == (2, 1000, 4)
+    assert item["valid_mask"].shape == (2,)
+    assert item["valid_mask"].any()
+    # ~3000 events, N=1000 -> 3 windows, subsampled to 2
+    assert item["valid_mask"].all()
+
+
+def test_window_dataset_tta(tmp_path):
+    make_caltech_tree(str(tmp_path))
+    params = CaltechParams(data_root=str(tmp_path))
+    ds = build_dataset(params, gen_data=True, tta=True)
+    item = ds[0]
+    assert item["windows"].shape == (4, 10, 1000, 4)
+    assert item["valid_mask"].shape == (4, 10)
+    # h-flip variant mirrors x
+    base = item["windows"][0][item["valid_mask"][0]]
+    flip = item["windows"][1][item["valid_mask"][1]]
+    live = base[..., 3] != 0
+    np.testing.assert_allclose(
+        flip[..., 0][live], 240 - 1 - base[..., 0][live]
+    )
+
+
+def test_keep_events_hack(tmp_path):
+    make_caltech_tree(str(tmp_path))
+    params = CaltechParams(data_root=str(tmp_path))
+    _, val = build_dataset(params)
+    val.keep_events = True
+    item = val[0]
+    assert "events" in item and item["events"].ndim == 2
+
+
+class TestPrefetchLoader:
+    def _ds(self, tmp_path):
+        make_caltech_tree(str(tmp_path))
+        params = CaltechParams(data_root=str(tmp_path))
+        return build_dataset(params)
+
+    def test_order_and_shapes(self, tmp_path):
+        train, _ = self._ds(tmp_path)
+        loader = PrefetchLoader(train, batch_size=4, shuffle=False,
+                                num_workers=3)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0]["windows"].shape == (4, 2, 1000, 4)
+        assert list(batches[0]["data_idx"]) == [0, 1, 2, 3]
+        assert list(batches[2]["data_idx"]) == [8, 9, 10, 11]
+
+    def test_shuffle_deterministic_per_epoch(self, tmp_path):
+        train, _ = self._ds(tmp_path)
+        loader = PrefetchLoader(train, batch_size=4, shuffle=True, seed=1)
+        e0 = np.concatenate([b["data_idx"] for b in loader.epoch(0)])
+        e0b = np.concatenate([b["data_idx"] for b in loader.epoch(0)])
+        e1 = np.concatenate([b["data_idx"] for b in loader.epoch(1)])
+        np.testing.assert_array_equal(e0, e0b)
+        assert not np.array_equal(e0, e1)
+        assert sorted(e0) == list(range(12))
+
+    def test_pad_last(self, tmp_path):
+        _, val = self._ds(tmp_path)  # 6 items
+        loader = PrefetchLoader(val, batch_size=4, pad_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[1]["windows"].shape[0] == 4
+        np.testing.assert_array_equal(
+            batches[1]["sample_mask"], [True, True, False, False]
+        )
+
+    def test_sharding(self, tmp_path):
+        train, _ = self._ds(tmp_path)
+        shards = [
+            np.concatenate([
+                b["data_idx"]
+                for b in PrefetchLoader(
+                    train, batch_size=4, shard_index=i, num_shards=2
+                )
+            ])
+            for i in range(2)
+        ]
+        assert all(len(s) == 6 for s in shards)
+        assert sorted(np.concatenate(shards)) == list(range(12))
+
+    def test_error_propagation(self, tmp_path):
+        train, _ = self._ds(tmp_path)
+
+        class Boom:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise ValueError("boom")
+                return train[0]
+
+        loader = PrefetchLoader(Boom(), batch_size=4, num_workers=2)
+        with pytest.raises(ValueError, match="boom"):
+            list(loader)
