@@ -104,16 +104,31 @@ def _shard_like_param(leaf, params, param_sh, mesh):
     return NamedSharding(mesh, P())
 
 
+def _batch_images(batch, pipeline):
+    """Resolve model inputs: either precomputed 'img' or on-device
+    rasterization of raw event 'windows' (the TPU-native hot path)."""
+    if "img" in batch:
+        return batch["img"]
+    spec, pp = pipeline
+    from ..ops.rasterize import rasterize_for_clip
+
+    return rasterize_for_clip(spec, pp, batch["windows"])
+
+
 def make_train_step(
     cfg: ClassifierConfig,
     tx: optax.GradientTransformation,
     mesh: Mesh,
     state: TrainState,
     loss_weights: Optional[Dict[str, float]] = None,
+    pipeline=None,
 ):
     """Build the jitted, sharded train step: (state, batch) -> (state, metrics).
 
-    batch: {'img': [B,T,3,S,S] f32, 'valid_mask': [B,T] bool, 'label': [B] i32}
+    batch: {'img': [B,T,3,S,S] f32 | 'windows': [B,T,N,4] f32,
+            'valid_mask': [B,T] bool, 'label': [B] i32}
+    pipeline: optional (RasterSpec, ClipPreprocess) enabling the fused
+        on-device events->image path.
     """
     loss_weights = dict(loss_weights or {})
     state_sh = _state_shardings(state, mesh)
@@ -121,8 +136,9 @@ def make_train_step(
     repl = NamedSharding(mesh, P())
 
     def loss_fn(params, batch, rng):
+        imgs = _batch_images(batch, pipeline)
         out = classifier_forward(
-            params, cfg, batch["img"], batch["valid_mask"], train=True, rng=rng
+            params, cfg, imgs, batch["valid_mask"], train=True, rng=rng
         )
         losses = train_loss(cfg, out, batch["label"])
         # nerv convention: total = sum(loss * params.<name>_w)
@@ -155,7 +171,7 @@ def make_train_step(
 
 
 def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
-                   top5: bool = False):
+                   top5: bool = False, pipeline=None):
     """Jitted eval step returning summed counters (host accumulates).
 
     batch adds 'sample_mask' [B] bool so ragged final batches stay static.
@@ -168,8 +184,9 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
     repl = NamedSharding(mesh, P())
 
     def step_fn(params, batch):
+        imgs = _batch_images(batch, pipeline)
         out = classifier_forward(
-            params, cfg, batch["img"], batch["valid_mask"], train=False
+            params, cfg, imgs, batch["valid_mask"], train=False
         )
         m = batch["sample_mask"].astype(jnp.float32)
         label = batch["label"]

@@ -1,0 +1,286 @@
+"""High-level trainer: the nerv BaseMethod / EventCLIPMethod equivalent.
+
+Reference behavior being replicated (method.py + nerv.training.BaseMethod):
+- per-step optimizer + warmup-cosine schedule (method.py:82-98)
+- dual LR groups for FTCLIP (method.py:150-193)
+- eval every `eval_interval` epochs computing probs/logits accuracy
+- checkpoint every `save_interval` epochs, monitor val/probs_acc max
+- sanity-check validation before training (train.py:94-95)
+- preemption-safe resume from a full-state file
+
+TPU-native differences:
+- one jit-compiled step over a ('data','model') mesh instead of DDP;
+- the event->image conversion happens inside the jitted step
+  (ops.rasterize_for_clip), so DataLoader workers only gather windows;
+- metrics go to stdout + a JSONL file (wandb is optional/offline here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PrefetchLoader
+from ..models.classifier import (
+    ClassifierConfig,
+    build_classifier_config,
+    compute_text_features,
+    init_classifier_params,
+)
+from ..models.clip.config import clip_arch_config
+from ..ops.preprocess import ClipPreprocess
+from ..parallel import make_mesh, shard_batch, shard_params
+from ..utils.meters import AverageMeter
+from .checkpoint import CheckpointManager, load_checkpoint
+from .optim import OptimConfig, build_optimizer
+from .train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _log_jsonl(path: Optional[str], record: Dict[str, Any]) -> None:
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str]):
+    """Load converted CLIP weights or fall back to random init (smoke mode)."""
+    ckpt = clip_ckpt or params_cfg.get("clip_ckpt", None)
+    if ckpt and os.path.exists(ckpt):
+        if ckpt.endswith(".npz"):
+            flat, _ = load_checkpoint(ckpt)
+            from ..models.clip.model import init_clip_params
+
+            tree = init_clip_params(rng, clip_cfg)
+            import jax.tree_util as jtu
+
+            def replace(path, leaf):
+                key = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+                )
+                return jnp.asarray(flat[key]) if key in flat else leaf
+
+            return jtu.tree_map_with_path(replace, tree), True
+        from ..models.clip.convert import load_clip_checkpoint
+
+        params, _ = load_clip_checkpoint(ckpt)
+        return jax.tree_util.tree_map(jnp.asarray, params), True
+    from ..models.clip.model import init_clip_params
+
+    print("WARNING: no CLIP checkpoint found - using RANDOM weights "
+          "(smoke-test mode; pass --clip_ckpt for real runs)")
+    return init_clip_params(rng, clip_cfg), False
+
+
+def build_text_features(clip_params, clip_cfg, class_names, prompt,
+                        pretrained: bool):
+    """Prompted text features; random-normalized fallback without assets."""
+    try:
+        from ..models.clip.tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer()
+        return compute_text_features(
+            clip_params, clip_cfg, class_names, prompt, tok
+        )
+    except (FileNotFoundError, OSError):
+        if pretrained:
+            raise
+        print("WARNING: BPE vocab asset missing - random text features")
+        from ..models.classifier import normalize
+
+        rng = jax.random.PRNGKey(1234)
+        return normalize(
+            jax.random.normal(rng, (len(class_names), clip_cfg.embed_dim))
+        )
+
+
+class EventCLIPTrainer:
+    def __init__(
+        self,
+        params,  # experiment config (utils.config.Params)
+        train_set,
+        val_set,
+        ckpt_dir: str,
+        clip_ckpt: Optional[str] = None,
+        n_model: int = 1,
+        log_file: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.train_set = train_set
+        self.val_set = val_set
+        self.log_file = log_file
+
+        arch = params.clip_dict["arch"]
+        self.clip_cfg = clip_arch_config(arch)
+        self.cls_cfg: ClassifierConfig = build_classifier_config(
+            params, self.clip_cfg, dtype=jnp.bfloat16
+        )
+
+        rng = jax.random.PRNGKey(seed)
+        clip_params, self.pretrained = resolve_clip_params(
+            params, self.clip_cfg, rng, clip_ckpt
+        )
+        text_feats = build_text_features(
+            clip_params, self.clip_cfg, train_set.classes,
+            params.clip_dict.get("prompt", "a point cloud image of a {}"),
+            self.pretrained,
+        )
+        self.model_params = init_classifier_params(
+            rng, self.cls_cfg, clip_params=clip_params, text_feats=text_feats
+        )
+
+        # mesh: data-parallel over all devices unless model sharding is asked
+        n_devices = jax.device_count()
+        assert n_devices % n_model == 0
+        self.mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
+        self.n_data = n_devices // n_model
+
+        # loaders (global batch sharded over the data axis by shard_batch)
+        self.global_batch = int(params.train_batch_size)
+        if self.global_batch % self.n_data != 0:
+            self.global_batch = max(
+                self.n_data, self.global_batch - self.global_batch % self.n_data
+            )
+        self.train_loader = PrefetchLoader(
+            train_set, self.global_batch, shuffle=True, drop_last=True,
+            num_workers=params.get("num_workers", 8), seed=seed,
+        )
+        val_bs = int(params.get("val_batch_size", self.global_batch))
+        val_bs = max(val_bs - val_bs % self.n_data, self.n_data)
+        self.val_loader = PrefetchLoader(
+            val_set, val_bs, shuffle=False, pad_last=True,
+            num_workers=params.get("num_workers", 8),
+        )
+
+        # optimizer
+        steps_per_epoch = len(self.train_loader)
+        total_steps = int(params.get("max_epochs", 1)) * max(steps_per_epoch, 1)
+        self.opt_cfg = OptimConfig(
+            optimizer=params.get("optimizer", "Adam"),
+            lr=float(params.lr),
+            clip_lr=float(params.get("clip_lr", params.lr)),
+            weight_decay=float(params.get("weight_decay", 0.0)),
+            total_steps=total_steps,
+            warmup_steps_pct=float(params.get("warmup_steps_pct", 0.05)),
+            grad_clip=float(params.get("grad_clip", -1)),
+        )
+        self.tx = build_optimizer(self.cls_cfg, self.opt_cfg, self.model_params)
+
+        sharded = shard_params(self.model_params, self.mesh)
+        self.state = create_train_state(sharded, self.tx, jax.random.PRNGKey(seed + 1))
+
+        # on-device pipeline config from the dataset
+        spec = train_set.raster_spec()
+        self.pipeline = (
+            spec,
+            ClipPreprocess(
+                in_height=spec.height, in_width=spec.width,
+                image_size=self.clip_cfg.vision.image_size,
+            ),
+        )
+
+        loss_weights = {"ce_loss": float(params.get("ce_loss_w", 1.0))}
+        self.train_step = make_train_step(
+            self.cls_cfg, self.tx, self.mesh, self.state,
+            loss_weights=loss_weights, pipeline=self.pipeline,
+        )
+        top5 = params.dataset == "n_imagenet"
+        self.eval_step = make_eval_step(
+            self.cls_cfg, self.mesh, self.model_params, top5=top5,
+            pipeline=self.pipeline,
+        )
+
+        self.ckpt = CheckpointManager(ckpt_dir, self.cls_cfg)
+        self.epoch = 0
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        keep = {
+            k: v for k, v in batch.items()
+            if k in ("windows", "img", "valid_mask", "label", "sample_mask")
+        }
+        keep["label"] = keep["label"].astype(np.int32)
+        return shard_batch(keep, self.mesh)
+
+    def fit(self, resume_from: str = "", san_check_val_step: int = 2) -> None:
+        start_epoch = 0
+        restored = self.ckpt.load_resume_state(self.state)
+        if restored is not None:
+            self.state, start_epoch = restored
+            print(f"Resumed full state from epoch {start_epoch}")
+        elif resume_from:
+            target = self.model_params
+            loaded, _ = load_checkpoint(resume_from, target=target)
+            self.state = self.state._replace(
+                params=shard_params(loaded, self.mesh)
+            )
+            print(f"Loaded weights from {resume_from}")
+
+        if san_check_val_step:
+            self.evaluate(max_steps=san_check_val_step)
+
+        max_epochs = int(self.params.get("max_epochs", 1))
+        eval_interval = int(self.params.get("eval_interval", 5))
+        save_interval = max(int(self.params.get("save_interval", 1)), 1)
+        for epoch in range(start_epoch, max_epochs):
+            self.epoch = epoch
+            meters: Dict[str, AverageMeter] = {}
+            t0 = time.perf_counter()
+            n_batches = 0
+            for batch in self.train_loader.epoch(epoch):
+                self.state, metrics = self.train_step(
+                    self.state, self._device_batch(batch)
+                )
+                n_batches += 1
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
+            dt = time.perf_counter() - t0
+            stats = {k: m.avg for k, m in meters.items()}
+            stats.update(
+                epoch=epoch, steps=int(self.state.step),
+                sec_per_epoch=round(dt, 2),
+                samples_per_sec=round(self.global_batch * max(n_batches, 1) / dt, 2),
+            )
+            print(f"[train] {stats}")
+            _log_jsonl(self.log_file, {"split": "train", **stats})
+
+            val_stats = None
+            if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
+                val_stats = self.evaluate()
+            if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
+                params_host = jax.device_get(self.state.params)
+                self.ckpt.save(params_host, int(self.state.step), val_stats)
+                self.ckpt.save_resume_state(self.state, epoch + 1)
+
+    def evaluate(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        for i, batch in enumerate(self.val_loader):
+            if max_steps is not None and i >= max_steps:
+                break
+            res = self.eval_step(self.state.params, self._device_batch(batch))
+            for k, v in res.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        n = max(sums.pop("n", 1.0), 1.0)
+        stats = {
+            "probs_acc": sums.pop("probs_correct", 0.0) / n,
+            "logits_acc": sums.pop("logits_correct", 0.0) / n,
+            "ce_loss": sums.pop("ce_loss_sum", 0.0) / n,
+        }
+        for k, v in sums.items():
+            stats[k.replace("_correct5", "_acc5")] = v / n
+        stats["n"] = n
+        print(f"[val]   epoch {self.epoch}: {stats}")
+        _log_jsonl(self.log_file, {"split": "val", "epoch": self.epoch, **stats})
+        return stats

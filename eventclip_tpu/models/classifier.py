@@ -66,9 +66,12 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
     residual = AdapterConfig.residual_value(adapter_dict.pop("residual", False))
     norm_first = adapter_dict.pop("norm_first", True)
     assert norm_first, "reference adapters are pre-norm"
+    # in_dim always tracks the CLIP feature dim, regardless of the config
+    # value (reference overrides it the same way, train.py:42, test.py:44)
+    adapter_dict.pop("in_dim", None)
     adapter = AdapterConfig(
         adapter_type=adapter_type,
-        in_dim=adapter_dict.pop("in_dim", clip_cfg.embed_dim),
+        in_dim=clip_cfg.embed_dim,
         d_model=adapter_dict.pop("d_model", 256),
         num_heads=adapter_dict.pop("num_heads", 4),
         ffn_dim=adapter_dict.pop("ffn_dim", 1024),

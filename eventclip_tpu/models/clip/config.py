@@ -49,7 +49,8 @@ class CLIPConfig:
         return self.vision.output_dim
 
 
-def _vit(name, image, patch, width, layers, heads, embed, t_width, t_heads):
+def _vit(name, image, patch, width, layers, heads, embed, t_width, t_heads,
+         t_layers=12, vocab=49408, context=77):
     return CLIPConfig(
         name=name,
         vision=VisionConfig(
@@ -61,7 +62,8 @@ def _vit(name, image, patch, width, layers, heads, embed, t_width, t_heads):
             output_dim=embed,
         ),
         text=TextConfig(
-            width=t_width, heads=t_heads, layers=12, output_dim=embed
+            vocab_size=vocab, context_length=context,
+            width=t_width, heads=t_heads, layers=t_layers, output_dim=embed,
         ),
     )
 
@@ -71,6 +73,9 @@ CLIP_ARCHS = {
     "ViT-B/16": _vit("ViT-B/16", 224, 16, 768, 12, 12, 512, 512, 8),
     "ViT-L/14": _vit("ViT-L/14", 224, 14, 1024, 24, 16, 768, 768, 12),
     "ViT-L/14@336px": _vit("ViT-L/14@336px", 336, 14, 1024, 24, 16, 768, 768, 12),
+    # tiny debug tower (smoke tests / CI; not an OpenAI release)
+    "ViT-T/8@32": _vit("ViT-T/8@32", 32, 8, 64, 2, 2, 32, 32, 2,
+                       t_layers=2),
 }
 
 

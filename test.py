@@ -1,0 +1,208 @@
+"""EventCLIP-TPU evaluation CLI.
+
+Mirrors the reference test.py contract (reference test.py:21-186):
+
+    python test.py --params configs/zsclip/zsclip_ncaltech_params.py \
+        [--weight ckpt.npz] [--N n] [--arch A] [--prompt P] [--bs B] \
+        [--subset 1..9] [--train_shots K1 K2 ...] [--clip_ckpt ...]
+
+- prints probs-based and logits-based top-1 (and top-5 on N-ImageNet);
+- `--train_shots` sweeps `checkpoint/<cfg>[-dupX]-<K>shot/models/`
+  (best.npz preferred, else the latest model_<step>.npz), averaging over
+  seed-duplicated runs and printing a LaTeX-ready `&`-joined row;
+- `--subset` selects one of the 9 N-ImageNet robustness validation sets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="EventCLIP-TPU test")
+    parser.add_argument("--params", type=str, required=True)
+    parser.add_argument("--weight", type=str, default="")
+    parser.add_argument("--N", type=int, default=-1)
+    parser.add_argument("--arch", type=str, default="")
+    parser.add_argument("--prompt", type=str, default="")
+    parser.add_argument("--bs", type=int, default=-1)
+    parser.add_argument("--subset", type=int, default=-1)
+    parser.add_argument("--train_shots", nargs="+", default=[-1], type=int)
+    parser.add_argument("--data_root", type=str, default="")
+    parser.add_argument("--clip_ckpt", type=str,
+                        default=os.environ.get("CLIP_CKPT", ""))
+    parser.add_argument("--n_model", type=int, default=1)
+    parser.add_argument("--ckpt_base", type=str, default="checkpoint")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU (debug/smoke runs)")
+    return parser.parse_args()
+
+
+def evaluate(params, args, weight: str = "", printing: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data import PrefetchLoader, build_dataset
+    from eventclip_tpu.engine.checkpoint import load_checkpoint
+    from eventclip_tpu.engine.train import make_eval_step
+    from eventclip_tpu.engine.trainer import (
+        build_text_features,
+        resolve_clip_params,
+    )
+    from eventclip_tpu.models.classifier import (
+        build_classifier_config,
+        init_classifier_params,
+    )
+    from eventclip_tpu.models.clip.config import clip_arch_config
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    kwargs = {"subset": args.subset} if args.subset > 0 else {}
+    val_set = build_dataset(params, val_only=True, **kwargs)
+
+    clip_cfg = clip_arch_config(params.clip_dict["arch"])
+    cls_cfg = build_classifier_config(params, clip_cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    clip_params, pretrained = resolve_clip_params(
+        params, clip_cfg, rng, args.clip_ckpt or None
+    )
+    text_feats = build_text_features(
+        clip_params, clip_cfg, val_set.classes,
+        params.clip_dict.get("prompt", "a point cloud image of a {}"),
+        pretrained,
+    )
+    model_params = init_classifier_params(
+        rng, cls_cfg, clip_params=clip_params, text_feats=text_feats
+    )
+    if weight:
+        model_params, _ = load_checkpoint(weight, target=model_params)
+        if printing:
+            print(f"Loaded weight: {weight}")
+    else:
+        assert params.model == "ZSCLIP", "non-ZS evaluation needs --weight"
+
+    n_devices = jax.device_count()
+    mesh = make_mesh(n_data=n_devices // args.n_model, n_model=args.n_model)
+    model_params = shard_params(model_params, mesh)
+
+    spec = val_set.raster_spec()
+    pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
+                        image_size=clip_cfg.vision.image_size)
+    top5 = params.dataset == "n_imagenet"
+    eval_step = make_eval_step(cls_cfg, mesh, model_params, top5=top5,
+                               pipeline=(spec, pp))
+
+    n_data = n_devices // args.n_model
+    bs = int(params.get("val_batch_size", 64))
+    bs = max(bs - bs % n_data, n_data)
+    loader = PrefetchLoader(
+        val_set, bs, pad_last=True,
+        num_workers=params.get("num_workers", 8),
+    )
+
+    sums = {}
+    for batch in loader:
+        dev = {
+            k: v for k, v in batch.items()
+            if k in ("windows", "valid_mask", "sample_mask")
+        }
+        dev["label"] = batch["label"].astype("int32")
+        res = eval_step(model_params, shard_batch(dev, mesh))
+        for k, v in res.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    n = max(sums.get("n", 1.0), 1.0)
+    probs_acc = sums.get("probs_correct", 0.0) / n
+    logits_acc = sums.get("logits_correct", 0.0) / n
+    if printing:
+        print(f"Evaluated {int(n)} samples")
+        print(f"\tProbs-based accuracy@1: {probs_acc * 100.:.2f}%")
+        print(f"\tLogits-based accuracy@1: {logits_acc * 100.:.2f}%")
+        if top5:
+            print(f"\tProbs-based accuracy@5: "
+                  f"{sums.get('probs_correct5', 0.) / n * 100.:.2f}%")
+            print(f"\tLogits-based accuracy@5: "
+                  f"{sums.get('logits_correct5', 0.) / n * 100.:.2f}%")
+    return probs_acc, logits_acc
+
+
+def find_weight(weight_dir: str) -> str:
+    """best.npz if present, else latest model_<step>.npz (test.py:156-167)."""
+    best = os.path.join(weight_dir, "best.npz")
+    if os.path.exists(best):
+        return best
+    weights = [w for w in os.listdir(weight_dir) if w.endswith(".npz")
+               and w.startswith("model_")]
+    weights = sorted(weights, key=lambda x: int(x[:-4].split("_")[1]))
+    return os.path.join(weight_dir, weights[-1])
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from eventclip_tpu.utils.config import load_params
+    from eventclip_tpu.utils.meters import AverageMeter
+
+    cfg_base = os.path.basename(
+        args.params[:-3] if args.params.endswith(".py") else args.params
+    )
+    params = load_params(args.params)
+
+    is_zs = params.model == "ZSCLIP"
+    if args.N > 0:
+        params.quantize_args["N"] = int(args.N * 1e3)
+        assert is_zs, "can only change N in zero-shot testing"
+    if args.arch:
+        params.clip_dict["arch"] = args.arch
+        assert is_zs, "can only change ViT arch in zero-shot testing"
+    if args.prompt:
+        params.clip_dict["prompt"] = args.prompt
+        assert is_zs, "can only change text prompt in zero-shot testing"
+    if args.bs > 0:
+        params.val_batch_size = args.bs
+    if args.subset > 0:
+        assert params.dataset == "n_imagenet", "only N-ImageNet has subsets"
+    if args.data_root:
+        params.data_root = args.data_root
+
+    if args.train_shots[0] <= 0:
+        evaluate(params, args, weight=args.weight)
+        return
+
+    all_probs, all_logits = [], []
+    for num_shot in args.train_shots:
+        base = os.path.join(args.ckpt_base, cfg_base)
+        dirs = [f"{base}-{num_shot}shot"] + [
+            f"{base}-dup{i}-{num_shot}shot" for i in range(1, 11)
+        ]
+        probs_avg, logits_avg = AverageMeter(), AverageMeter()
+        for d in dirs:
+            mdir = os.path.join(d, "models")
+            if not os.path.exists(mdir):
+                continue
+            w = find_weight(mdir)
+            p, l = evaluate(params, args, weight=w, printing=False)
+            probs_avg.update(p, 1)
+            logits_avg.update(l, 1)
+        print(f"\n\nTesting {cfg_base}-{num_shot}shot")
+        print(f"Average accuracy over {probs_avg.count} runs:")
+        print(f"\tProbs-based accuracy@1: {probs_avg.avg * 100.:.2f}%")
+        print(f"\tLogits-based accuracy@1: {logits_avg.avg * 100.:.2f}%\n")
+        all_probs.append(round(probs_avg.avg * 100.0, 2))
+        all_logits.append(round(logits_avg.avg * 100.0, 2))
+
+    print("\n\n")
+    print(f"Probs-based accuracy@1: {all_probs}")
+    print("\t", " & ".join(str(a) for a in all_probs))
+    print(f"Logits-based accuracy@1: {all_logits}")
+    print("\t", " & ".join(str(a) for a in all_logits))
+
+
+if __name__ == "__main__":
+    main()
