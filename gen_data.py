@@ -1,0 +1,328 @@
+"""Pseudo-label generation for self-training (reference gen_data.py parity).
+
+Runs a (zero- or few-shot) teacher over the *training* split, optionally with
+4-way TTA (identity / h-flip / t-flip / h+t-flip), filters predictions by
+confidence, TTA consistency and per-class top-k, merges ground-truth few-shot
+labels, and materializes a new symlinked dataset tree that the few-shot
+trainer consumes for semi-supervised self-training
+(reference gen_data.py:69-280, docs/benchmark.md:90-130).
+
+    python gen_data.py --params configs/zsclip/zsclip_nin_mini_params-vitb32.py \
+        --save_path ./data/pseudo-N_Imagenet/zs --conf_thresh 0.999 \
+        --tta --tta_consistent --tta_min_prob [--topk 30] \
+        [--weight few_shot.npz --gt_shots 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+
+def get_real_path(path):
+    while osp.islink(path):
+        path = os.readlink(path)
+    return path
+
+
+def get_folder_and_fn(path):
+    return osp.join(osp.basename(osp.dirname(path)), osp.basename(path))
+
+
+def find_key_from_value(d, v):
+    for k, v_ in d.items():
+        if v_ == v:
+            return k
+    return None
+
+
+def print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
+                sel_correct_class_cnt):
+    print("\nClass stats:")
+    for k in class_names:
+        print(f"\t{k}: GT {gt_class_cnt[k]}, select {sel_class_cnt[k]}, "
+              f"{sel_correct_class_cnt[k]} correct")
+    less_accurate = 0
+    for k in class_names:
+        sel, cor = sel_class_cnt[k], sel_correct_class_cnt[k]
+        ratio = cor / sel if sel > 0 else 0.0
+        if ratio < 0.5:
+            less_accurate += 1
+    print(f"Not accurate classes: {less_accurate}/{len(class_names)}")
+    total = sum(gt_class_cnt.values())
+    sel = sum(sel_class_cnt.values())
+    cor = sum(sel_correct_class_cnt.values())
+    acc = cor / sel * 100.0 if sel > 0 else 0.0
+    print(f"\nUsing conf_thresh={args.conf_thresh}")
+    if args.topk > 0:
+        print(f"Using topk={args.topk}")
+    print(f"\tSelect {sel} from {total}, Acc={acc:.2f}%")
+    if args.tta:
+        print(f"Using TTA with consistent={args.tta_consistent} + "
+              f"min_prob={args.tta_min_prob}")
+
+
+def main(params, args):
+    import jax
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data import PrefetchLoader, build_dataset
+    from eventclip_tpu.data.datasets import load_split_asset
+    from eventclip_tpu.engine.checkpoint import load_checkpoint
+    from eventclip_tpu.engine.trainer import (
+        build_text_features,
+        resolve_clip_params,
+    )
+    from eventclip_tpu.models.classifier import (
+        build_classifier_config,
+        classifier_forward,
+        init_classifier_params,
+    )
+    from eventclip_tpu.models.clip.config import clip_arch_config
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import rasterize_for_clip
+
+    is_zs = params.model == "ZSCLIP"
+    tta = args.tta
+    is_nin = "n_imagenet" in params.dataset
+    if not is_nin:
+        assert params.dataset == "n_caltech", f"{params.dataset} not supported"
+    print(f"Generate pseudo labels for {params.dataset}")
+
+    test_set = build_dataset(params, val_only=False, gen_data=True, tta=tta)
+    ev_dst = test_set.event_dataset
+    class_names, ds_labels = test_set.classes, ev_dst.labels
+
+    clip_cfg = clip_arch_config(params.clip_dict["arch"])
+    cls_cfg = build_classifier_config(params, clip_cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    clip_params, pretrained = resolve_clip_params(
+        params, clip_cfg, rng, args.clip_ckpt or None
+    )
+    text_feats = build_text_features(
+        clip_params, clip_cfg, class_names,
+        params.clip_dict.get("prompt", "a point cloud image of a {}"),
+        pretrained,
+    )
+    model_params = init_classifier_params(
+        rng, cls_cfg, clip_params=clip_params, text_feats=text_feats
+    )
+
+    # ground-truth few-shot labels of the teacher (not pseudo-labeled again)
+    gt_data = {}
+    if args.weight:
+        assert not is_zs, "Zero-shot models should not have pre-trained weight"
+        model_params, _ = load_checkpoint(args.weight, target=model_params)
+        print(f"Loading weight: {args.weight}")
+        assert args.gt_shots > 0, (
+            "Should specify the num_shots used to pre-train the model"
+        )
+        assert f"{args.gt_shots}shot" in args.weight or \
+            f"{args.gt_shots}-shot" in args.weight
+        if args.save_path:
+            assert f"{args.gt_shots}shot" in args.save_path or \
+                f"{args.gt_shots}-shot" in args.save_path
+        gt_split = load_split_asset(
+            type(ev_dst).__name__, args.gt_shots, True
+        ) or load_split_asset(type(ev_dst).__name__, args.gt_shots, False)
+        assert gt_split, f"no shipped {args.gt_shots}-shot split"
+        gt_data = {k: class_names[v] for k, v in gt_split.items()}
+    gt_data_paths = {get_folder_and_fn(k) for k in gt_data}
+
+    spec = test_set.raster_spec()
+    pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
+                        image_size=clip_cfg.vision.image_size)
+    model_params = jax.device_put(model_params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def probs_step(mp, windows, valid):
+        lead = windows.shape[:-3]  # [B] or [B, 4]
+        flat_w = windows.reshape((-1,) + windows.shape[-3:])
+        flat_v = valid.reshape((-1,) + valid.shape[-1:])
+        imgs = rasterize_for_clip(spec, pp, flat_w)
+        out = classifier_forward(mp, cls_cfg, imgs, flat_v)
+        return out["probs"].reshape(lead + (len(class_names),))
+
+    bs = max(int(params.get("val_batch_size", 32)), 1)
+    if tta:
+        bs = max(bs // 4, 1)
+    loader = PrefetchLoader(
+        test_set, bs, pad_last=True,
+        num_workers=params.get("num_workers", 8),
+    )
+
+    n_correct, n_total = 0, 0
+    gt_class_cnt = {
+        k: int((ds_labels == i).sum()) for i, k in enumerate(class_names)
+    }
+    sel_class_cnt = {k: 0 for k in class_names}
+    sel_correct_class_cnt = {k: 0 for k in class_names}
+    pred_path2cls = {}
+    conf_thresh, topk = args.conf_thresh, args.topk
+
+    for batch in loader:
+        probs = np.asarray(probs_step(
+            model_params,
+            jnp.asarray(batch["windows"]),
+            jnp.asarray(batch["valid_mask"]),
+        ))  # [B, n_cls] or [B, 4, n_cls]
+        labels = batch["label"]
+        mask = batch["sample_mask"]
+        if tta:
+            tta_probs = probs  # [B, 4, n_cls]
+            tta_mask = np.ones(len(labels), dtype=bool)
+            if args.tta_consistent:
+                pred_cls = tta_probs.argmax(-1)  # [B, 4]
+                tta_mask &= (pred_cls == pred_cls[:, :1]).all(-1)
+            if args.tta_min_prob:
+                min_probs = tta_probs.max(-1).min(-1)
+                tta_mask &= min_probs > conf_thresh
+            probs = tta_probs.mean(1)
+        pred_labels = probs.argmax(-1)
+        max_probs = probs.max(-1)
+        n_correct += int(((pred_labels == labels) & mask).sum())
+        n_total += int(mask.sum())
+        sel_mask = max_probs > conf_thresh
+        if tta:
+            sel_mask &= tta_mask
+        sel_mask &= mask
+        for i in range(len(labels)):
+            if not mask[i]:
+                continue
+            ev_path = str(ev_dst.labeled_files[batch["data_idx"][i]])
+            if get_folder_and_fn(ev_path) in gt_data_paths:
+                continue
+            pred_cls_name = class_names[pred_labels[i]]
+            if sel_mask[i]:
+                sel_class_cnt[pred_cls_name] += 1
+                if pred_labels[i] == labels[i]:
+                    sel_correct_class_cnt[pred_cls_name] += 1
+                if topk > 0:
+                    pred_path2cls[ev_path] = {
+                        "cls": pred_cls_name, "prob": float(max_probs[i]),
+                    }
+                else:
+                    pred_path2cls[ev_path] = pred_cls_name
+
+    print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
+                sel_correct_class_cnt)
+    print(f"\n\nTesting {args.params}")
+    if args.weight:
+        print(f"Model weight: {args.weight}")
+    print(f"\tProbs-based accuracy@1: {n_correct / max(n_total, 1) * 100.:.2f}%")
+
+    save_path = args.save_path
+    if not save_path:
+        return
+
+    train_path = osp.join(save_path, "extracted_train") if is_nin \
+        else osp.join(save_path, "training")
+    assert not osp.exists(save_path), f"{save_path} already exists!"
+    os.makedirs(train_path, exist_ok=True)
+    new_cnames = getattr(ev_dst, "new_cnames", None)
+
+    # per-class top-k re-filter by confidence (gen_data.py:202-228)
+    if topk > 0:
+        topk_path2cls, sel_class_cnt, sel_correct_class_cnt = {}, {}, {}
+        for cls_name in class_names:
+            sel_correct_class_cnt[cls_name] = 0
+            cls_paths = [p for p, d in pred_path2cls.items()
+                         if d["cls"] == cls_name]
+            cls_probs = np.array(
+                [pred_path2cls[p]["prob"] for p in cls_paths]
+            )
+            k = min(topk, len(cls_paths))
+            for i in np.argsort(-cls_probs)[:k]:
+                path = cls_paths[i]
+                gt_cls_name = osp.basename(osp.dirname(path))
+                if is_nin:
+                    gt_cls_name = ev_dst.folder2name[gt_cls_name]
+                if new_cnames is not None:
+                    gt_cls_name = new_cnames.get(gt_cls_name, gt_cls_name)
+                if gt_cls_name == cls_name:
+                    sel_correct_class_cnt[cls_name] += 1
+                topk_path2cls[path] = cls_name
+            sel_class_cnt[cls_name] = k
+        pred_path2cls = topk_path2cls
+        print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
+                    sel_correct_class_cnt)
+
+    # merge GT labeled data, then materialize symlinks
+    for rel, cls in gt_data.items():
+        abs_path = ev_dst._resolve_split_path(rel)
+        if osp.exists(abs_path):
+            pred_path2cls[abs_path] = cls
+    for path, pred_cls in pred_path2cls.items():
+        path = get_real_path(path)
+        if new_cnames is not None:
+            ori = find_key_from_value(new_cnames, pred_cls)
+            if ori is not None:
+                pred_cls = ori
+        folder = ev_dst.name2folder[pred_cls] if is_nin else pred_cls
+        new_path = osp.join(train_path, folder, osp.basename(path))
+        os.makedirs(osp.dirname(new_path), exist_ok=True)
+        if not osp.exists(new_path):
+            os.symlink(path, new_path)
+
+    # symlink val/test splits next to the pseudo train split
+    if is_nin:
+        ori_val = get_real_path(osp.join(osp.dirname(ev_dst.root),
+                                         "extracted_val"))
+        os.symlink(ori_val, osp.join(save_path, "extracted_val"))
+    else:
+        for split in ("validation", "testing"):
+            ori = osp.join(osp.dirname(ev_dst.root), split)
+            if osp.exists(ori):
+                os.symlink(get_real_path(ori), osp.join(save_path, split))
+    print(f"\nSaved pseudo labels to {save_path}")
+
+    # empty class dirs for consistency (gen_data.py:271-280)
+    for k in class_names:
+        if new_cnames is not None:
+            ori = find_key_from_value(new_cnames, k)
+            if ori is not None:
+                k = ori
+        folder = ev_dst.name2folder[k] if is_nin else k
+        os.makedirs(osp.join(train_path, folder), exist_ok=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="EventCLIP-TPU gen_data")
+    parser.add_argument("--params", type=str, required=True)
+    parser.add_argument("--save_path", type=str, default="")
+    parser.add_argument("--weight", type=str, default="", help="load weight")
+    parser.add_argument("--conf_thresh", type=float, default=-1.0)
+    parser.add_argument("--tta", action="store_true")
+    parser.add_argument("--tta_consistent", action="store_true")
+    parser.add_argument("--tta_min_prob", action="store_true")
+    parser.add_argument("--topk", type=int, default=-1)
+    parser.add_argument("--gt_shots", type=int, default=-1)
+    parser.add_argument("--data_root", type=str, default="")
+    parser.add_argument("--clip_ckpt", type=str,
+                        default=os.environ.get("CLIP_CKPT", ""))
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from eventclip_tpu.utils.config import load_params
+
+    params = load_params(args.params)
+    if args.data_root:
+        params.data_root = args.data_root
+    if args.save_path:
+        assert not osp.exists(args.save_path), (
+            f"{args.save_path} already exists!"
+        )
+    main(params, args)
