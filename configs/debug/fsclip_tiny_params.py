@@ -20,7 +20,7 @@ class EventCLIPParams(Params):
     lr = 1e-3
     weight_decay = 0.0
     warmup_steps_pct = 0.1
-    img_aug = False
+    img_aug = True
 
     dataset = 'n_caltech'
     data_root = './data/N-Caltech101/'

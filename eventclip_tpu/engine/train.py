@@ -104,12 +104,17 @@ def _shard_like_param(leaf, params, param_sh, mesh):
     return NamedSharding(mesh, P())
 
 
-def _batch_images(batch, pipeline):
+def _batch_images(batch, pipeline, augment_rng=None):
     """Resolve model inputs: either precomputed 'img' or on-device
     rasterization of raw event 'windows' (the TPU-native hot path)."""
     if "img" in batch:
         return batch["img"]
     spec, pp = pipeline
+    if augment_rng is not None:
+        from ..ops.rasterize import rasterize_augment_for_clip
+
+        return rasterize_augment_for_clip(spec, pp, batch["windows"],
+                                          augment_rng)
     from ..ops.rasterize import rasterize_for_clip
 
     return rasterize_for_clip(spec, pp, batch["windows"])
@@ -122,13 +127,15 @@ def make_train_step(
     state: TrainState,
     loss_weights: Optional[Dict[str, float]] = None,
     pipeline=None,
+    augment: bool = False,
 ):
     """Build the jitted, sharded train step: (state, batch) -> (state, metrics).
 
     batch: {'img': [B,T,3,S,S] f32 | 'windows': [B,T,N,4] f32,
             'valid_mask': [B,T] bool, 'label': [B] i32}
     pipeline: optional (RasterSpec, ClipPreprocess) enabling the fused
-        on-device events->image path.
+        on-device events->image path. augment=True additionally applies
+        on-device RandAugment (the config's img_aug).
     """
     loss_weights = dict(loss_weights or {})
     state_sh = _state_shardings(state, mesh)
@@ -136,7 +143,10 @@ def make_train_step(
     repl = NamedSharding(mesh, P())
 
     def loss_fn(params, batch, rng):
-        imgs = _batch_images(batch, pipeline)
+        rng_aug, rng = jax.random.split(rng)
+        imgs = _batch_images(
+            batch, pipeline, augment_rng=rng_aug if augment else None
+        )
         out = classifier_forward(
             params, cfg, imgs, batch["valid_mask"], train=True, rng=rng
         )

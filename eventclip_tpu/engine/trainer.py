@@ -194,6 +194,7 @@ class EventCLIPTrainer:
         self.train_step = make_train_step(
             self.cls_cfg, self.tx, self.mesh, self.state,
             loss_weights=loss_weights, pipeline=self.pipeline,
+            augment=bool(getattr(train_set, "augment", False)),
         )
         top5 = params.dataset == "n_imagenet"
         self.eval_step = make_eval_step(

@@ -1,0 +1,337 @@
+"""On-device RandAugment (the reference's image-space augmentation).
+
+Re-implements the reference's vendored torchvision RandAugment
+(datasets/augment.py) as jittable image ops over batched channel-first
+frames, preserving its two deliberate quirks:
+
+- ops and magnitude are sampled once per *sample* and the identical ops are
+  applied to every view of that sample (augment.py:142-178);
+- bicubic interpolation with a white fill outside the frame, matching the
+  white event background (datasets/event2img.py:37-42).
+
+Op space = the reference's 14 entries (augment.py:123-140): Identity,
+ShearX/Y, TranslateX/Y, Rotate, Brightness, Color, Contrast, Sharpness,
+Posterize, Solarize, AutoContrast, Equalize. One shared magnitude bin
+(0..29) per sample; signed ops flip sign with p=0.5.
+
+TPU notes: geometric ops run as an inverse affine warp with a PyTorch
+grid_sample-exact bicubic kernel (a = -0.75, zero padding + warped-mask fill
+blending); Equalize's histogram is a one-hot matmul (bincount is a scatter,
+hostile to TPU); per-sample op choice is a `lax.switch` under vmap. Inputs
+are float32 frames holding integer values 0..255 (the uint8 grid), outputs
+stay on that grid like torchvision's uint8 path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# bicubic inverse-affine warp (torch grid_sample parity)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic convolution weights for the 4 taps around fractional offset t.
+
+    t in [0,1): distance from the second tap. Returns [..., 4].
+    """
+    d = jnp.stack([t + 1.0, t, 1.0 - t, 2.0 - t], axis=-1)
+    ad = jnp.abs(d)
+    inner = ((a + 2.0) * ad - (a + 3.0)) * ad * ad + 1.0
+    outer = (((ad - 5.0) * ad + 8.0) * ad - 4.0) * a
+    return jnp.where(ad <= 1.0, inner, jnp.where(ad < 2.0, outer, 0.0))
+
+
+def _inverse_affine_matrix(angle_deg, translate, shear_deg, center_off,
+                           scale: float = 1.0):
+    """torchvision _get_inverse_affine_matrix (functional.py) as jnp scalars.
+
+    center_off: center relative to the image center (torchvision center_f).
+    Returns the 6 inverse-map coefficients [a, b, c, d, e, f]:
+    src_x = a*x + b*y + c ; src_y = d*x + e*y + f (coords relative to image
+    center, pixel units).
+    """
+    rot = angle_deg * (math.pi / 180.0)
+    sx = shear_deg[0] * (math.pi / 180.0)
+    sy = shear_deg[1] * (math.pi / 180.0)
+    cx, cy = center_off
+    tx, ty = translate
+
+    a = jnp.cos(rot - sy) / jnp.cos(sy)
+    b = -jnp.cos(rot - sy) * jnp.tan(sx) / jnp.cos(sy) - jnp.sin(rot)
+    c = jnp.sin(rot - sy) / jnp.cos(sy)
+    d = -jnp.sin(rot - sy) * jnp.tan(sx) / jnp.cos(sy) + jnp.cos(rot)
+
+    # inverse = 1/scale * [d, -b; -c, a]
+    m0 = d / scale
+    m1 = -b / scale
+    m3 = -c / scale
+    m4 = a / scale
+    m2 = m0 * (-cx - tx) + m1 * (-cy - ty) + cx
+    m5 = m3 * (-cx - tx) + m4 * (-cy - ty) + cy
+    return m0, m1, m2, m3, m4, m5
+
+
+def affine_bicubic(img: jnp.ndarray, matrix, fill: float = 255.0) -> jnp.ndarray:
+    """Warp [C, H, W] by the inverse-map `matrix` (6 coeffs, centered coords).
+
+    Matches torchvision F.affine on tensors: grid_sample bicubic (a=-0.75),
+    zero padding, then fill-blending through an identically-warped mask.
+    """
+    C, H, W = img.shape
+    m0, m1, m2, m3, m4, m5 = matrix
+    ox = jnp.arange(W, dtype=jnp.float32) + 0.5 - W / 2.0
+    oy = jnp.arange(H, dtype=jnp.float32) + 0.5 - H / 2.0
+    gx = m0 * ox[None, :] + m1 * oy[:, None] + m2 + W / 2.0 - 0.5
+    gy = m3 * ox[None, :] + m4 * oy[:, None] + m5 + H / 2.0 - 0.5
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = _cubic_weights(gx - x0)  # [H, W, 4]
+    wy = _cubic_weights(gy - y0)
+
+    # pad the image (and an all-ones mask channel) with zeros; taps outside
+    # contribute 0 like grid_sample's zero padding. Far-out taps must be
+    # masked explicitly, not index-clipped, or they would alias real pixels.
+    PAD = 2
+    padded = jnp.pad(
+        jnp.concatenate([img, jnp.ones((1, H, W), img.dtype)], axis=0),
+        ((0, 0), (PAD, PAD), (PAD, PAD)),
+    )  # [C+1, H+4, W+4]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = jnp.zeros((C + 1, H, W), jnp.float32)
+    for ky in range(4):
+        ty = y0i + (ky - 1)  # unpadded tap row
+        vy = (ty >= -PAD) & (ty < H + PAD)
+        iy = jnp.clip(ty + PAD, 0, H + 2 * PAD - 1)
+        row = jnp.zeros((C + 1, H, W), jnp.float32)
+        for kx in range(4):
+            tx = x0i + (kx - 1)
+            vx = (tx >= -PAD) & (tx < W + PAD)
+            ix = jnp.clip(tx + PAD, 0, W + 2 * PAD - 1)
+            tap = padded[:, iy, ix] * (vy & vx)[None]  # [C+1, H, W]
+            row = row + tap * wx[None, :, :, kx]
+        out = out + row * wy[None, :, :, ky]
+
+    mask = jnp.clip(out[-1:], 0.0, 1.0)
+    res = out[:-1] * mask + fill * (1.0 - mask)
+    return jnp.clip(jnp.round(res), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# color ops (torchvision uint8 semantics on the f32 0..255 grid)
+# ---------------------------------------------------------------------------
+
+
+def _blend(a: jnp.ndarray, b: jnp.ndarray, factor) -> jnp.ndarray:
+    out = b + factor * (a - b)
+    return jnp.clip(jnp.trunc(out), 0.0, 255.0)  # torch uint8 cast truncates
+
+
+def _grayscale(img: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = img[0], img[1], img[2]
+    l = 0.2989 * r + 0.587 * g + 0.114 * b
+    return jnp.trunc(l)[None]  # rgb_to_grayscale rounds down on uint8
+
+
+def brightness(img, mag):
+    return _blend(img, jnp.zeros_like(img), 1.0 + mag)
+
+
+def color(img, mag):
+    return _blend(img, _grayscale(img), 1.0 + mag)
+
+
+def contrast(img, mag):
+    mean = jnp.mean(jnp.trunc(_grayscale(img)))
+    return _blend(img, jnp.full_like(img, jnp.trunc(mean)), 1.0 + mag)
+
+
+def sharpness(img, mag):
+    k = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    blurred = jnp.clip(jnp.round(_conv3x3(img, k)), 0.0, 255.0)
+    # torchvision keeps the 1-pixel border unblurred
+    result = img.at[:, 1:-1, 1:-1].set(blurred[:, 1:-1, 1:-1])
+    return _blend(img, result, 1.0 + mag)
+
+
+def _conv3x3(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    C, H, W = img.shape
+    x = img[:, None]  # [C, 1, H, W]
+    out = jax.lax.conv_general_dilated(
+        x, k[None, None].astype(img.dtype), (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[:, 0]
+
+
+def posterize(img, bits):
+    keep = jnp.float32(2.0) ** (8 - bits)
+    return jnp.floor(img / keep) * keep
+
+
+def solarize(img, threshold):
+    return jnp.where(img >= threshold, 255.0 - img, img)
+
+
+def autocontrast(img, _mag=None):
+    lo = img.min(axis=(1, 2), keepdims=True)
+    hi = img.max(axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.where(hi > lo, hi - lo, 1.0)
+    out = jnp.trunc((img - lo) * scale)  # torch uint8 cast truncates
+    return jnp.where(hi > lo, jnp.clip(out, 0.0, 255.0), img)
+
+
+def _channel_histogram(ch: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] integer-valued floats -> [256] counts, as a one-hot matmul."""
+    flat = ch.reshape(-1).astype(jnp.int32)
+    levels = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    onehot = (flat[:, None] == levels).astype(jnp.bfloat16)
+    ones = jnp.ones((flat.shape[0],), jnp.bfloat16)
+    return jnp.einsum("n,nl->l", ones, onehot,
+                      preferred_element_type=jnp.float32)
+
+
+def equalize(img, _mag=None):
+    """torchvision F.equalize (per channel LUT from the cumulative hist)."""
+
+    def scale_channel(ch):
+        hist = _channel_histogram(ch)
+        nz = hist > 0
+        # count of the last nonzero bin
+        last_idx = 255 - jnp.argmax(nz[::-1])
+        last = hist[last_idx]
+        step = jnp.floor((hist.sum() - last) / 255.0)
+        cum = jnp.cumsum(hist)
+        lut = jnp.floor((cum + jnp.floor(step / 2.0)) / jnp.where(step > 0, step, 1.0))
+        lut = jnp.clip(jnp.concatenate([jnp.zeros(1), lut[:-1]]), 0.0, 255.0)
+        # LUT application as one-hot matmul (gather-free)
+        flat = ch.reshape(-1).astype(jnp.int32)
+        levels = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        onehot = (flat[:, None] == levels).astype(jnp.bfloat16)
+        mapped = jnp.einsum("nl,l->n", onehot, lut.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        out = mapped.reshape(ch.shape)
+        return jnp.where(step > 0, out, ch)
+
+    return jnp.stack([scale_channel(img[c]) for c in range(img.shape[0])])
+
+
+# ---------------------------------------------------------------------------
+# the op table (reference augment.py:123-140)
+# ---------------------------------------------------------------------------
+
+N_MAGNITUDE_BINS = 30
+OP_NAMES = (
+    "Identity", "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+    "Brightness", "Color", "Contrast", "Sharpness", "Posterize", "Solarize",
+    "AutoContrast", "Equalize",
+)
+import numpy as _np
+
+SIGNED = _np.array(
+    [False, True, True, True, True, True, True, True, True, True, False,
+     False, False, False]
+)
+
+
+def magnitude_table(height: int, width: int) -> jnp.ndarray:
+    """[n_ops, 30] magnitude per (op, bin), matching _augmentation_space."""
+    bins = jnp.arange(N_MAGNITUDE_BINS, dtype=jnp.float32)
+    lin = bins / (N_MAGNITUDE_BINS - 1)
+    rows = [
+        jnp.zeros(N_MAGNITUDE_BINS),  # Identity
+        0.3 * lin,  # ShearX
+        0.3 * lin,  # ShearY
+        150.0 / 331.0 * width * lin,  # TranslateX
+        150.0 / 331.0 * height * lin,  # TranslateY
+        30.0 * lin,  # Rotate
+        0.9 * lin,  # Brightness
+        0.9 * lin,  # Color
+        0.9 * lin,  # Contrast
+        0.9 * lin,  # Sharpness
+        8.0 - jnp.round(bins / ((N_MAGNITUDE_BINS - 1) / 4.0)),  # Posterize
+        255.0 - 255.0 * lin,  # Solarize
+        jnp.zeros(N_MAGNITUDE_BINS),  # AutoContrast
+        jnp.zeros(N_MAGNITUDE_BINS),  # Equalize
+    ]
+    return jnp.stack(rows)
+
+
+def _apply_one_op(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
+                  fill: float) -> jnp.ndarray:
+    """Apply op `op_idx` with magnitude `mag` to one [C, H, W] image."""
+    C, H, W = img.shape
+    no_off = (0.0, 0.0)
+    corner = (-W * 0.5, -H * 0.5)  # reference shears about center=[0, 0]
+
+    branches = [
+        lambda im, m: im,  # Identity
+        lambda im, m: affine_bicubic(
+            im, _inverse_affine_matrix(
+                0.0, (0.0, 0.0),
+                (jnp.degrees(jnp.arctan(m)), 0.0), corner), fill),
+        lambda im, m: affine_bicubic(
+            im, _inverse_affine_matrix(
+                0.0, (0.0, 0.0),
+                (0.0, jnp.degrees(jnp.arctan(m))), corner), fill),
+        lambda im, m: affine_bicubic(
+            im, _inverse_affine_matrix(
+                0.0, (jnp.trunc(m), 0.0), (0.0, 0.0), no_off), fill),
+        lambda im, m: affine_bicubic(
+            im, _inverse_affine_matrix(
+                0.0, (0.0, jnp.trunc(m)), (0.0, 0.0), no_off), fill),
+        lambda im, m: affine_bicubic(
+            im, _inverse_affine_matrix(m, (0.0, 0.0), (0.0, 0.0), no_off),
+            fill),
+        brightness,
+        color,
+        contrast,
+        sharpness,
+        posterize,
+        solarize,
+        autocontrast,
+        equalize,
+    ]
+    return jax.lax.switch(op_idx, branches, img, mag)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def randaugment(frames: jnp.ndarray, rng: jax.Array, num_ops: int = 2,
+                fill: float = 255.0) -> jnp.ndarray:
+    """Apply per-sample RandAugment to [B, T, C, H, W] frames (f32, 0..255).
+
+    Every view of a sample receives the identical op sequence (the
+    reference's deliberate view-consistency, augment.py:159-178).
+    """
+    B, T, C, H, W = frames.shape
+    mags = magnitude_table(H, W)
+    n_ops_total = len(OP_NAMES)
+
+    k_bin, k_op, k_sign = jax.random.split(rng, 3)
+    mag_bins = jax.random.randint(k_bin, (B,), 0, N_MAGNITUDE_BINS)
+    op_idx = jax.random.randint(k_op, (B, num_ops), 0, n_ops_total)
+    flip = jax.random.bernoulli(k_sign, 0.5, (B, num_ops))
+
+    def one_sample(views, ops, bins, flips):
+        def one_view(img):
+            def body(im, op_and_flip):
+                op, fl = op_and_flip
+                m = mags[op, bins]
+                m = jnp.where(jnp.asarray(SIGNED)[op] & fl, -m, m)
+                return _apply_one_op(im, op, m, fill), None
+
+            im, _ = jax.lax.scan(body, img, (ops, flips))
+            return im
+
+        return jax.vmap(one_view)(views)
+
+    return jax.vmap(one_sample)(frames, op_idx, mag_bins, flip)

@@ -37,6 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .preprocess import preprocess_frames_chw
+from .randaugment import randaugment
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterSpec:
@@ -186,7 +189,22 @@ def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray) -> jnp.ndarra
     Returns:
         [..., 3, S, S] float32 CLIP-normalized images.
     """
-    from .preprocess import preprocess_frames_chw  # local: avoid import cycle
-
     frames = _rasterize_chw(spec, windows)
+    return preprocess_frames_chw(pp, frames)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def rasterize_augment_for_clip(
+    spec: RasterSpec, pp, windows: jnp.ndarray, rng: jax.Array
+) -> jnp.ndarray:
+    """Training-path variant of `rasterize_for_clip` with RandAugment.
+
+    The reference applies RandAugment to the uint8 frames before the CLIP
+    transforms (datasets/event2img.py:120-127); here the augmentation runs
+    on-device between the rasterizer and the resize, on [B, T, 3, H, W]
+    integer-valued frames, with the white fill matching the background mode.
+    """
+    frames = _rasterize_chw(spec, windows)  # [B, T, 3, H, W]
+    fill = 255.0 if spec.background_mask else 0.0
+    frames = randaugment(frames, rng, 2, fill)
     return preprocess_frames_chw(pp, frames)

@@ -115,3 +115,97 @@ def random_clip_state_dict(rng, *, width=64, layers=2, patch=8, image=32,
     add_blocks("visual.transformer.resblocks", layers, width)
     add_blocks("transformer.resblocks", t_layers, t_width)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# RandAugment oracles (torchvision is not installed; these replicate its
+# documented uint8 semantics with pure torch / numpy)
+# ---------------------------------------------------------------------------
+import numpy as _np
+
+
+def _blend_u8(a, b, factor):
+    out = b + factor * (a.astype(_np.float32) - b)
+    return _np.clip(out, 0, 255).astype(_np.uint8)  # trunc via uint8 cast
+
+
+def _gray_u8(img):
+    l = (0.2989 * img[0] + 0.587 * img[1] + 0.114 * img[2])
+    return l.astype(_np.uint8)[None].astype(_np.float32)
+
+
+def brightness_oracle(img, mag):
+    return _blend_u8(img, _np.zeros_like(img, _np.float32), 1.0 + mag)
+
+
+def color_oracle(img, mag):
+    return _blend_u8(img, _gray_u8(img), 1.0 + mag)
+
+
+def contrast_oracle(img, mag):
+    mean = _np.floor(_gray_u8(img).mean())
+    return _blend_u8(img, _np.full(img.shape, mean, _np.float32), 1.0 + mag)
+
+
+def sharpness_oracle(img, mag):
+    import torch.nn.functional as TF
+    x = torch.from_numpy(img.astype(_np.float32))[None]
+    k = torch.tensor([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    k = k.expand(3, 1, 3, 3)
+    blurred = TF.conv2d(TF.pad(x, (1, 1, 1, 1), mode="constant"), k, groups=3)[0]
+    blurred = blurred.round().clamp(0, 255).numpy()
+    result = img.astype(_np.float32).copy()
+    result[:, 1:-1, 1:-1] = blurred[:, 1:-1, 1:-1]
+    return _blend_u8(img, result, 1.0 + mag)
+
+
+def autocontrast_oracle(img):
+    out = img.astype(_np.float32).copy()
+    for c in range(img.shape[0]):
+        lo, hi = img[c].min(), img[c].max()
+        if hi > lo:
+            out[c] = ((img[c] - float(lo)) * (255.0 / (hi - lo)))
+    return out.astype(_np.uint8)
+
+
+def equalize_oracle(img):
+    out = img.copy()
+    for c in range(img.shape[0]):
+        hist = _np.bincount(img[c].ravel(), minlength=256)
+        nonzero = hist[hist != 0]
+        step = (int(nonzero.sum()) - int(nonzero[-1])) // 255
+        if step == 0:
+            continue
+        lut = (_np.cumsum(hist) + step // 2) // step
+        lut = _np.clip(_np.concatenate([[0], lut[:-1]]), 0, 255)
+        out[c] = lut[img[c]].astype(_np.uint8)
+    return out
+
+
+def affine_bicubic_oracle(img, matrix, fill=255.0):
+    """Inverse-affine warp via torch grid_sample (bicubic, zeros padding,
+    warped-mask fill blending) — the exact machinery torchvision F.affine
+    uses for tensors."""
+    import torch.nn.functional as TF
+
+    C, H, W = img.shape
+    m0, m1, m2, m3, m4, m5 = [float(v) for v in matrix]
+    ys, xs = _np.meshgrid(_np.arange(H), _np.arange(W), indexing="ij")
+    ox = xs + 0.5 - W / 2.0
+    oy = ys + 0.5 - H / 2.0
+    sx = m0 * ox + m1 * oy + m2 + W / 2.0 - 0.5
+    sy = m3 * ox + m4 * oy + m5 + H / 2.0 - 0.5
+    # normalized grid for align_corners=False
+    gx = (2.0 * sx + 1.0) / W - 1.0
+    gy = (2.0 * sy + 1.0) / H - 1.0
+    grid = torch.from_numpy(
+        _np.stack([gx, gy], axis=-1).astype(_np.float32)
+    )[None]
+    x = torch.from_numpy(img.astype(_np.float32))[None]
+    ones = torch.ones(1, 1, H, W)
+    warped = TF.grid_sample(x, grid, mode="bicubic", padding_mode="zeros",
+                            align_corners=False)[0]
+    mask = TF.grid_sample(ones, grid, mode="bicubic", padding_mode="zeros",
+                          align_corners=False)[0].clamp(0, 1)
+    out = warped * mask + fill * (1.0 - mask)
+    return out.round().clamp(0, 255).numpy().astype(_np.uint8)
