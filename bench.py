@@ -49,6 +49,14 @@ def host_baseline_events_per_sec(rng, H, W, N, n_windows=8) -> float:
 
 def main():
     import jax
+
+    # amortize the (remote) TPU compile across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from eventclip_tpu.models.classifier import (

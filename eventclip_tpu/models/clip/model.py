@@ -30,9 +30,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.attention import multi_head_attention
 from .config import CLIPConfig, TextConfig, VisionConfig
 
 Params = Dict[str, Any]
+
+
+def _use_pallas_attention() -> bool:
+    """Pallas VMEM attention on TPU; XLA einsum path elsewhere / when
+    EVENTCLIP_NO_PALLAS is set (escape hatch)."""
+    import os
+
+    if os.environ.get("EVENTCLIP_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -100,13 +111,7 @@ def attention(
         return t.reshape(B, T, heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * (dh ** -0.5), k, preferred_element_type=jnp.float32
-    )
-    if mask is not None:
-        scores = scores + mask.astype(scores.dtype)
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    o = multi_head_attention(q, k, v, mask, use_pallas=_use_pallas_attention())
     o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
     out = dense(o, p["wo"], p["bo"])
     if lora is not None and "o" in lora:

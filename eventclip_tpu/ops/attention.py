@@ -1,0 +1,155 @@
+"""Pallas TPU attention kernel (VMEM-resident scores).
+
+The CLIP towers' sequences are short (ViT-L/14: 257 patch tokens; text: 77),
+so an entire per-(batch, head) attention — scores [S, S] included — fits in
+VMEM. The XLA fallback materializes the [B, H, S, S] probability tensor in
+HBM twice per layer (~24 GB of traffic for a ViT-L/14 forward at B=64, more
+than the model's entire FLOP time at HBM speed); this kernel computes
+scores -> softmax -> @v in one VMEM-resident program per (batch, head), so
+only q, k, v, out ever touch HBM.
+
+Backward runs the standard recompute formula in plain XLA via custom_vjp
+(training attention cost is dominated by FTCLIP's full fine-tune, where the
+same VMEM argument applies to dscore recompute; good enough until profiled).
+
+On non-TPU backends (tests, CPU smoke runs) the kernel runs in interpret
+mode automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is always importable in this image
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # [S, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [S, S]
+    if mask_ref is not None:
+        scores = scores + mask_ref[:]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    attn = (p / s).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _attention_forward(q, k, v, mask, scale):
+    B, H, S, D = q.shape
+    interpret = jax.default_backend() != "tpu"
+
+    def spec():
+        return pl.BlockSpec(
+            (1, S, D), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        )
+
+    in_specs = [spec(), spec(), spec()]
+    args = [q.reshape(B * H, S, D), k.reshape(B * H, S, D),
+            v.reshape(B * H, S, D)]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec(
+            (S, S), lambda i: (0, 0),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        ))
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(_attn_kernel, scale=scale)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, orf, **kw: _attn_kernel(
+                qr, kr, vr, None, orf, **kw
+            ),
+            scale=scale,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, S, D), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(B, H, S, D)
+
+
+def _reference_attention(q, k, v, mask, scale):
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", attn.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention(q, k, v, mask, scale):
+    return _attention_forward(q, k, v, mask, scale)
+
+
+def _attention_fwd(q, k, v, mask, scale):
+    return _attention_forward(q, k, v, mask, scale), (q, k, v, mask)
+
+
+def _attention_bwd(scale, res, g):
+    q, k, v, mask = res
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    attn = jax.nn.softmax(scores, axis=-1)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", attn, gf,
+                    preferred_element_type=jnp.float32)
+    dattn = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    dscores = attn * (dattn - (dattn * attn).sum(-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dscores, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dscores, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """[B, H, S, D] q/k/v (+ optional additive [S, S] mask) -> [B, H, S, D]."""
+    scale = q.shape[-1] ** -0.5
+    if not use_pallas:
+        return _reference_attention(q * 1.0, k, v, mask, scale)
+    return _attention(q, k, v, mask, scale)

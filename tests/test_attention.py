@@ -1,0 +1,60 @@
+"""Pallas attention kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eventclip_tpu.ops.attention import (
+    _reference_attention,
+    multi_head_attention,
+)
+
+
+@pytest.mark.parametrize("S,mask", [(33, False), (77, True)])
+def test_kernel_matches_reference(rng, S, mask):
+    B, H, D = 2, 4, 32
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    m = None
+    if mask:
+        m = jnp.triu(jnp.full((S, S), -jnp.inf, dtype=jnp.float32), k=1)
+    got = multi_head_attention(q, k, v, m, use_pallas=True)
+    want = _reference_attention(q, k, v, m, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gradients_match_reference(rng):
+    B, H, S, D = 1, 2, 17, 16
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        return (multi_head_attention(q, k, v, use_pallas=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, None, D ** -0.5) ** 2).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_inputs(rng):
+    B, H, S, D = 2, 2, 25, 32
+    q = jnp.asarray(rng.normal(size=(B, H, S, D))).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D))).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D))).astype(jnp.bfloat16)
+    got = multi_head_attention(q, k, v, use_pallas=True)
+    want = _reference_attention(q, k, v, None, D ** -0.5)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
