@@ -203,7 +203,12 @@ class EventCLIPTrainer:
         )
 
         self.ckpt = CheckpointManager(ckpt_dir, self.cls_cfg)
+        self.ckpt_dir = ckpt_dir
         self.epoch = 0
+        # observability knobs (absent in the reference beyond wandb):
+        # profile_steps > 0 captures a jax.profiler trace of those steps
+        self.profile_steps = int(params.get("profile_steps", 0))
+        self.visualize = bool(params.get("visualize", True))
 
     # ------------------------------------------------------------------
 
@@ -240,13 +245,25 @@ class EventCLIPTrainer:
             meters: Dict[str, AverageMeter] = {}
             t0 = time.perf_counter()
             n_batches = 0
+            profiling = False
             for batch in self.train_loader.epoch(epoch):
+                if self.profile_steps and epoch == 0 and n_batches == 2:
+                    jax.profiler.start_trace(
+                        os.path.join(self.ckpt_dir, "profile")
+                    )
+                    profiling = True
                 self.state, metrics = self.train_step(
                     self.state, self._device_batch(batch)
                 )
                 n_batches += 1
+                if profiling and n_batches >= 2 + self.profile_steps:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
                 for k, v in metrics.items():
                     meters.setdefault(k, AverageMeter()).update(float(v))
+            if profiling:
+                jax.profiler.stop_trace()
             dt = time.perf_counter() - t0
             stats = {k: m.avg for k, m in meters.items()}
             stats.update(
@@ -284,4 +301,32 @@ class EventCLIPTrainer:
         stats["n"] = n
         print(f"[val]   epoch {self.epoch}: {stats}")
         _log_jsonl(self.log_file, {"split": "val", "epoch": self.epoch, **stats})
+        if self.visualize and max_steps is None:
+            try:
+                self._sample_events()
+            except Exception as e:  # viz must never kill training
+                print(f"[viz] skipped: {e}")
         return stats
+
+    def _sample_events(self) -> None:
+        """Reference EventCLIPMethod._sample_events (method.py:103-148)."""
+        from ..utils.viz import visualize_samples
+
+        n = int(self.params.get("n_samples", 5))
+        if n <= 0:
+            return
+        spec, pp = self.pipeline
+        cfg = self.cls_cfg
+
+        def probs_fn(windows, valid):
+            from ..models.classifier import classifier_forward
+            from ..ops.rasterize import rasterize_for_clip
+
+            imgs = rasterize_for_clip(spec, pp, jnp.asarray(windows))
+            out = classifier_forward(
+                self.state.params, cfg, imgs, jnp.asarray(valid)
+            )
+            return out["probs"]
+
+        out_dir = os.path.join(self.ckpt_dir, "viz", f"epoch_{self.epoch}")
+        visualize_samples(self.val_set, probs_fn, out_dir, n_samples=n)

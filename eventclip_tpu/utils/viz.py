@@ -1,0 +1,112 @@
+"""Validation-time event visualization (reference method.py:71-148).
+
+The reference logs, for a few uniformly-sampled val items, (a) the raw event
+stream rendered to a bordered video and (b) the model-input frames, captioned
+with the ground truth and top-3 predictions, to wandb. Offline here: frames
+are written as GIFs plus a captions.json under <ckpt_dir>/viz/epoch_<k>/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def denormalize(img: np.ndarray) -> np.ndarray:
+    """[.., 3, H, W] CLIP-normalized -> [.., H, W, 3] uint8."""
+    x = np.moveaxis(np.asarray(img, np.float32), -3, -1)
+    x = (x * CLIP_STD + CLIP_MEAN) * 255.0
+    return np.round(np.clip(x, 0, 255)).astype(np.uint8)
+
+
+def add_border(frames: np.ndarray, pad: int = 4, value: int = 0) -> np.ndarray:
+    """[T, H, W, 3] -> [T, H+2p, W+2p, 3] black border (method.py:76-79)."""
+    T, H, W, C = frames.shape
+    out = np.full((T, H + 2 * pad, W + 2 * pad, C), value, frames.dtype)
+    out[:, pad:-pad, pad:-pad] = frames
+    return out
+
+
+def events_to_video(events: np.ndarray, quantize_args: Dict) -> np.ndarray:
+    """Raw events -> bordered [T, H', W', 3] uint8 video frames."""
+    from ..ops.numpy_ref import events_to_frames_np
+
+    q = dict(quantize_args)
+    q.pop("max_imgs", None)
+    q.pop("split_method", None)
+    q.pop("convert_method", None)
+    q["background_mask"] = True  # method.py:110 forces white background
+    N = q.pop("N")
+    shape = q.pop("shape")
+    frames = events_to_frames_np(events, N, shape, **q)
+    return add_border(frames)
+
+
+def save_gif(frames: np.ndarray, path: str, fps: int = 2) -> None:
+    """[T, H, W, 3] uint8 -> animated GIF (PIL; wandb.Video stand-in)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+
+
+def sample_indices(n_samples: int, dataset_len: int) -> np.ndarray:
+    """Uniform sample positions (reference _get_sample_idx, method.py:47-52)."""
+    N = n_samples
+    if dataset_len % N != 0:
+        N = N - 1
+    N = max(N, 1)
+    return np.arange(0, dataset_len, max(dataset_len // N, 1))
+
+
+def visualize_samples(
+    val_set,
+    probs_fn,
+    out_dir: str,
+    n_samples: int = 5,
+    classes: Optional[Sequence[str]] = None,
+) -> List[Dict]:
+    """Render n_samples val items with GT + top-3 captions.
+
+    probs_fn(windows [1, V, N, 4], valid [1, V]) -> probs [1, n_cls].
+    """
+    classes = classes if classes is not None else val_set.classes
+    os.makedirs(out_dir, exist_ok=True)
+    records = []
+    keep = val_set.keep_events
+    val_set.keep_events = True
+    try:
+        for i, idx in enumerate(sample_indices(n_samples, len(val_set))):
+            item = val_set[int(idx)]
+            probs = np.asarray(
+                probs_fn(item["windows"][None], item["valid_mask"][None])
+            )[0]
+            top = np.argsort(-probs)[:3]
+            caption = {
+                "gt": classes[item["label"]],
+                "top3": [
+                    {"cls": classes[int(t)], "prob": float(probs[t])}
+                    for t in top
+                ],
+            }
+            q = dict(val_set.raster_args)
+            q["N"] = q.pop("window")
+            q["shape"] = (q.pop("height"), q.pop("width"))
+            video = events_to_video(item["events"], q)
+            save_gif(video, os.path.join(out_dir, f"raw_events_{i}.gif"))
+            records.append(caption)
+    finally:
+        val_set.keep_events = keep
+    with open(os.path.join(out_dir, "captions.json"), "w") as f:
+        json.dump(records, f, indent=2)
+    return records

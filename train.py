@@ -42,6 +42,8 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU (debug/smoke runs)")
+    parser.add_argument("--profile", type=int, default=0,
+                        help="capture a jax.profiler trace of N train steps")
     return parser.parse_args()
 
 
@@ -75,6 +77,8 @@ def load_and_override(args):
         params.data_root = args.data_root
     if args.max_epochs > 0:
         params.max_epochs = args.max_epochs
+    if args.profile > 0:
+        params.profile_steps = args.profile
     return params, exp_name
 
 
