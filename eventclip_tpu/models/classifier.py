@@ -220,10 +220,18 @@ def classifier_forward(
     B, T = valid.shape
     flat = imgs.reshape((B * T,) + imgs.shape[2:])
     lora = params.get("lora")
-    img_feats = encode_image(
-        params["clip"]["visual"], cfg.clip.vision, flat,
-        dtype=cfg.dtype, lora=lora,
-    ).astype(jnp.float32)
+    from .clip.resnet import ResNetVisionConfig, encode_image_resnet
+
+    if isinstance(cfg.clip.vision, ResNetVisionConfig):
+        assert lora is None, "LoRA targets the ViT attention (lora.py:385)"
+        img_feats = encode_image_resnet(
+            params["clip"]["visual"], cfg.clip.vision, flat, dtype=cfg.dtype
+        ).astype(jnp.float32)
+    else:
+        img_feats = encode_image(
+            params["clip"]["visual"], cfg.clip.vision, flat,
+            dtype=cfg.dtype, lora=lora,
+        ).astype(jnp.float32)
     if cfg.model != "FTCLIP":
         img_feats = jax.lax.stop_gradient(img_feats)
     feats = img_feats.reshape(B, T, -1)

@@ -68,6 +68,20 @@ def _vit(name, image, patch, width, layers, heads, embed, t_width, t_heads,
     )
 
 
+def _rn(name, image, layers, width, embed, t_width, t_heads):
+    from .resnet import ResNetVisionConfig
+
+    return CLIPConfig(
+        name=name,
+        vision=ResNetVisionConfig(
+            image_size=image, layers=layers, width=width,
+            heads=width * 32 // 64, output_dim=embed,
+        ),
+        text=TextConfig(width=t_width, heads=t_heads, layers=12,
+                        output_dim=embed),
+    )
+
+
 CLIP_ARCHS = {
     "ViT-B/32": _vit("ViT-B/32", 224, 32, 768, 12, 12, 512, 512, 8),
     "ViT-B/16": _vit("ViT-B/16", 224, 16, 768, 12, 12, 512, 512, 8),
@@ -77,6 +91,32 @@ CLIP_ARCHS = {
     "ViT-T/8@32": _vit("ViT-T/8@32", 32, 8, 64, 2, 2, 32, 32, 2,
                        t_layers=2),
 }
+
+_RESNET_SPECS = {
+    # name: (image, layers, stem width, output_dim, text width, text heads)
+    "RN50": (224, (3, 4, 6, 3), 64, 1024, 512, 8),
+    "RN101": (224, (3, 4, 23, 3), 64, 512, 512, 8),
+    "RN50x4": (288, (4, 6, 10, 6), 80, 640, 640, 10),
+    "RN50x16": (384, (6, 8, 18, 8), 96, 768, 768, 12),
+    "RN50x64": (448, (3, 15, 36, 10), 128, 1024, 1024, 16),
+    # tiny debug ResNet (smoke tests; not an OpenAI release)
+    "RN-T@32": (32, (1, 1, 1, 1), 8, 32, 32, 2),
+}
+
+
+def _register_resnets():
+    for name, (img, layers, w, embed, tw, th) in _RESNET_SPECS.items():
+        CLIP_ARCHS[name] = _rn(name, img, layers, w, embed, tw, th)
+        if name == "RN-T@32":
+            # shrink the debug text tower too
+            CLIP_ARCHS[name] = dataclasses.replace(
+                CLIP_ARCHS[name],
+                text=TextConfig(vocab_size=128, context_length=16, width=32,
+                                heads=2, layers=2, output_dim=32),
+            )
+
+
+_register_resnets()
 
 
 def clip_arch_config(arch: str) -> CLIPConfig:

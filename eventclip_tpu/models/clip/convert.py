@@ -26,10 +26,8 @@ def _np(t) -> np.ndarray:
 
 def infer_config_from_state_dict(sd: Mapping[str, Any]) -> CLIPConfig:
     """Recover the architecture hyper-parameters from checkpoint shapes."""
-    if "visual.conv1.weight" not in sd:
-        raise NotImplementedError(
-            "Only ViT CLIP checkpoints are supported (RN towers NYI)"
-        )
+    if "visual.attnpool.c_proj.weight" in sd:
+        return _infer_resnet_config(sd)
     conv1 = _np(sd["visual.conv1.weight"])
     width, _, patch, _ = conv1.shape
     seq_len = _np(sd["visual.positional_embedding"]).shape[0]
@@ -95,9 +93,129 @@ def _stack_blocks(sd: Mapping[str, Any], prefix: str, layers: int) -> Dict[str, 
     }
 
 
+def _infer_resnet_config(sd: Mapping[str, Any]) -> CLIPConfig:
+    from .resnet import ResNetVisionConfig
+
+    width = _np(sd["visual.conv3.weight"]).shape[0]  # stem output width
+    layers = []
+    for s in range(1, 5):
+        n = max(
+            int(k.split(".")[2])
+            for k in sd
+            if k.startswith(f"visual.layer{s}.")
+        ) + 1
+        layers.append(n)
+    output_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    n_tokens = _np(sd["visual.attnpool.positional_embedding"]).shape[0]
+    grid = int(round((n_tokens - 1) ** 0.5))
+    t_width = _np(sd["ln_final.weight"]).shape[0]
+    t_layers = max(
+        int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")
+    ) + 1
+    vocab, _ = _np(sd["token_embedding.weight"]).shape
+    context = _np(sd["positional_embedding"]).shape[0]
+    return CLIPConfig(
+        name=f"RN-w{width}",
+        vision=ResNetVisionConfig(
+            image_size=grid * 32, layers=tuple(layers), width=width,
+            heads=width * 32 // 64, output_dim=output_dim,
+        ),
+        text=TextConfig(
+            vocab_size=vocab, context_length=context, width=t_width,
+            layers=t_layers, heads=max(t_width // 64, 1),
+            output_dim=output_dim,
+        ),
+    )
+
+
+def _fold_bn(sd: Mapping[str, Any], prefix: str, eps: float = 1e-5) -> Dict[str, Any]:
+    """Fold frozen batch-norm statistics into an affine scale/bias."""
+    gamma = _np(sd[f"{prefix}.weight"])
+    beta = _np(sd[f"{prefix}.bias"])
+    mean = _np(sd[f"{prefix}.running_mean"])
+    var = _np(sd[f"{prefix}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def _convert_resnet_visual(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
+    v = cfg.vision
+    visual: Dict[str, Any] = {
+        "stem": {
+            "conv1": _np(sd["visual.conv1.weight"]),
+            "bn1": _fold_bn(sd, "visual.bn1"),
+            "conv2": _np(sd["visual.conv2.weight"]),
+            "bn2": _fold_bn(sd, "visual.bn2"),
+            "conv3": _np(sd["visual.conv3.weight"]),
+            "bn3": _fold_bn(sd, "visual.bn3"),
+        }
+    }
+    for s in range(1, 5):
+        def block(i):
+            pre = f"visual.layer{s}.{i}"
+            p = {
+                "conv1": _np(sd[f"{pre}.conv1.weight"]),
+                "bn1": _fold_bn(sd, f"{pre}.bn1"),
+                "conv2": _np(sd[f"{pre}.conv2.weight"]),
+                "bn2": _fold_bn(sd, f"{pre}.bn2"),
+                "conv3": _np(sd[f"{pre}.conv3.weight"]),
+                "bn3": _fold_bn(sd, f"{pre}.bn3"),
+            }
+            # CLIP downsample = Sequential(avgpool, conv '0', bn '1')
+            if f"{pre}.downsample.0.weight" in sd:
+                p["downsample"] = {
+                    "conv": _np(sd[f"{pre}.downsample.0.weight"]),
+                    "bn": _fold_bn(sd, f"{pre}.downsample.1"),
+                }
+            return p
+
+        n = cfg.vision.layers[s - 1]
+        rest = None
+        if n > 1:
+            import jax
+
+            rest_blocks = [block(i) for i in range(1, n)]
+            rest = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *rest_blocks
+            )
+        visual[f"layer{s}"] = {"block0": block(0), "rest": rest}
+
+    def lin(prefix):
+        return {
+            "w": _np(sd[f"{prefix}.weight"]),
+            "b": _np(sd[f"{prefix}.bias"]),
+        }
+
+    visual["attnpool"] = {
+        "positional_embedding": _np(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": lin("visual.attnpool.q_proj"),
+        "k_proj": lin("visual.attnpool.k_proj"),
+        "v_proj": lin("visual.attnpool.v_proj"),
+        "c_proj": lin("visual.attnpool.c_proj"),
+    }
+    return visual
+
+
 def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """torch state_dict -> {'visual': ..., 'text': ..., 'logit_scale': ...}."""
     cfg = infer_config_from_state_dict(sd)
+    if "visual.attnpool.c_proj.weight" in sd:
+        text = {
+            "token_embedding": _np(sd["token_embedding.weight"]),
+            "positional_embedding": _np(sd["positional_embedding"]),
+            "ln_final": {
+                "scale": _np(sd["ln_final.weight"]),
+                "bias": _np(sd["ln_final.bias"]),
+            },
+            "projection": _np(sd["text_projection"]),
+            "blocks": _stack_blocks(sd, "transformer.resblocks",
+                                    cfg.text.layers),
+        }
+        return {
+            "visual": _convert_resnet_visual(sd, cfg),
+            "text": text,
+            "logit_scale": _np(sd["logit_scale"]).reshape(()),
+        }
     v, t = cfg.vision, cfg.text
     conv1 = _np(sd["visual.conv1.weight"]).reshape(v.width, -1)
     visual = {

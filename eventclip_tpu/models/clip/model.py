@@ -238,6 +238,15 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
     """Random CLIP parameters (OpenAI init scheme); for tests & converters."""
     kv, kt, kp, kc, ke, kx = jax.random.split(rng, 6)
     v, t = cfg.vision, cfg.text
+    from .resnet import ResNetVisionConfig, init_resnet_visual
+
+    if isinstance(v, ResNetVisionConfig):
+        visual = init_resnet_visual(kv, v)
+        return {
+            "visual": visual,
+            "text": _init_text(kt, t),
+            "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
+        }
     scale = v.width ** -0.5
     visual = {
         "patch_embed": jax.random.normal(kp, (v.width, 3 * v.patch_size ** 2))
@@ -249,8 +258,16 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         "proj": jax.random.normal(kx, (v.width, v.output_dim)) * scale,
         "blocks": _init_blocks(kv, v.layers, v.width),
     }
+    return {
+        "visual": visual,
+        "text": _init_text(kt, t),
+        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
+    }
+
+
+def _init_text(kt: jax.Array, t: TextConfig) -> Params:
     k1, k2, k3 = jax.random.split(kt, 3)
-    text = {
+    return {
         "token_embedding": jax.random.normal(k1, (t.vocab_size, t.width)) * 0.02,
         "positional_embedding": jax.random.normal(k2, (t.context_length, t.width))
         * 0.01,
@@ -258,11 +275,6 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         "projection": jax.random.normal(k3, (t.width, t.output_dim))
         * (t.width ** -0.5),
         "blocks": _init_blocks(kt, t.layers, t.width),
-    }
-    return {
-        "visual": visual,
-        "text": text,
-        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
     }
 
 
