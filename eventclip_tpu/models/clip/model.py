@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.attention import multi_head_attention
+from ...ops.attention import fused_qkv_attention
 from .config import CLIPConfig, TextConfig, VisionConfig
 
 Params = Dict[str, Any]
@@ -96,23 +96,23 @@ def attention(
     lora: optional {'q'|'k'|'v'|'o': {'a': [r, D], 'b': [D, r]}}
     """
     B, T, D = x.shape
-    dh = D // heads
     qkv = dense(x, p["wqkv"], p["bqkv"])  # [B, T, 3D]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
     if lora is not None:
-        if "q" in lora:
-            q = q + _lora_delta(x, lora["q"])
-        if "k" in lora:
-            k = k + _lora_delta(x, lora["k"])
-        if "v" in lora:
-            v = v + _lora_delta(x, lora["v"])
-
-    def split_heads(t):
-        return t.reshape(B, T, heads, dh).transpose(0, 2, 1, 3)
-
-    q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    o = multi_head_attention(q, k, v, mask, use_pallas=_use_pallas_attention())
-    o = o.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+        zeros = jnp.zeros((B, T, D), qkv.dtype)
+        delta = jnp.concatenate(
+            [
+                _lora_delta(x, lora["q"]) if "q" in lora else zeros,
+                _lora_delta(x, lora["k"]) if "k" in lora else zeros,
+                _lora_delta(x, lora["v"]) if "v" in lora else zeros,
+            ],
+            axis=-1,
+        )
+        qkv = qkv + delta
+    # fused-qkv attention: head columns are sliced inside the kernel, so no
+    # [B, H, T, dh] relayouts ever materialize
+    o = fused_qkv_attention(qkv, heads, mask,
+                            use_pallas=_use_pallas_attention())
+    o = o.astype(x.dtype)
     out = dense(o, p["wo"], p["bo"])
     if lora is not None and "o" in lora:
         out = out + _lora_delta(o, lora["o"])

@@ -153,3 +153,141 @@ def multi_head_attention(
     if not use_pallas:
         return _reference_attention(q * 1.0, k, v, mask, scale)
     return _attention(q, k, v, mask, scale)
+
+
+# ---------------------------------------------------------------------------
+# fused-qkv layout (no head-split transposes)
+# ---------------------------------------------------------------------------
+#
+# The towers produce attention inputs as one [B, S, 3D] tensor (fused qkv
+# projection). Splitting into [B, H, S, D] costs ~8 full-tensor relayouts per
+# layer on TPU; this variant instead grids over (batch, head-group) and lets
+# the BlockSpec index map slice each head's columns straight out of the qkv
+# tensor (head groups of 128/dh heads keep the lane-dim blocking legal).
+
+
+def _qkv_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, dh, per):
+    for j in range(per):
+        q = q_ref[0, :, j * dh:(j + 1) * dh]
+        k = k_ref[0, :, j * dh:(j + 1) * dh]
+        v = v_ref[0, :, j * dh:(j + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask_ref is not None:
+            s = s + mask_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[0, :, j * dh:(j + 1) * dh] = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _qkv_attention_forward(qkv, mask, heads, scale):
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    dh = D // heads
+    interpret = jax.default_backend() != "tpu"
+    per = max(128 // dh, 1)
+    if heads % per != 0:
+        per = 1
+    G = heads // per
+    bw = dh * per
+
+    def spec(third):
+        return pl.BlockSpec(
+            (1, S, bw), lambda b, g, third=third: (b, 0, third * G + g),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        )
+
+    in_specs = [spec(0), spec(1), spec(2)]
+    args = [qkv, qkv, qkv]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec(
+            (S, S), lambda b, g: (0, 0),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        ))
+        args.append(mask.astype(jnp.float32))
+        kernel = functools.partial(_qkv_kernel, scale=scale, dh=dh, per=per)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, orf, **kw: _qkv_kernel(qr, kr, vr, None, orf,
+                                                      **kw),
+            scale=scale, dh=dh, per=per,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, G),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, S, bw), lambda b, g: (b, 0, g),
+            memory_space=pltpu.VMEM if pltpu and not interpret else None,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _split_heads(qkv, heads):
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split(t):
+        return t.reshape(B, S, heads, D // heads).transpose(0, 2, 1, 3)
+
+    return split(q), split(k), split(v)
+
+
+def _qkv_reference(qkv, mask, heads, scale):
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = _split_heads(qkv, heads)
+    out = _reference_attention(q, k, v, mask, scale)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _qkv_attention(qkv, mask, heads, scale):
+    return _qkv_attention_forward(qkv, mask, heads, scale)
+
+
+def _qkv_attention_fwd(qkv, mask, heads, scale):
+    return _qkv_attention_forward(qkv, mask, heads, scale), (qkv, mask)
+
+
+def _qkv_attention_bwd(heads, scale, res, g):
+    qkv, mask = res
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    q, k, v = _split_heads(qkv, heads)
+    gh = g.reshape(B, S, heads, D // heads).transpose(0, 2, 1, 3)
+    dq, dk, dv, _ = _attention_bwd(scale, (q, k, v, mask), gh)
+
+    def merge(t):
+        return t.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv.astype(qkv.dtype), dmask
+
+
+_qkv_attention.defvjp(_qkv_attention_fwd, _qkv_attention_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """[B, S, 3D] fused qkv (+ optional [S, S] mask) -> [B, S, D]."""
+    D = qkv.shape[-1] // 3
+    scale = (D // heads) ** -0.5
+    if not use_pallas:
+        return _qkv_reference(qkv * 1.0, mask, heads, scale)
+    return _qkv_attention(qkv, mask, heads, scale)

@@ -58,3 +58,31 @@ def test_bf16_inputs(rng):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+@pytest.mark.parametrize("heads,dh,mask", [(4, 32, False), (2, 64, True), (3, 32, False)])
+def test_fused_qkv_matches_reference(rng, heads, dh, mask):
+    from eventclip_tpu.ops.attention import _qkv_reference, fused_qkv_attention
+
+    B, S = 2, 29
+    D = heads * dh
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    m = None
+    if mask:
+        m = jnp.triu(jnp.full((S, S), -jnp.inf, dtype=jnp.float32), k=1)
+    got = fused_qkv_attention(qkv, heads, m, use_pallas=True)
+    want = _qkv_reference(qkv, m, heads, dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_qkv_gradients(rng):
+    from eventclip_tpu.ops.attention import _qkv_reference, fused_qkv_attention
+
+    B, S, heads, dh = 1, 13, 2, 16
+    D = heads * dh
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    gp = jax.grad(lambda x: (fused_qkv_attention(x, heads, use_pallas=True) ** 2).sum())(qkv)
+    gr = jax.grad(lambda x: (_qkv_reference(x, None, heads, dh ** -0.5) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=1e-4, rtol=1e-4)
