@@ -152,15 +152,23 @@ class EventCLIPTrainer:
             self.global_batch = max(
                 self.n_data, self.global_batch - self.global_batch % self.n_data
             )
+        # on a multi-host slice each process loads only its shard of every
+        # global batch (the DistributedSampler contract, torch-free)
+        from ..parallel.distributed import host_shard_info
+
+        shard_index, num_shards = host_shard_info()
         self.train_loader = PrefetchLoader(
             train_set, self.global_batch, shuffle=True, drop_last=True,
             num_workers=params.get("num_workers", 8), seed=seed,
+            shard_index=shard_index, num_shards=num_shards,
         )
         val_bs = int(params.get("val_batch_size", self.global_batch))
-        val_bs = max(val_bs - val_bs % self.n_data, self.n_data)
+        val_bs = max(val_bs - val_bs % max(self.n_data, num_shards),
+                     max(self.n_data, num_shards))
         self.val_loader = PrefetchLoader(
             val_set, val_bs, shuffle=False, pad_last=True,
             num_workers=params.get("num_workers", 8),
+            shard_index=shard_index, num_shards=num_shards,
         )
 
         # optimizer
@@ -213,12 +221,14 @@ class EventCLIPTrainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
+        from ..parallel.distributed import make_global_batch
+
         keep = {
             k: v for k, v in batch.items()
             if k in ("windows", "img", "valid_mask", "label", "sample_mask")
         }
         keep["label"] = keep["label"].astype(np.int32)
-        return shard_batch(keep, self.mesh)
+        return make_global_batch(keep, self.mesh)
 
     def fit(self, resume_from: str = "", san_check_val_step: int = 2) -> None:
         start_epoch = 0

@@ -1,3 +1,8 @@
+from .distributed import (
+    initialize_distributed,
+    host_shard_info,
+    make_global_batch,
+)
 from .sharding import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -9,6 +14,9 @@ from .sharding import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "host_shard_info",
+    "make_global_batch",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

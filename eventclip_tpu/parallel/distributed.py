@@ -1,0 +1,59 @@
+"""Multi-host initialization and host-local batch utilities.
+
+The reference scales with single-node DDP only (SURVEY.md §2.7); the TPU
+build goes further: on a multi-host slice each process calls
+`initialize_distributed()` once, the mesh spans all global devices, and the
+PrefetchLoader loads only this host's shard of every global batch
+(`host_shard_info`). `jax.make_array_from_process_local_data` assembles the
+global sharded batch; collectives ride ICI within the slice and DCN across
+slices, all inserted by GSPMD.
+
+Single-process runs are the common case and everything degrades to no-ops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+
+from .sharding import batch_pspec
+
+
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with env-var defaults; no-op if single."""
+    if num_processes in (None, 1) and coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_shard_info() -> Tuple[int, int]:
+    """(shard_index, num_shards) for the PrefetchLoader on this host."""
+    return jax.process_index(), jax.process_count()
+
+
+def make_global_batch(
+    batch: Dict[str, np.ndarray], mesh: Mesh
+) -> Dict[str, jax.Array]:
+    """Host-local per-shard arrays -> global mesh-sharded arrays.
+
+    With one process this is a plain device_put with the batch sharding;
+    with many, each host contributes its slice of the global batch.
+    """
+    sharding = NamedSharding(mesh, batch_pspec())
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in batch.items()
+    }

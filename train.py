@@ -88,6 +88,17 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host slice: every process runs this same script; coordination is
+    # env-driven (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)
+    import os as _os
+    if _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from eventclip_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator=_os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(_os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(_os.environ.get("JAX_PROCESS_ID", "0")),
+        )
     params, exp_name = load_and_override(args)
 
     from eventclip_tpu.data import build_dataset
