@@ -1,4 +1,5 @@
 from .clip import CLIPConfig, clip_arch_config
+from .factory import EventCLIPModel, build_model
 from .classifier import (
     ClassifierConfig,
     build_classifier_config,
@@ -9,6 +10,8 @@ from .classifier import (
 )
 
 __all__ = [
+    "EventCLIPModel",
+    "build_model",
     "CLIPConfig",
     "clip_arch_config",
     "ClassifierConfig",
