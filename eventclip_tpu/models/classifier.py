@@ -44,6 +44,7 @@ class ClassifierConfig:
     use_logits_loss: bool = True
     use_probs_loss: bool = False
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize transformer layers (FT memory)
 
     def __post_init__(self):
         assert self.model in ("ZSCLIP", "FSCLIP", "FTCLIP"), self.model
@@ -106,6 +107,7 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
         use_logits_loss=loss_dict.get("use_logits_loss", params_cfg.model != "FSCLIP"),
         use_probs_loss=loss_dict.get("use_probs_loss", params_cfg.model == "FSCLIP"),
         dtype=dtype,
+        remat=bool(params_cfg.get("remat", params_cfg.model == "FTCLIP")),
     )
 
 
@@ -231,6 +233,7 @@ def classifier_forward(
         img_feats = encode_image(
             params["clip"]["visual"], cfg.clip.vision, flat,
             dtype=cfg.dtype, lora=lora,
+            remat=cfg.remat and cfg.model == "FTCLIP" and train,
         ).astype(jnp.float32)
     if cfg.model != "FTCLIP":
         img_feats = jax.lax.stop_gradient(img_feats)
