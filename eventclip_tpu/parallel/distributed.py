@@ -50,9 +50,11 @@ def make_global_batch(
     With one process this is a plain device_put with the batch sharding;
     with many, each host contributes its slice of the global batch.
     """
-    sharding = NamedSharding(mesh, batch_pspec())
     if jax.process_count() == 1:
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        from .sharding import shard_batch
+
+        return shard_batch(batch, mesh)
+    sharding = NamedSharding(mesh, batch_pspec())
     return {
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in batch.items()

@@ -102,8 +102,18 @@ def param_pspecs(params: Params, n_model: int = 1) -> Params:
     )
 
 
+def _single_device(mesh: Mesh):
+    """On a 1-device mesh every sharding is semantically a no-op, but
+    COMMITTED placements (explicit device / NamedSharding) combined with
+    donation cost ~30x per dispatch on remote-TPU runtimes (the relay
+    re-stages committed donated buffers every call). Place uncommitted."""
+    return mesh.devices.size == 1
+
+
 def shard_params(params: Params, mesh: Mesh) -> Params:
     """Place a parameter tree onto the mesh with the canonical layout."""
+    if _single_device(mesh):
+        return jax.device_put(params)
     n_model = mesh.shape[MODEL_AXIS]
     specs = param_pspecs(params, n_model)
     return jax.tree_util.tree_map(
@@ -113,5 +123,7 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
 
 def shard_batch(batch: Params, mesh: Mesh) -> Params:
     """Place a batch pytree onto the mesh, sharded over the data axis."""
+    if _single_device(mesh):
+        return jax.device_put(batch)
     s = NamedSharding(mesh, batch_pspec())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
