@@ -252,10 +252,12 @@ class EventCLIPTrainer:
         save_interval = max(int(self.params.get("save_interval", 1)), 1)
         for epoch in range(start_epoch, max_epochs):
             self.epoch = epoch
-            meters: Dict[str, AverageMeter] = {}
             t0 = time.perf_counter()
             n_batches = 0
             profiling = False
+            # metrics stay on-device until epoch end: a float() per step would
+            # force a host sync every step and serialize the input pipeline
+            metric_hist = []
             for batch in self.train_loader.epoch(epoch):
                 if self.profile_steps and epoch == 0 and n_batches == 2:
                     jax.profiler.start_trace(
@@ -265,15 +267,18 @@ class EventCLIPTrainer:
                 self.state, metrics = self.train_step(
                     self.state, self._device_batch(batch)
                 )
+                metric_hist.append(metrics)
                 n_batches += 1
                 if profiling and n_batches >= 2 + self.profile_steps:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                     profiling = False
-                for k, v in metrics.items():
-                    meters.setdefault(k, AverageMeter()).update(float(v))
             if profiling:
                 jax.profiler.stop_trace()
+            meters: Dict[str, AverageMeter] = {}
+            for metrics in jax.device_get(metric_hist):
+                for k, v in metrics.items():
+                    meters.setdefault(k, AverageMeter()).update(float(v))
             dt = time.perf_counter() - t0
             stats = {k: m.avg for k, m in meters.items()}
             stats.update(

@@ -316,6 +316,10 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
 
+    from eventclip_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
     from eventclip_tpu.utils.config import load_params
 
     params = load_params(args.params)

@@ -146,6 +146,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from eventclip_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     from eventclip_tpu.utils.config import load_params
     from eventclip_tpu.utils.meters import AverageMeter
 

@@ -88,6 +88,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from eventclip_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     # multi-host slice: every process runs this same script; coordination is
     # env-driven (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)
     import os as _os
