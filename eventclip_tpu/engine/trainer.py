@@ -343,5 +343,11 @@ class EventCLIPTrainer:
             )
             return out["probs"]
 
+        def inputs_fn(windows, valid):
+            from ..ops.rasterize import rasterize_for_clip
+
+            return rasterize_for_clip(spec, pp, jnp.asarray(windows))
+
         out_dir = os.path.join(self.ckpt_dir, "viz", f"epoch_{self.epoch}")
-        visualize_samples(self.val_set, probs_fn, out_dir, n_samples=n)
+        visualize_samples(self.val_set, probs_fn, out_dir, n_samples=n,
+                          inputs_fn=inputs_fn)

@@ -75,10 +75,14 @@ def visualize_samples(
     out_dir: str,
     n_samples: int = 5,
     classes: Optional[Sequence[str]] = None,
+    inputs_fn=None,
 ) -> List[Dict]:
     """Render n_samples val items with GT + top-3 captions.
 
     probs_fn(windows [1, V, N, 4], valid [1, V]) -> probs [1, n_cls].
+    inputs_fn (optional): same args -> CLIP-normalized imgs [1, V, 3, S, S];
+    when given, the model-input frames are also saved (the reference's
+    second wandb video, method.py:139-142).
     """
     classes = classes if classes is not None else val_set.classes
     os.makedirs(out_dir, exist_ok=True)
@@ -91,6 +95,15 @@ def visualize_samples(
             probs = np.asarray(
                 probs_fn(item["windows"][None], item["valid_mask"][None])
             )[0]
+            if inputs_fn is not None:
+                imgs = np.asarray(
+                    inputs_fn(item["windows"][None],
+                              item["valid_mask"][None])
+                )[0]
+                frames = denormalize(imgs[item["valid_mask"]])
+                if len(frames):
+                    save_gif(add_border(frames),
+                             os.path.join(out_dir, f"video_{i}.gif"))
             top = np.argsort(-probs)[:3]
             caption = {
                 "gt": classes[item["label"]],
