@@ -20,6 +20,15 @@ import pytest  # noqa: E402
 # before this conftest runs, so the env vars above may be snapshotted too
 # late -- override through the live config as well (backends init lazily)
 jax.config.update("jax_platforms", "cpu")
+# cache CPU compiles across test runs (the engine/e2e tests re-compile
+# identical tiny programs every session otherwise)
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except (RuntimeError, OSError):
+    pass
 
 # parity tests compare against float32 torch oracles; JAX's 'default' matmul
 # precision is lower (bf16-ish passes) even on CPU
