@@ -105,7 +105,8 @@ class NCaltech101:
         if self.few_shot:
             assert "train" in root.lower(), "Only sample data in training set"
         self.repeat = repeat
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
         self.classes = self._list_classes()
         self.labeled_files, self.labels = self._get_sample_idx()
@@ -172,21 +173,32 @@ class NCaltech101:
     def __len__(self) -> int:
         return len(self.labeled_files)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Varies per-item augmentation draws across epochs (loaders call
+        this; per-item generators keep multi-threaded loading race-free)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        # fresh per-call generator: np.random.Generator is NOT thread-safe,
+        # and the PrefetchLoader reads items from several threads
+        return np.random.default_rng((self._seed, self._epoch, idx))
+
     @staticmethod
     def _load_events(event_path: str) -> np.ndarray:
         return np.load(event_path).astype(np.float32)
 
-    def _augment_events(self, events: np.ndarray) -> np.ndarray:
+    def _augment_events(self, events: np.ndarray, rng) -> np.ndarray:
         if self.flip_time:
-            events = tflip_events(events, rng=self._rng)
+            events = tflip_events(events, rng=rng)
         events = shift_events(
             events, max_shift=self.max_shift, resolution=self.resolution,
-            rng=self._rng,
+            rng=rng,
         )
-        events = hflip_events(events, resolution=self.resolution, rng=self._rng)
+        events = hflip_events(events, resolution=self.resolution, rng=rng)
         return events
 
     def __getitem__(self, idx: int):
+        rng = self._item_rng(idx)
         path = str(self.labeled_files[idx])
         label = int(self.labels[idx])
         events = self._load_events(path)
@@ -194,10 +206,10 @@ class NCaltech101:
         # them inside the center crop (caltech.py:172-175)
         events = center_events(events, resolution=self.resolution)
         if self.augmentation:
-            events = self._augment_events(events)
+            events = self._augment_events(events, rng)
         if events.shape[0] == 0:
             # augmentation can shift everything out of frame; resample
-            return self[int(self._rng.integers(0, len(self)))]
+            return self[int(rng.integers(0, len(self)))]
         return {"events": events, "label": label, "data_idx": idx}
 
 

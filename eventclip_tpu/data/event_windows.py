@@ -67,41 +67,50 @@ class EventWindowDataset:
             assert event_dataset.num_shots is None, "Should sample all data"
             assert "train" in event_dataset.root
         self.keep_events = False
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.event_dataset)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+        if hasattr(self.event_dataset, "set_epoch"):
+            self.event_dataset.set_epoch(epoch)
 
     def raster_spec(self):
         from ..ops.rasterize import RasterSpec
 
         return RasterSpec(**self.raster_args)
 
-    def _events2windows(self, events: np.ndarray):
+    def _events2windows(self, events: np.ndarray, rng):
         return gather_event_windows(
-            events, self.window, self.max_imgs, rng=self._rng
+            events, self.window, self.max_imgs, rng=rng
         )
 
-    def _load_tta_item(self, data: Dict[str, Any]) -> Dict[str, Any]:
+    def _load_tta_item(self, data: Dict[str, Any], rng) -> Dict[str, Any]:
         events = data.pop("events")
         h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
         t = tflip_events(events.copy(), p=1.0)
         ht = tflip_events(h.copy(), p=1.0)
         wins, valids = zip(*[
-            self._events2windows(e) for e in (events, h, t, ht)
+            self._events2windows(e, rng) for e in (events, h, t, ht)
         ])
         data["windows"] = np.stack(wins)  # [4, V, N, 4]
         data["valid_mask"] = np.stack(valids)  # [4, V]
         return data
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        # per-item generator: thread-safe under the PrefetchLoader and
+        # deterministic given (seed, epoch, idx)
+        rng = np.random.default_rng((self._seed, self._epoch, idx))
         data = self.event_dataset[idx]
         if self.tta:
-            return self._load_tta_item(data)
+            return self._load_tta_item(data, rng)
         events = data.pop("events")
         if self.keep_events:
             data["events"] = copy.deepcopy(events)
-        windows, valid = self._events2windows(events)
+        windows, valid = self._events2windows(events, rng)
         data["windows"] = windows  # [V, N, 4]
         data["valid_mask"] = valid  # [V]
         return data

@@ -65,6 +65,8 @@ class PrefetchLoader:
 
     def epoch(self, k: int) -> "PrefetchLoader":
         self._epoch = k
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(k)
         return self
 
     def __len__(self) -> int:
