@@ -127,11 +127,18 @@ class CheckpointManager:
                 )
 
     def save_resume_state(self, state, epoch: int) -> None:
-        """Full state (incl. optimizer) for preemption resume."""
+        """Resume state: trainable leaves + optimizer (frozen CLIP weights
+        are re-derivable from the CLIP checkpoint at startup, so they are
+        not fetched/stored — a ViT-L/14 resume file stays MBs, and the
+        device->host fetch stays off the training critical path)."""
+        mask = trainable_mask(self.cfg, state.params)
+        trainable = jax.tree_util.tree_map(
+            lambda p, m: p if m else None, state.params, mask
+        )
         blob = {
             "step": int(state.step),
             "epoch": epoch,
-            "params": _flatten(state.params),
+            "params": _flatten(trainable),
             "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
             "rng": np.asarray(state.rng),
             "best_metric": self.best_metric,

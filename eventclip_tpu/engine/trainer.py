@@ -293,16 +293,29 @@ class EventCLIPTrainer:
             if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
                 val_stats = self.evaluate()
             if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
-                params_host = jax.device_get(self.state.params)
-                self.ckpt.save(params_host, int(self.state.step), val_stats)
+                # fetch only trainable leaves (the frozen CLIP tower is GBs
+                # and never changes; fetching it per save dominates epochs)
+                from ..models.partition import trainable_mask
+
+                mask = trainable_mask(self.cls_cfg, self.state.params)
+                host_trainable = jax.tree_util.tree_map(
+                    lambda p, m: np.asarray(p) if m else None,
+                    self.state.params, mask,
+                )
+                self.ckpt.save(host_trainable, int(self.state.step), val_stats)
                 self.ckpt.save_resume_state(self.state, epoch + 1)
 
     def evaluate(self, max_steps: Optional[int] = None) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        # keep per-batch counters on-device; one host sync at the end
+        results = []
         for i, batch in enumerate(self.val_loader):
             if max_steps is not None and i >= max_steps:
                 break
-            res = self.eval_step(self.state.params, self._device_batch(batch))
+            results.append(
+                self.eval_step(self.state.params, self._device_batch(batch))
+            )
+        sums: Dict[str, float] = {}
+        for res in jax.device_get(results):
             for k, v in res.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
         n = max(sums.pop("n", 1.0), 1.0)

@@ -104,14 +104,16 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
         num_workers=params.get("num_workers", 8),
     )
 
-    sums = {}
+    results = []
     for batch in loader:
         dev = {
             k: v for k, v in batch.items()
             if k in ("windows", "valid_mask", "sample_mask")
         }
         dev["label"] = batch["label"].astype("int32")
-        res = eval_step(model_params, shard_batch(dev, mesh))
+        results.append(eval_step(model_params, shard_batch(dev, mesh)))
+    sums = {}
+    for res in jax.device_get(results):
         for k, v in res.items():
             sums[k] = sums.get(k, 0.0) + float(v)
     n = max(sums.get("n", 1.0), 1.0)
