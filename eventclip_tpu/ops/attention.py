@@ -186,13 +186,25 @@ def _qkv_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, dh, per):
         ).astype(o_ref.dtype)
 
 
+def _head_group(heads: int, dh: int) -> Optional[int]:
+    """Heads per program s.t. the block's lane dim (dh*per) is a multiple of
+    128 (Mosaic block constraint); None if no divisor of `heads` works."""
+    for per in range(1, heads + 1):
+        if heads % per == 0 and (dh * per) % 128 == 0:
+            return per
+    return None
+
+
 def _qkv_attention_forward(qkv, mask, heads, scale):
     B, S, D3 = qkv.shape
     D = D3 // 3
     dh = D // heads
     interpret = jax.default_backend() != "tpu"
-    per = max(128 // dh, 1)
-    if heads % per != 0:
+    per = _head_group(heads, dh) if not interpret else max(128 // dh, 1)
+    if per is None or (not interpret and heads % per != 0):
+        # tiny/debug towers: no legal block tiling; XLA path is fine there
+        return _qkv_reference(qkv, mask, heads, scale)
+    if interpret and heads % per != 0:
         per = 1
     G = heads // per
     bw = dh * per
