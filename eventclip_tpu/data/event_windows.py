@@ -17,7 +17,7 @@ Behavioral contracts:
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

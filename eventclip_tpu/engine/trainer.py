@@ -35,7 +35,7 @@ from ..models.classifier import (
 )
 from ..models.clip.config import clip_arch_config
 from ..ops.preprocess import ClipPreprocess
-from ..parallel import make_mesh, shard_batch, shard_params
+from ..parallel import make_mesh, shard_params
 from ..utils.meters import AverageMeter
 from .checkpoint import CheckpointManager, load_checkpoint
 from .optim import OptimConfig, build_optimizer

@@ -23,7 +23,6 @@ Design choices:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
