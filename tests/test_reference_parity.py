@@ -136,3 +136,20 @@ def test_window_split_matches_reference(ref_vis, rng):
             convert_method="event_histogram", N=1000, shape=(32, 32),
         )
         assert len(event_count_windows(n, 1000)) == frames.shape[0], n
+
+
+@pytest.mark.parametrize("grayscale", [200, False])
+@pytest.mark.parametrize("thresh", [0.0, 10.0])
+def test_oracle_parity_extra_param_combos(ref_vis, rng, grayscale, thresh):
+    """int-grayscale colormaps and disabled hot-pixel removal."""
+    from eventclip_tpu.ops.numpy_ref import events_to_frames_np
+
+    H, W, N = 40, 50, 800
+    ev = synth_events(rng, 2000, H, W)
+    want = ref_vis.events2frames(
+        ev, split_method="event_count", convert_method="event_histogram",
+        N=N, shape=(H, W), thresh=thresh, grayscale=grayscale,
+    ).astype(np.uint8)
+    got = events_to_frames_np(ev, N, (H, W), thresh=thresh,
+                              grayscale=grayscale)
+    np.testing.assert_array_equal(got, want)
