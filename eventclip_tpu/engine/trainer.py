@@ -53,10 +53,19 @@ def _log_jsonl(path: Optional[str], record: Dict[str, Any]) -> None:
         f.write(json.dumps(record) + "\n")
 
 
-def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str]):
-    """Load converted CLIP weights or fall back to random init (smoke mode)."""
+def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str],
+                        smoke: bool = False):
+    """Load converted CLIP weights, or random init in smoke/debug mode.
+
+    The reference always loads real weights via `clip.load(arch)`
+    (reference train.py:26); random CLIP produces garbage accuracies without
+    otherwise failing, so running without a checkpoint is an error unless the
+    caller passed --smoke or the arch is a debug tower (no released weights).
+    """
     ckpt = clip_ckpt or params_cfg.get("clip_ckpt", None)
-    if ckpt and os.path.exists(ckpt):
+    if ckpt and not os.path.exists(ckpt):
+        raise FileNotFoundError(f"CLIP checkpoint not found: {ckpt}")
+    if ckpt:
         if ckpt.endswith(".npz"):
             flat, _ = load_checkpoint(ckpt)
             from ..models.clip.model import init_clip_params
@@ -75,16 +84,38 @@ def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str]):
 
         params, _ = load_clip_checkpoint(ckpt)
         return jax.tree_util.tree_map(jnp.asarray, params), True
+    if not (smoke or clip_cfg.debug):
+        raise FileNotFoundError(
+            f"No CLIP checkpoint for {clip_cfg.name!r}. Real runs need the "
+            "released OpenAI weights (the reference downloads them via "
+            "clip.load, reference train.py:26):\n"
+            "  - pass --clip_ckpt /path/to/checkpoint.pt (torch archive), or\n"
+            "  - convert once with scripts/convert_clip.py and pass the .npz,"
+            "\n  - or set the CLIP_CKPT environment variable.\n"
+            "Pass --smoke to run with RANDOM weights (throughput/pipeline "
+            "testing only — every reported accuracy will be garbage)."
+        )
     from ..models.clip.model import init_clip_params
 
-    print("WARNING: no CLIP checkpoint found - using RANDOM weights "
-          "(smoke-test mode; pass --clip_ckpt for real runs)")
+    print("WARNING: smoke mode - RANDOM CLIP weights; accuracies are garbage")
     return init_clip_params(rng, clip_cfg), False
+
+
+def snapshot_logit_scale(cls_cfg, clip_params, pretrained: bool):
+    """Snapshot exp(learned tau) from the checkpoint into the classifier
+    config (reference models/clip_cls.py:44). Random-init runs keep the
+    config default of 100.0 = the released checkpoints' clamped value."""
+    if not pretrained:
+        return cls_cfg
+    import dataclasses
+
+    scale = float(np.exp(np.asarray(clip_params["logit_scale"])))
+    return dataclasses.replace(cls_cfg, logit_scale=scale)
 
 
 def build_text_features(clip_params, clip_cfg, class_names, prompt,
                         pretrained: bool):
-    """Prompted text features; random-normalized fallback without assets."""
+    """Prompted text features; random fallback only for smoke/debug runs."""
     try:
         from ..models.clip.tokenizer import SimpleTokenizer
 
@@ -92,10 +123,17 @@ def build_text_features(clip_params, clip_cfg, class_names, prompt,
         return compute_text_features(
             clip_params, clip_cfg, class_names, prompt, tok
         )
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, OSError) as e:
         if pretrained:
-            raise
-        print("WARNING: BPE vocab asset missing - random text features")
+            # real weights + random text features would silently produce
+            # garbage zero-shot numbers; refuse (reference models/clip_cls.py:81-83)
+            raise FileNotFoundError(
+                "BPE vocab asset missing; drop bpe_simple_vocab_16e6.txt.gz "
+                "into eventclip_tpu/assets/ to tokenize prompts with real "
+                f"CLIP weights. ({e})"
+            ) from e
+        print("WARNING: BPE vocab asset missing - random text features "
+              "(smoke mode)")
         from ..models.classifier import normalize
 
         rng = jax.random.PRNGKey(1234)
@@ -115,6 +153,7 @@ class EventCLIPTrainer:
         n_model: int = 1,
         log_file: Optional[str] = None,
         seed: int = 0,
+        smoke: bool = False,
     ):
         self.params = params
         self.train_set = train_set
@@ -129,7 +168,10 @@ class EventCLIPTrainer:
 
         rng = jax.random.PRNGKey(seed)
         clip_params, self.pretrained = resolve_clip_params(
-            params, self.clip_cfg, rng, clip_ckpt
+            params, self.clip_cfg, rng, clip_ckpt, smoke=smoke
+        )
+        self.cls_cfg = snapshot_logit_scale(
+            self.cls_cfg, clip_params, self.pretrained
         )
         text_feats = build_text_features(
             clip_params, self.clip_cfg, train_set.classes,

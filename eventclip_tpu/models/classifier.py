@@ -95,7 +95,12 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
             ft_mode = "cls_fc"
         elif clip_dict.get("only_cls_token"):
             ft_mode = "cls_token"
+    # loss selection comes from the config, exactly one of the two; without
+    # a loss_dict both regimes default to logits CE (the value every shipped
+    # reference config specifies — no model-dependent invention here)
     loss_dict = dict(params_cfg.get("loss_dict", {}) or {})
+    use_logits = bool(loss_dict.get("use_logits_loss", True))
+    use_probs = bool(loss_dict.get("use_probs_loss", not use_logits))
     return ClassifierConfig(
         model=params_cfg.model,
         clip=clip_cfg,
@@ -104,8 +109,8 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
         prompt_tuning=prompt_tuning,
         lora=lora if lora_enabled else None,
         ft_mode=ft_mode,
-        use_logits_loss=loss_dict.get("use_logits_loss", params_cfg.model != "FSCLIP"),
-        use_probs_loss=loss_dict.get("use_probs_loss", params_cfg.model == "FSCLIP"),
+        use_logits_loss=use_logits,
+        use_probs_loss=use_probs,
         dtype=dtype,
         remat=bool(params_cfg.get("remat", params_cfg.model == "FTCLIP")),
     )

@@ -43,6 +43,9 @@ class CLIPConfig:
     name: str
     vision: VisionConfig
     text: TextConfig
+    # debug towers (tiny shapes, no released OpenAI weights) may run with
+    # random init without the explicit --smoke escape hatch
+    debug: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -88,8 +91,10 @@ CLIP_ARCHS = {
     "ViT-L/14": _vit("ViT-L/14", 224, 14, 1024, 24, 16, 768, 768, 12),
     "ViT-L/14@336px": _vit("ViT-L/14@336px", 336, 14, 1024, 24, 16, 768, 768, 12),
     # tiny debug tower (smoke tests / CI; not an OpenAI release)
-    "ViT-T/8@32": _vit("ViT-T/8@32", 32, 8, 64, 2, 2, 32, 32, 2,
-                       t_layers=2),
+    "ViT-T/8@32": dataclasses.replace(
+        _vit("ViT-T/8@32", 32, 8, 64, 2, 2, 32, 32, 2, t_layers=2),
+        debug=True,
+    ),
 }
 
 _RESNET_SPECS = {
@@ -113,6 +118,7 @@ def _register_resnets():
                 CLIP_ARCHS[name],
                 text=TextConfig(vocab_size=128, context_length=16, width=32,
                                 heads=2, layers=2, output_dim=32),
+                debug=True,
             )
 
 

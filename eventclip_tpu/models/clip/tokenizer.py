@@ -38,6 +38,10 @@ EOT = "<|endoftext|>"
 
 DEFAULT_BPE_PATHS = (
     os.environ.get("EVENTCLIP_BPE_PATH", ""),
+    # the package asset directory (eventclip_tpu/assets/) and, as a
+    # fallback, a repo-root assets/ directory
+    os.path.join(os.path.dirname(__file__), "..", "..", "assets",
+                 "bpe_simple_vocab_16e6.txt.gz"),
     os.path.join(os.path.dirname(__file__), "..", "..", "..", "assets",
                  "bpe_simple_vocab_16e6.txt.gz"),
 )

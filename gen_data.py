@@ -25,44 +25,40 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 
-def get_real_path(path):
-    while osp.islink(path):
-        path = os.readlink(path)
-    return path
+def resolve_link(path):
+    """Fully resolve a (possibly chained) symlink to its real target."""
+    return osp.realpath(path)
 
 
-def get_folder_and_fn(path):
-    return osp.join(osp.basename(osp.dirname(path)), osp.basename(path))
+def class_relpath(path):
+    """Trailing '<class folder>/<file name>' of an event path — the key the
+    reference uses to match GT split entries against dataset files."""
+    from pathlib import PurePath
+
+    return osp.join(*PurePath(path).parts[-2:])
 
 
-def find_key_from_value(d, v):
-    for k, v_ in d.items():
-        if v_ == v:
-            return k
-    return None
-
-
-def print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
-                sel_correct_class_cnt):
+def report_selection(args, class_names, gt_cnt, sel_cnt, correct_cnt):
+    """Per-class + aggregate pseudo-label selection report."""
+    rows = [
+        (name, gt_cnt[name], sel_cnt[name], correct_cnt[name])
+        for name in class_names
+    ]
     print("\nClass stats:")
-    for k in class_names:
-        print(f"\t{k}: GT {gt_class_cnt[k]}, select {sel_class_cnt[k]}, "
-              f"{sel_correct_class_cnt[k]} correct")
-    less_accurate = 0
-    for k in class_names:
-        sel, cor = sel_class_cnt[k], sel_correct_class_cnt[k]
-        ratio = cor / sel if sel > 0 else 0.0
-        if ratio < 0.5:
-            less_accurate += 1
-    print(f"Not accurate classes: {less_accurate}/{len(class_names)}")
-    total = sum(gt_class_cnt.values())
-    sel = sum(sel_class_cnt.values())
-    cor = sum(sel_correct_class_cnt.values())
-    acc = cor / sel * 100.0 if sel > 0 else 0.0
+    for name, gt, sel, cor in rows:
+        print(f"\t{name}: GT {gt}, select {sel}, {cor} correct")
+    # zero-selection classes count as inaccurate (precision treated as 0)
+    precision = lambda sel, cor: cor / sel if sel else 0.0  # noqa: E731
+    inaccurate = sum(1 for _, _, sel, cor in rows if precision(sel, cor) < 0.5)
+    print(f"Not accurate classes: {inaccurate}/{len(rows)}")
+    total_gt = sum(gt for _, gt, _, _ in rows)
+    total_sel = sum(sel for _, _, sel, _ in rows)
+    total_cor = sum(cor for _, _, _, cor in rows)
     print(f"\nUsing conf_thresh={args.conf_thresh}")
     if args.topk > 0:
         print(f"Using topk={args.topk}")
-    print(f"\tSelect {sel} from {total}, Acc={acc:.2f}%")
+    pct = 100.0 * total_cor / total_sel if total_sel else 0.0
+    print(f"\tSelect {total_sel} from {total_gt}, Acc={pct:.2f}%")
     if args.tta:
         print(f"Using TTA with consistent={args.tta_consistent} + "
               f"min_prob={args.tta_min_prob}")
@@ -78,6 +74,7 @@ def main(params, args):
     from eventclip_tpu.engine.trainer import (
         build_text_features,
         resolve_clip_params,
+        snapshot_logit_scale,
     )
     from eventclip_tpu.models.classifier import (
         build_classifier_config,
@@ -103,8 +100,10 @@ def main(params, args):
     cls_cfg = build_classifier_config(params, clip_cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     clip_params, pretrained = resolve_clip_params(
-        params, clip_cfg, rng, args.clip_ckpt or None
+        params, clip_cfg, rng, args.clip_ckpt or None,
+        smoke=getattr(args, "smoke", False),
     )
+    cls_cfg = snapshot_logit_scale(cls_cfg, clip_params, pretrained)
     text_feats = build_text_features(
         clip_params, clip_cfg, class_names,
         params.clip_dict.get("prompt", "a point cloud image of a {}"),
@@ -133,7 +132,7 @@ def main(params, args):
         ) or load_split_asset(type(ev_dst).__name__, args.gt_shots, False)
         assert gt_split, f"no shipped {args.gt_shots}-shot split"
         gt_data = {k: class_names[v] for k, v in gt_split.items()}
-    gt_data_paths = {get_folder_and_fn(k) for k in gt_data}
+    gt_data_paths = {class_relpath(k) for k in gt_data}
 
     spec = test_set.raster_spec()
     pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
@@ -198,7 +197,7 @@ def main(params, args):
             if not mask[i]:
                 continue
             ev_path = str(ev_dst.labeled_files[batch["data_idx"][i]])
-            if get_folder_and_fn(ev_path) in gt_data_paths:
+            if class_relpath(ev_path) in gt_data_paths:
                 continue
             pred_cls_name = class_names[pred_labels[i]]
             if sel_mask[i]:
@@ -212,8 +211,8 @@ def main(params, args):
                 else:
                     pred_path2cls[ev_path] = pred_cls_name
 
-    print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
-                sel_correct_class_cnt)
+    report_selection(args, class_names, gt_class_cnt, sel_class_cnt,
+                     sel_correct_class_cnt)
     print(f"\n\nTesting {args.params}")
     if args.weight:
         print(f"Model weight: {args.weight}")
@@ -228,6 +227,9 @@ def main(params, args):
     assert not osp.exists(save_path), f"{save_path} already exists!"
     os.makedirs(train_path, exist_ok=True)
     new_cnames = getattr(ev_dst, "new_cnames", None)
+    # renamed class -> original folder name (undo the CoOp renames when
+    # writing folders; reference walks the dict per lookup, we invert once)
+    orig_cname = {v: k for k, v in (new_cnames or {}).items()}
 
     # per-class top-k re-filter by confidence (gen_data.py:202-228)
     if topk > 0:
@@ -252,8 +254,8 @@ def main(params, args):
                 topk_path2cls[path] = cls_name
             sel_class_cnt[cls_name] = k
         pred_path2cls = topk_path2cls
-        print_stats(args, class_names, gt_class_cnt, sel_class_cnt,
-                    sel_correct_class_cnt)
+        report_selection(args, class_names, gt_class_cnt, sel_class_cnt,
+                         sel_correct_class_cnt)
 
     # merge GT labeled data, then materialize symlinks
     for rel, cls in gt_data.items():
@@ -261,11 +263,8 @@ def main(params, args):
         if osp.exists(abs_path):
             pred_path2cls[abs_path] = cls
     for path, pred_cls in pred_path2cls.items():
-        path = get_real_path(path)
-        if new_cnames is not None:
-            ori = find_key_from_value(new_cnames, pred_cls)
-            if ori is not None:
-                pred_cls = ori
+        path = resolve_link(path)
+        pred_cls = orig_cname.get(pred_cls, pred_cls)
         folder = ev_dst.name2folder[pred_cls] if is_nin else pred_cls
         new_path = osp.join(train_path, folder, osp.basename(path))
         os.makedirs(osp.dirname(new_path), exist_ok=True)
@@ -274,22 +273,19 @@ def main(params, args):
 
     # symlink val/test splits next to the pseudo train split
     if is_nin:
-        ori_val = get_real_path(osp.join(osp.dirname(ev_dst.root),
+        ori_val = resolve_link(osp.join(osp.dirname(ev_dst.root),
                                          "extracted_val"))
         os.symlink(ori_val, osp.join(save_path, "extracted_val"))
     else:
         for split in ("validation", "testing"):
             ori = osp.join(osp.dirname(ev_dst.root), split)
             if osp.exists(ori):
-                os.symlink(get_real_path(ori), osp.join(save_path, split))
+                os.symlink(resolve_link(ori), osp.join(save_path, split))
     print(f"\nSaved pseudo labels to {save_path}")
 
     # empty class dirs for consistency (gen_data.py:271-280)
     for k in class_names:
-        if new_cnames is not None:
-            ori = find_key_from_value(new_cnames, k)
-            if ori is not None:
-                k = ori
+        k = orig_cname.get(k, k)
         folder = ev_dst.name2folder[k] if is_nin else k
         os.makedirs(osp.join(train_path, folder), exist_ok=True)
 
@@ -309,6 +305,9 @@ if __name__ == "__main__":
     parser.add_argument("--clip_ckpt", type=str,
                         default=os.environ.get("CLIP_CKPT", ""))
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--smoke", action="store_true",
+                        help="allow RANDOM CLIP weights (pipeline testing "
+                        "only; pseudo labels will be garbage)")
     args = parser.parse_args()
 
     if args.cpu:

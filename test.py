@@ -39,6 +39,9 @@ def parse_args():
     parser.add_argument("--ckpt_base", type=str, default="checkpoint")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU (debug/smoke runs)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="allow RANDOM CLIP weights (pipeline testing "
+                        "only; accuracies will be garbage)")
     return parser.parse_args()
 
 
@@ -52,6 +55,7 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
     from eventclip_tpu.engine.trainer import (
         build_text_features,
         resolve_clip_params,
+        snapshot_logit_scale,
     )
     from eventclip_tpu.models.classifier import (
         build_classifier_config,
@@ -68,8 +72,10 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
     cls_cfg = build_classifier_config(params, clip_cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     clip_params, pretrained = resolve_clip_params(
-        params, clip_cfg, rng, args.clip_ckpt or None
+        params, clip_cfg, rng, args.clip_ckpt or None,
+        smoke=getattr(args, "smoke", False),
     )
+    cls_cfg = snapshot_logit_scale(cls_cfg, clip_params, pretrained)
     text_feats = build_text_features(
         clip_params, clip_cfg, val_set.classes,
         params.clip_dict.get("prompt", "a point cloud image of a {}"),

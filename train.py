@@ -42,6 +42,9 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU (debug/smoke runs)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="allow RANDOM CLIP weights (pipeline/throughput "
+                        "testing; accuracies will be garbage)")
     parser.add_argument("--profile", type=int, default=0,
                         help="capture a jax.profiler trace of N train steps")
     return parser.parse_args()
@@ -123,6 +126,7 @@ def main():
         n_model=args.n_model,
         log_file=os.path.join(ckpt_dir, "metrics.jsonl"),
         seed=args.seed,
+        smoke=args.smoke,
     )
     trainer.fit(resume_from=args.weight,
                 san_check_val_step=args.san_check_val_step)
