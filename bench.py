@@ -1,4 +1,4 @@
-"""Benchmark: the event->CLIP-input pipeline plus end-to-end prediction.
+"""Benchmark: the event->CLIP pipeline, encoders, and train steps on TPU.
 
 Primary metric (the north star in BASELINE.json, "events/sec event2img"):
 how fast raw event windows become CLIP-ready image tensors. The reference
@@ -9,11 +9,21 @@ below measures exactly that host pipeline on this machine (same math,
 single worker). Ours is the fused on-device program
 (ops/rasterize.py::rasterize_for_clip) on one TPU chip.
 
-Also measured and printed to stderr: end-to-end events -> prediction
-throughput (pipeline + CLIP ViT-L/14 bf16 encode + aggregation) on the same
-chip.
+Also measured, reported per stage to stderr and BENCH_STAGES.json:
+  - rasterize-only (events -> uint8 frames, no CLIP preprocess)
+  - CLIP ViT-L/14 bf16 encode
+  - FSCLIP joint-adapter train step WITH on-device RandAugment (img_aug=True,
+    the flagship training config's real step)
+  - FTCLIP LoRA-16 train step
+  - end-to-end events -> prediction
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing protocol: every stage is timed as the best of `BENCH_REPEATS` windows
+of `iters` dispatches each, synced by a host fetch (`float(x.sum())`) —
+`jax.block_until_ready` is a no-op through the remote-TPU relay, and
+single-window timing is vulnerable to transient relay stalls (the round-1
+driver capture hit one: 89M events/s vs the 220M this machine reproduces).
+
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
@@ -24,6 +34,9 @@ import sys
 import time
 
 import numpy as np
+
+STAGES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_STAGES.json")
 
 
 def make_event_batch(rng, B, T, N, H, W):
@@ -73,6 +86,43 @@ def host_baseline_events_per_sec(rng, H, W, N, image_size, n_windows=6) -> float
     return N * n_windows * reps / dt
 
 
+class Bench:
+    def __init__(self, repeats: int):
+        self.repeats = repeats
+        self.records = []
+
+    def run(self, dispatch, sync, iters: int) -> float:
+        """Best-of-`repeats` seconds for `iters` dispatches + one sync."""
+        sync(dispatch())  # compile + warm
+        sync(dispatch())
+        best = float("inf")
+        for _ in range(self.repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = dispatch()
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    def record(self, metric, value, unit, note=""):
+        rec = {"metric": metric, "value": round(float(value), 3),
+               "unit": unit}
+        if note:
+            rec["note"] = note
+        self.records.append(rec)
+        print(f"[bench] {metric}: {value:,.1f} {unit}  {note}",
+              file=sys.stderr)
+        return rec
+
+
+def _sync(x):
+    # device-side reduce + scalar fetch = the only real sync through the
+    # axon relay (block_until_ready is a no-op there, and fetching a full
+    # tensor would time the tunnel bandwidth, not the device)
+    float(x.sum())
+
+
 def main():
     import jax
 
@@ -91,14 +141,21 @@ def main():
         init_classifier_params,
     )
     from eventclip_tpu.models.clip.config import clip_arch_config
+    from eventclip_tpu.models.clip.model import encode_image
     from eventclip_tpu.ops.preprocess import ClipPreprocess
-    from eventclip_tpu.ops.rasterize import RasterSpec, rasterize_for_clip
+    from eventclip_tpu.ops.rasterize import (
+        RasterSpec,
+        rasterize_for_clip,
+        rasterize_windows,
+    )
 
     H, W, N = 180, 240, 20000
     B = int(os.environ.get("BENCH_BATCH", "32"))
     T = int(os.environ.get("BENCH_VIEWS", "2"))
     arch = os.environ.get("BENCH_ARCH", "ViT-L/14")
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    level = os.environ.get("BENCH_LEVEL", "full")  # full | quick
+    bench = Bench(repeats=int(os.environ.get("BENCH_REPEATS", "3")))
 
     clip_cfg = clip_arch_config(arch)
     cfg = ClassifierConfig(model="ZSCLIP", clip=clip_cfg, dtype=jnp.bfloat16)
@@ -112,53 +169,136 @@ def main():
     rng = np.random.default_rng(0)
     windows = jnp.asarray(make_event_batch(rng, B, T, N, H, W))
     valid = jnp.ones((B, T), dtype=bool)
+    events_per_batch = B * T * N
 
     # --- stage 1: event2img (the reference's DataLoader-worker stage) ------
     pipe = jax.jit(lambda w: rasterize_for_clip(spec, pp, w))
-    float(pipe(windows).sum())  # compile+warmup (host fetch = real sync)
-    float(pipe(windows).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        imgs = pipe(windows)
-    float(imgs.sum())
-    dt = time.perf_counter() - t0
-    event2img_rate = B * T * N * iters / dt
+    dt = bench.run(lambda: pipe(windows), _sync, iters)
+    event2img_rate = events_per_batch / dt
+    bench.record("event2img_events_per_sec", event2img_rate, "events/s",
+                 f"B={B} T={T} N={N} {H}x{W}->{clip_cfg.vision.image_size}^2")
 
-    # --- end-to-end: events -> prediction ----------------------------------
+    # --- stage 2: rasterize only (events -> uint8 frames) ------------------
+    rast = jax.jit(lambda w: rasterize_windows(spec, w))
+    dt = bench.run(lambda: rast(windows), _sync, iters)
+    bench.record("rasterize_events_per_sec", events_per_batch / dt,
+                 "events/s", f"B={B} T={T} N={N} frames only")
+
+    # --- stage 3: CLIP encode (bf16 forward) --------------------------------
+    eB = int(os.environ.get("BENCH_ENC_BATCH", "64"))
+    imgs = jnp.asarray(rng.normal(size=(
+        eB, 3, clip_cfg.vision.image_size, clip_cfg.vision.image_size
+    )).astype(np.float32))
+    enc = jax.jit(lambda p, x: encode_image(
+        p, clip_cfg.vision, x, dtype=jnp.bfloat16))
+    visual = params["clip"]["visual"]
+    dt = bench.run(lambda: enc(visual, imgs), _sync, iters)
+    bench.record(f"encode_{arch.replace('/', '')}_img_per_sec", eB / dt,
+                 "img/s", f"bf16 B={eB}")
+
+    # --- stage 4: end-to-end events -> prediction ---------------------------
     @jax.jit
-    def e2e(params, windows, valid):
-        x = rasterize_for_clip(spec, pp, windows)
-        return classifier_forward(params, cfg, x, valid)["probs"]
+    def e2e(p, w, v):
+        x = rasterize_for_clip(spec, pp, w)
+        return classifier_forward(p, cfg, x, v)["probs"]
 
-    float(e2e(params, windows, valid).sum())
-    float(e2e(params, windows, valid).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = e2e(params, windows, valid)
-    float(out.sum())
-    dt = time.perf_counter() - t0
-    e2e_events = B * T * N * iters / dt
-    e2e_imgs = B * T * iters / dt
+    dt = bench.run(lambda: e2e(params, windows, valid), _sync, iters)
+    e2e_events = events_per_batch / dt
+    e2e_imgs = B * T / dt
+    bench.record("e2e_events_per_sec", e2e_events, "events/s",
+                 f"incl. {arch} encode; {e2e_imgs:,.1f} img/s")
+
+    if level == "full":
+        _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
 
     baseline = host_baseline_events_per_sec(
         rng, H, W, N, clip_cfg.vision.image_size
     )
+    bench.record("host_pipeline_events_per_sec", baseline, "events/s",
+                 "reference DataLoader-worker pipeline, 1 worker")
 
-    print(
-        f"[bench] event2img (N={N}, {H}x{W} -> {clip_cfg.vision.image_size}^2): "
-        f"ours {event2img_rate:,.0f} events/s on-device vs reference host "
-        f"pipeline {baseline:,.0f} events/s/worker "
-        f"({event2img_rate / baseline:,.1f}x). "
-        f"End-to-end incl. {arch} encode: {e2e_events:,.0f} events/s "
-        f"({e2e_imgs:,.1f} img/s) on one chip.",
-        file=sys.stderr,
-    )
+    with open(STAGES_PATH, "w") as f:
+        for rec in bench.records:
+            f.write(json.dumps(rec) + "\n")
+
     print(json.dumps({
         "metric": "event2img_events_per_sec",
         "value": round(event2img_rate, 1),
         "unit": "events/s",
         "vs_baseline": round(event2img_rate / baseline, 3),
     }))
+
+
+def _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N):
+    """FSCLIP (joint adapter + prompt tuning, img_aug=True) and FTCLIP
+    (LoRA-16) train steps at the flagship config geometry (ViT-L/14, B=16,
+    T=2 — configs/fsclip/joint_adapter/joint_fsclip_ncaltech_params.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventclip_tpu.engine.optim import OptimConfig, build_optimizer
+    from eventclip_tpu.engine.train import create_train_state, make_train_step
+    from eventclip_tpu.models.adapter import AdapterConfig
+    from eventclip_tpu.models.classifier import (
+        ClassifierConfig,
+        init_classifier_params,
+    )
+    from eventclip_tpu.parallel import make_mesh
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    T = 2
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    windows = jnp.asarray(make_event_batch(rng, B, T, N, H, W))
+    batch = {
+        "windows": windows,
+        "valid_mask": jnp.ones((B, T), dtype=bool),
+        "label": jnp.asarray(rng.integers(0, 101, size=(B,)), jnp.int32),
+    }
+    batch = jax.device_put(batch)
+
+    def bench_step(name, cfg, augment, note):
+        params = jax.device_put(init_classifier_params(
+            jax.random.PRNGKey(0), cfg, n_classes=101))
+        tx = build_optimizer(cfg, OptimConfig(lr=1e-4, total_steps=1000),
+                             params)
+        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+        step = make_train_step(cfg, tx, mesh, state,
+                               pipeline=(spec, pp), augment=augment)
+        holder = {"state": state}
+
+        def dispatch():
+            holder["state"], metrics = step(holder["state"], batch)
+            return metrics["total_loss"]
+
+        dt = bench.run(dispatch, _sync, iters)
+        bench.record(name, dt * 1e3, "ms/step", f"{note}; {B / dt:,.1f} img/s"
+                     f" (B={B} T={T}, on-device rasterize included)")
+
+    fs_cfg = ClassifierConfig(
+        model="FSCLIP", clip=clip_cfg, dtype=jnp.bfloat16,
+        adapter=AdapterConfig(adapter_type="trans", in_dim=clip_cfg.embed_dim,
+                              d_model=256, num_heads=4, ffn_dim=1024,
+                              num_layers=2, residual=0.8),
+        prompt_tuning=True,
+    )
+    bench_step("fsclip_aug_train_step_ms", fs_cfg, augment=True,
+               note="joint adapter + prompts, img_aug=True (RandAugment)")
+
+    ft_cfg = ClassifierConfig(
+        model="FTCLIP", clip=clip_cfg, dtype=jnp.bfloat16,
+        lora="qkv-16", ft_mode="lora", prompt_tuning=True, remat=False,
+    )
+    bench_step("ftclip_lora_train_step_ms", ft_cfg, augment=False,
+               note="LoRA-16")
+
+    if os.environ.get("BENCH_FT_FULL"):
+        full_cfg = ClassifierConfig(
+            model="FTCLIP", clip=clip_cfg, dtype=jnp.bfloat16,
+            ft_mode="full", remat=True,
+        )
+        bench_step("ftclip_full_train_step_ms", full_cfg, augment=False,
+                   note="full fine-tune + remat")
 
 
 if __name__ == "__main__":

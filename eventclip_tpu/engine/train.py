@@ -86,8 +86,13 @@ def make_train_step(
     and GSPMD propagates their layouts through the step, which keeps the
     multi-chip program identical while avoiding per-leaf sharding
     set-up overhead on every dispatch (measured 35x step overhead on the
-    remote-TPU runtime with ~500 explicit leaf shardings).
+    remote-TPU runtime with ~500 explicit leaf shardings). Tensor
+    parallelism (mesh model axis > 1) additionally routes the attention
+    core through a shard_map so the Pallas kernel runs per-shard.
     """
+    from ..parallel.sharding import make_tp_context
+
+    tp = make_tp_context(mesh)
     del mesh, state  # shardings flow from the input arrays
     loss_weights = dict(loss_weights or {})
 
@@ -97,7 +102,8 @@ def make_train_step(
             batch, pipeline, augment_rng=rng_aug if augment else None
         )
         out = classifier_forward(
-            params, cfg, imgs, batch["valid_mask"], train=True, rng=rng
+            params, cfg, imgs, batch["valid_mask"], train=True, rng=rng,
+            tp=tp,
         )
         losses = train_loss(cfg, out, batch["label"])
         # nerv convention: total = sum(loss * params.<name>_w)
@@ -131,12 +137,15 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
     batch adds 'sample_mask' [B] bool so ragged final batches stay static.
     Sharding flows from the input arrays (see make_train_step).
     """
+    from ..parallel.sharding import make_tp_context
+
+    tp = make_tp_context(mesh)
     del mesh, params_example
 
     def step_fn(params, batch):
         imgs = _batch_images(batch, pipeline)
         out = classifier_forward(
-            params, cfg, imgs, batch["valid_mask"], train=False
+            params, cfg, imgs, batch["valid_mask"], train=False, tp=tp
         )
         m = batch["sample_mask"].astype(jnp.float32)
         label = batch["label"]

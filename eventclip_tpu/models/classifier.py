@@ -217,6 +217,7 @@ def classifier_forward(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    tp=None,
 ) -> Dict[str, jnp.ndarray]:
     """imgs [B, T, 3, S, S] CLIP-normalized, valid [B, T] -> output dict.
 
@@ -239,6 +240,7 @@ def classifier_forward(
             params["clip"]["visual"], cfg.clip.vision, flat,
             dtype=cfg.dtype, lora=lora,
             remat=cfg.remat and cfg.model == "FTCLIP" and train,
+            tp=tp,
         ).astype(jnp.float32)
     if cfg.model != "FTCLIP":
         img_feats = jax.lax.stop_gradient(img_feats)

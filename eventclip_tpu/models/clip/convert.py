@@ -75,12 +75,17 @@ def _stack_blocks(sd: Mapping[str, Any], prefix: str, layers: int) -> Dict[str, 
     def gather(suffix):
         return np.stack([_np(sd[f"{prefix}.{i}.{suffix}"]) for i in range(layers)])
 
+    wqkv = gather("attn.in_proj_weight")  # [L, 3D, D]
+    bqkv = gather("attn.in_proj_bias")  # [L, 3D]
+    L, D3, D = wqkv.shape
     return {
         "ln_1": {"scale": gather("ln_1.weight"), "bias": gather("ln_1.bias")},
         "ln_2": {"scale": gather("ln_2.weight"), "bias": gather("ln_2.bias")},
         "attn": {
-            "wqkv": gather("attn.in_proj_weight"),
-            "bqkv": gather("attn.in_proj_bias"),
+            # q/k/v axis made explicit so TP can shard D_out head-aligned
+            # (model.py attention layout)
+            "wqkv": wqkv.reshape(L, 3, D, D),
+            "bqkv": bqkv.reshape(L, 3, D),
             "wo": gather("attn.out_proj.weight"),
             "bo": gather("attn.out_proj.bias"),
         },

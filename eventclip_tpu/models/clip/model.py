@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.attention import fused_qkv_attention
+from ...ops.attention import fused_qkv_attention, tp_fused_qkv_attention
 from .config import CLIPConfig, TextConfig, VisionConfig
 
 Params = Dict[str, Any]
@@ -88,29 +88,52 @@ def attention(
     heads: int,
     mask: Optional[jnp.ndarray] = None,
     lora: Optional[Params] = None,
+    tp=None,
 ) -> jnp.ndarray:
     """Multi-head self attention matching torch.nn.MultiheadAttention.
 
-    p: {'wqkv': [3D, D], 'bqkv': [3D], 'wo': [D, D], 'bo': [D]}
+    p: {'wqkv': [3, D, D], 'bqkv': [3, D], 'wo': [D, D], 'bo': [D]}
+       (the fused in_proj is stored with the q/k/v axis explicit so
+       tensor parallelism can shard D_out head-aligned — each shard then
+       owns whole heads of all three of q, k, v; see parallel/sharding.py)
     lora: optional {'q'|'k'|'v'|'o': {'a': [r, D], 'b': [D, r]}}
+    tp: optional parallel.TPContext — run the attention core per-shard.
     """
     B, T, D = x.shape
-    qkv = dense(x, p["wqkv"], p["bqkv"])  # [B, T, 3D]
-    if lora is not None:
-        zeros = jnp.zeros((B, T, D), qkv.dtype)
-        delta = jnp.concatenate(
-            [
-                _lora_delta(x, lora["q"]) if "q" in lora else zeros,
-                _lora_delta(x, lora["k"]) if "k" in lora else zeros,
-                _lora_delta(x, lora["v"]) if "v" in lora else zeros,
-            ],
-            axis=-1,
-        )
-        qkv = qkv + delta
+
+    def lora_deltas(stack_fn):
+        zeros = jnp.zeros((B, T, D), x.dtype)
+        return stack_fn([
+            _lora_delta(x, lora["q"]) if "q" in lora else zeros,
+            _lora_delta(x, lora["k"]) if "k" in lora else zeros,
+            _lora_delta(x, lora["v"]) if "v" in lora else zeros,
+        ])
+
     # fused-qkv attention: head columns are sliced inside the kernel, so no
     # [B, H, T, dh] relayouts ever materialize
-    o = fused_qkv_attention(qkv, heads, mask,
-                            use_pallas=_use_pallas_attention())
+    if tp is not None:
+        assert mask is None, "TP attention is only wired for the ViT tower"
+        # keep the q/k/v axis explicit so the head-aligned weight sharding
+        # ([3, D_out, D_in] split on D_out) propagates onto the activation
+        qkv = jnp.einsum(
+            "...i,toi->...to", x, p["wqkv"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        qkv = (qkv + p["bqkv"].astype(jnp.float32)).astype(x.dtype)
+        if lora is not None:
+            qkv = qkv + lora_deltas(lambda ds: jnp.stack(ds, axis=-2))
+        o = tp_fused_qkv_attention(qkv, heads, tp,
+                                   use_pallas=_use_pallas_attention())
+    else:
+        # replicated weights: collapse to the single fused matmul (the
+        # reshape is free; the [B, T, 3, D]-producing einsum measures ~25%
+        # slower end-to-end on the ViT-L/14 forward)
+        qkv = dense(x, p["wqkv"].reshape(3 * D, D),
+                    p["bqkv"].reshape(3 * D))  # [B, T, 3D]
+        if lora is not None:
+            qkv = qkv + lora_deltas(lambda ds: jnp.concatenate(ds, axis=-1))
+        o = fused_qkv_attention(qkv, heads, mask,
+                                use_pallas=_use_pallas_attention())
     o = o.astype(x.dtype)
     out = dense(o, p["wo"], p["bo"])
     if lora is not None and "o" in lora:
@@ -125,6 +148,7 @@ def transformer(
     mask: Optional[jnp.ndarray] = None,
     lora: Optional[Params] = None,
     remat: bool = False,
+    tp=None,
 ) -> jnp.ndarray:
     """Pre-norm residual transformer; layer-stacked params driven by scan.
 
@@ -135,7 +159,8 @@ def transformer(
 
     def body(h, layer):
         lp, ll = layer
-        h = h + attention(lp["attn"], layer_norm(h, lp["ln_1"]), heads, mask, ll)
+        h = h + attention(lp["attn"], layer_norm(h, lp["ln_1"]), heads, mask,
+                          ll, tp=tp)
         y = dense(layer_norm(h, lp["ln_2"]), lp["mlp"]["w1"], lp["mlp"]["b1"])
         h = h + dense(quick_gelu(y), lp["mlp"]["w2"], lp["mlp"]["b2"])
         return h, None
@@ -159,6 +184,7 @@ def encode_image(
     dtype: jnp.dtype = jnp.float32,
     lora: Optional[Params] = None,
     remat: bool = False,
+    tp=None,
 ) -> jnp.ndarray:
     """[B, 3, H, W] CLIP-normalized images -> [B, output_dim] features."""
     B = images.shape[0]
@@ -172,7 +198,8 @@ def encode_image(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + visual["positional_embedding"].astype(dtype)
     x = layer_norm(x, visual["ln_pre"])
-    x = transformer(visual["blocks"], x, cfg.heads, lora=lora, remat=remat)
+    x = transformer(visual["blocks"], x, cfg.heads, lora=lora, remat=remat,
+                    tp=tp)
     x = layer_norm(x[:, 0], visual["ln_post"])
     return jnp.einsum(
         "bd,de->be", x, visual["proj"].astype(dtype),
@@ -228,8 +255,8 @@ def _init_blocks(rng, layers: int, width: int) -> Params:
         "ln_1": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
         "ln_2": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
         "attn": {
-            "wqkv": stack(ks[0], (3 * width, width), attn_std),
-            "bqkv": jnp.zeros((layers, 3 * width)),
+            "wqkv": stack(ks[0], (3, width, width), attn_std),
+            "bqkv": jnp.zeros((layers, 3, width)),
             "wo": stack(ks[1], (width, width), proj_std),
             "bo": jnp.zeros((layers, width)),
         },

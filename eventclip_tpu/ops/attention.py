@@ -1,18 +1,27 @@
-"""Pallas TPU attention kernel (VMEM-resident scores).
+"""Pallas TPU attention kernels (VMEM-resident scores), forward + backward.
 
 The CLIP towers' sequences are short (ViT-L/14: 257 patch tokens; text: 77),
 so an entire per-(batch, head) attention — scores [S, S] included — fits in
 VMEM. The XLA fallback materializes the [B, H, S, S] probability tensor in
 HBM twice per layer (~24 GB of traffic for a ViT-L/14 forward at B=64, more
-than the model's entire FLOP time at HBM speed); this kernel computes
-scores -> softmax -> @v in one VMEM-resident program per (batch, head), so
-only q, k, v, out ever touch HBM.
+than the model's entire FLOP time at HBM speed); these kernels compute
+scores -> softmax -> @v (forward) and the full dq/dk/dv recompute (backward)
+in one VMEM-resident program per (batch, head-group), so only q, k, v and
+the gradients ever touch HBM.
 
-Backward runs the standard recompute formula in plain XLA via custom_vjp
-(training attention cost is dominated by FTCLIP's full fine-tune, where the
-same VMEM argument applies to dscore recompute; good enough until profiled).
+The backward recomputes scores/softmax from (q, k) inside the kernel — the
+standard memory-free formula:
 
-On non-TPU backends (tests, CPU smoke runs) the kernel runs in interpret
+    p  = softmax(q k^T * scale + mask)
+    dv = p^T g
+    dp = g v^T
+    ds = p * (dp - rowsum(dp * p))
+    dq = ds k * scale,   dk = ds^T q * scale
+
+so no [B, H, S, S] tensor is ever written to HBM in training either (the
+round-1 backward was plain XLA and re-materialized it).
+
+On non-TPU backends (tests, CPU smoke runs) the kernels run in interpret
 mode automatically.
 """
 
@@ -49,6 +58,53 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         attn, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, dh, per):
+    """Recompute-softmax backward for one (batch, head-group) program.
+
+    All operands live in VMEM; the [S, S] probability matrix exists only in
+    registers/VMEM and is never written to HBM.
+    """
+    for j in range(per):
+        sl = slice(j * dh, (j + 1) * dh)
+        q = q_ref[0, :, sl]  # [S, dh]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [S, S] f32
+        if mask_ref is not None:
+            s = s + mask_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # f32 [Sq, Sk]
+        pq = p.astype(q.dtype)
+        # dv[k, d] = sum_q p[q, k] g[q, d]
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pq, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # dp[q, k] = sum_d g[q, d] v[k, d]
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+        ds = (ds * scale).astype(q.dtype)
+        # dq[q, d] = sum_k ds[q, k] k[k, d]
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        # dk[k, d] = sum_q ds[q, k] q[q, d]
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
 
 
 def _attention_forward(q, k, v, mask, scale):
@@ -115,7 +171,8 @@ def _attention_fwd(q, k, v, mask, scale):
     return _attention_forward(q, k, v, mask, scale), (q, k, v, mask)
 
 
-def _attention_bwd(scale, res, g):
+def _attention_bwd_xla(scale, res, g):
+    """Plain-XLA recompute backward (fallback when no legal kernel tiling)."""
     q, k, v, mask = res
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
@@ -135,6 +192,57 @@ def _attention_bwd(scale, res, g):
                     preferred_element_type=jnp.float32) * scale
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask
+
+
+def _bwd_pallas_call(args, mask, grid, in_spec_fns, out_shape, out_spec_fn,
+                     *, scale, dh, per, interpret):
+    """Shared pallas_call assembly for both backward layouts."""
+    mem = pltpu.VMEM if pltpu and not interpret else None
+    in_specs = [
+        pl.BlockSpec(shape, idx, memory_space=mem)
+        for shape, idx in in_spec_fns
+    ]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec(
+            mask.shape, lambda *_: (0,) * mask.ndim, memory_space=mem
+        ))
+        args = args + [mask.astype(jnp.float32)]
+        kernel = functools.partial(_bwd_kernel, scale=scale, dh=dh, per=per)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, gr, dqr, dkr, dvr, **kw: _bwd_kernel(
+                qr, kr, vr, gr, None, dqr, dkr, dvr, **kw
+            ),
+            scale=scale, dh=dh, per=per,
+        )
+    out_spec = pl.BlockSpec(out_spec_fn[0], out_spec_fn[1], memory_space=mem)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(*args)
+
+
+def _attention_bwd(scale, res, g):
+    q, k, v, mask = res
+    B, H, S, D = q.shape
+    interpret = jax.default_backend() != "tpu"
+    flat = lambda t: t.reshape(B * H, S, D)  # noqa: E731
+    spec = ((1, S, D), lambda i: (i, 0, 0))
+    dq, dk, dv = _bwd_pallas_call(
+        [flat(q), flat(k), flat(v), flat(g)], mask,
+        grid=(B * H,),
+        in_spec_fns=[spec, spec, spec, spec],
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        out_spec_fn=spec,
+        scale=scale, dh=D, per=1, interpret=interpret,
+    )
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    unflat = lambda t: t.reshape(B, H, S, D)  # noqa: E731
+    return unflat(dq), unflat(dk), unflat(dv), dmask
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -272,17 +380,46 @@ def _qkv_attention_fwd(qkv, mask, heads, scale):
 
 
 def _qkv_attention_bwd(heads, scale, res, g):
+    """Backward in the fused-qkv layout: dqkv sliced straight out of the
+    kernel per (batch, head-group), no [B, H, S, dh] relayouts."""
     qkv, mask = res
     B, S, D3 = qkv.shape
     D = D3 // 3
-    q, k, v = _split_heads(qkv, heads)
-    gh = g.reshape(B, S, heads, D // heads).transpose(0, 2, 1, 3)
-    dq, dk, dv, _ = _attention_bwd(scale, (q, k, v, mask), gh)
+    dh = D // heads
+    interpret = jax.default_backend() != "tpu"
+    per = _head_group(heads, dh) if not interpret else max(128 // dh, 1)
+    if per is None or heads % per != 0:
+        if not interpret:
+            # tiny/debug towers: no legal block tiling; XLA path
+            q, k, v = _split_heads(qkv, heads)
+            gh = g.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+            dq, dk, dv, _ = _attention_bwd_xla(scale, (q, k, v, mask), gh)
 
-    def merge(t):
-        return t.transpose(0, 2, 1, 3).reshape(B, S, D)
+            def merge(t):
+                return t.transpose(0, 2, 1, 3).reshape(B, S, D)
 
-    dqkv = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1)
+            dqkv = jnp.concatenate(
+                [merge(dq), merge(dk), merge(dv)], axis=-1
+            )
+            dmask = None if mask is None else jnp.zeros_like(mask)
+            return dqkv.astype(qkv.dtype), dmask
+        per = 1
+    G = heads // per
+    bw = dh * per
+
+    def spec(third):
+        return ((1, S, bw), lambda b, gg, third=third: (b, 0, third * G + gg))
+
+    g_spec = ((1, S, bw), lambda b, gg: (b, 0, gg))
+    dq, dk, dv = _bwd_pallas_call(
+        [qkv, qkv, qkv, g], mask,
+        grid=(B, G),
+        in_spec_fns=[spec(0), spec(1), spec(2), g_spec],
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv.dtype),
+        out_spec_fn=g_spec,
+        scale=scale, dh=dh, per=per, interpret=interpret,
+    )
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dqkv.astype(qkv.dtype), dmask
 
@@ -303,3 +440,40 @@ def fused_qkv_attention(
     if not use_pallas:
         return _qkv_reference(qkv * 1.0, mask, heads, scale)
     return _qkv_attention(qkv, mask, heads, scale)
+
+
+def tp_fused_qkv_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    tp,
+    *,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Tensor-parallel attention over a ('data', 'model') mesh.
+
+    qkv is [B, S, 3, D] with D sharded over the model axis in whole-head
+    groups (parallel/sharding.py lays wqkv out as [L, 3, D, D] sharded on
+    dim -2, so the projection einsum yields exactly this sharding). Each
+    shard runs the Pallas kernel on its local heads via shard_map — no
+    gather of q/k/v ever happens; the attention output stays sharded on D
+    for the row-parallel out-projection that follows (Megatron pattern).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = tp.n_model
+    assert heads % n == 0, (heads, n)
+
+    def local(qkv_local):
+        B, S, _, Dl = qkv_local.shape
+        flat = qkv_local.reshape(B, S, 3 * Dl)
+        return fused_qkv_attention(flat, heads // n,
+                                   use_pallas=use_pallas)
+
+    return shard_map(
+        local,
+        mesh=tp.mesh,
+        in_specs=P(tp.data_axis, None, None, tp.model_axis),
+        out_specs=P(tp.data_axis, None, tp.model_axis),
+        check_rep=False,
+    )(qkv)

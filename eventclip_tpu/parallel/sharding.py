@@ -12,6 +12,11 @@ that with a 2-D `jax.sharding.Mesh` ('data', 'model'):
   out / mlp-down projections sharded on the input feature dim, so each
   block needs exactly one reduce per sublayer and activations stay
   replicated at block boundaries (layer norms see full features).
+  The fused qkv weight is stored [L, 3, D_out, D_in] and sharded on
+  D_out, so every shard owns WHOLE heads of q, k and v (head-aligned);
+  the Pallas attention kernel then runs per-shard on its local heads
+  through a shard_map wrapper (ops/attention.py::tp_fused_qkv_attention)
+  — activations are never gathered inside a block.
 
 With `model=1` this degrades to pure data parallelism, which is the parity
 configuration (the reference never shards the model). All collectives are
@@ -32,6 +37,33 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 Params = Dict[str, Any]
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TPContext:
+    """Static tensor-parallel context threaded through the towers.
+
+    Carries the mesh + axis names the shard_map'd attention kernel needs;
+    None everywhere means pure data parallelism (the parity configuration).
+    """
+
+    mesh: Mesh
+    data_axis: str = DATA_AXIS
+    model_axis: str = MODEL_AXIS
+
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape[self.model_axis]
+
+
+def make_tp_context(mesh: Mesh) -> Optional[TPContext]:
+    """A TPContext when the mesh actually shards the model axis, else None."""
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        return TPContext(mesh=mesh)
+    return None
 
 
 def make_mesh(
@@ -70,20 +102,23 @@ def _path_str(path) -> str:
 # leading stacked-layer axis) carries the sharded feature dimension.
 # Megatron layout: fused qkv + mlp-up shard the OUTPUT dim; attn-out +
 # mlp-down shard the INPUT dim (weights are torch [out, in]).
-_COL_SHARDED = ("wqkv", "b1", "w1", "bqkv")  # out-dim ([..., out, in] / [..., out])
+# wqkv is stored [L, 3, D_out, D_in] (bqkv [L, 3, D_out]) so sharding
+# D_out keeps whole q/k/v heads together on each shard (head-aligned).
+_COL_SHARDED = ("wqkv", "b1", "w1", "bqkv")  # out-dim
 _ROW_SHARDED = ("wo", "w2")  # in-dim ([..., out, in])
 
 
 def _leaf_pspec(path: str, leaf, n_model: int) -> P:
     ndim = np.ndim(leaf)
     name = path.split("/")[-1]
-    if n_model > 1 and ("blocks" in path or name in ("wqkv",)):
+    if n_model > 1 and "blocks" in path:
         if name in _COL_SHARDED:
             dims = [None] * ndim
-            # bias [L, out] -> shard dim -1; weight [L, out, in] -> dim -2
-            dims[-1 if name.startswith("b") else -2] = MODEL_AXIS
-            shard_dim = np.shape(leaf)[-1 if name.startswith("b") else -2]
-            if shard_dim % n_model == 0:
+            # biases ([L, out] / [L, 3, out]) shard dim -1;
+            # weights ([L, out, in] / [L, 3, out, in]) shard dim -2
+            d = -1 if name.startswith("b") else -2
+            dims[d] = MODEL_AXIS
+            if np.shape(leaf)[d] % n_model == 0:
                 return P(*dims)
         if name in _ROW_SHARDED and ndim >= 2:
             dims = [None] * ndim

@@ -76,13 +76,62 @@ def test_fused_qkv_matches_reference(rng, heads, dh, mask):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_fused_qkv_gradients(rng):
+@pytest.mark.parametrize("heads,dh,mask", [
+    (2, 16, False),   # multi-head-per-group kernel path
+    (4, 32, True),    # masked (text tower layout)
+    (3, 32, False),   # no legal tiling on TPU -> XLA fallback branch
+])
+def test_fused_qkv_gradients(rng, heads, dh, mask):
     from eventclip_tpu.ops.attention import _qkv_reference, fused_qkv_attention
 
-    B, S, heads, dh = 1, 13, 2, 16
+    B, S = 2, 13
     D = heads * dh
     qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
-    gp = jax.grad(lambda x: (fused_qkv_attention(x, heads, use_pallas=True) ** 2).sum())(qkv)
-    gr = jax.grad(lambda x: (_qkv_reference(x, None, heads, dh ** -0.5) ** 2).sum())(qkv)
+    m = None
+    if mask:
+        m = jnp.triu(jnp.full((S, S), -1e9, dtype=jnp.float32), k=1)
+    gp = jax.grad(lambda x: (fused_qkv_attention(x, heads, m, use_pallas=True) ** 2).sum())(qkv)
+    gr = jax.grad(lambda x: (_qkv_reference(x, m, heads, dh ** -0.5) ** 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_qkv_gradients_bf16(rng):
+    """bf16 inputs keep a bf16 gradient with f32-accumulated matmuls."""
+    from eventclip_tpu.ops.attention import _qkv_reference, fused_qkv_attention
+
+    B, S, heads, dh = 1, 17, 2, 32
+    D = heads * dh
+    qkv32 = rng.normal(size=(B, S, 3 * D)).astype(np.float32)
+    qkv = jnp.asarray(qkv32).astype(jnp.bfloat16)
+    gp = jax.grad(
+        lambda x: (fused_qkv_attention(x, heads, use_pallas=True)
+                   .astype(jnp.float32) ** 2).sum()
+    )(qkv)
+    gr = jax.grad(
+        lambda x: (_qkv_reference(x, None, heads, dh ** -0.5) ** 2).sum()
+    )(jnp.asarray(qkv32))
+    assert gp.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gp, np.float32), np.asarray(gr),
+                               atol=0.15, rtol=0.15)
+
+
+def test_masked_gradients_match_reference(rng):
+    """Head-split variant: masked backward through the Pallas kernel."""
+    B, H, S, D = 1, 2, 11, 16
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    m = jnp.triu(jnp.full((S, S), -1e9, dtype=jnp.float32), k=1)
+
+    gp = jax.grad(
+        lambda *a: (multi_head_attention(*a, m, use_pallas=True) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda *a: (_reference_attention(*a, m, D ** -0.5) ** 2).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

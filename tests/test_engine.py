@@ -120,6 +120,38 @@ def test_tp_matches_dp_numerics(rng):
         assert np.isclose(outs[0][k], outs[1][k], rtol=1e-4), (k, outs)
 
 
+def test_tp_train_step_hlo_has_no_all_gather(rng):
+    """Head-aligned TP must compile to psum-only blocks: GSPMD may not
+    insert a single all-gather anywhere in the train step — activations
+    stay replicated at block boundaries, q/k/v/attention stay sharded by
+    whole heads, and each sublayer ends in one model-axis all-reduce
+    (the Megatron pattern; VERDICT round-1 item 3)."""
+    wide = CLIPConfig(
+        name="wide-tiny",
+        vision=VisionConfig(image_size=32, patch_size=8, width=128,
+                            layers=2, heads=4, output_dim=32),
+        text=TINY.text,
+    )
+    cfg = ClassifierConfig(model="FTCLIP", clip=wide, ft_mode="full",
+                           remat=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                    n_classes=N_CLS)
+    tx = build_optimizer(cfg, OptimConfig(lr=1e-3, total_steps=10), params)
+    params = shard_params(params, mesh)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, mesh, state)
+    batch = shard_batch(
+        {**make_batch(rng, B=8), "label": np.zeros(8, np.int32)}, mesh
+    )
+    hlo = step.lower(state, batch).compile().as_text()
+    gathers = [l for l in hlo.splitlines() if "all-gather" in l]
+    assert not gathers, f"activation/weight gathers leaked into TP:\n" + \
+        "\n".join(gathers[:5])
+    # and the TP reduces must actually be there (model-axis pairs)
+    assert any("all-reduce" in l and "{0,1}" in l for l in hlo.splitlines())
+
+
 def test_eval_step_masks_padded_rows(rng):
     cfg = tiny_fs_config()
     mesh = make_mesh(n_data=8, n_model=1)
