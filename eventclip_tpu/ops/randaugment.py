@@ -265,6 +265,209 @@ def magnitude_table(height: int, width: int) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
+# ---------------------------------------------------------------------------
+# batched implementations (the augmented-train-step hot path)
+#
+# A vmapped `lax.switch` computes EVERY branch for EVERY image and selects —
+# all 6 bicubic warps plus equalize per image per op-step (measured 1102 ms
+# for the ViT-L/14 B=16 T=2 train step vs 49 ms unaugmented). The batched
+# driver instead exploits that the 6 geometric ops are all affine warps:
+# build one [N]-batched inverse-affine matrix per step (identity for pixel
+# ops — bicubic at zero offset is an exact copy), run ONE shared warp pass,
+# compute each (cheap) pixel op once batched, and select per sample.
+# ---------------------------------------------------------------------------
+
+
+def _warp_batched(imgs: jnp.ndarray, mats, fill: float) -> jnp.ndarray:
+    """Batched affine_bicubic: imgs [N, C, H, W], mats = 6 × [N] coeffs.
+
+    TPU has no fast hardware gather, so per-pixel tap lookups are expressed
+    as MXU matmuls: the 4 cubic y-taps fold into a weighted row-selector
+    RY [Q, Hp] (4 non-zeros per output pixel q) and the x-taps into
+    RX [Q, Wp]; then out[c, q] = RY[q] @ P[c] @ RX[q]^T, computed as one
+    [Q, Hp] x [Hp, C*Wp] matmul + an elementwise row reduction. Taps
+    landing outside the padded frame simply never match the selector iota,
+    reproducing grid_sample's zero padding. ~60x faster than the
+    take_along_axis formulation (measured 20 ms vs 1289 ms at
+    [32, 3, 224, 224]).
+    """
+    N, C, H, W = imgs.shape
+    Q = H * W
+    m0, m1, m2, m3, m4, m5 = [m[:, None, None] for m in mats]
+    ox = (jnp.arange(W, dtype=jnp.float32) + 0.5 - W / 2.0)[None, None, :]
+    oy = (jnp.arange(H, dtype=jnp.float32) + 0.5 - H / 2.0)[None, :, None]
+    gx = (m0 * ox + m1 * oy + m2 + W / 2.0 - 0.5).reshape(N, Q)
+    gy = (m3 * ox + m4 * oy + m5 + H / 2.0 - 0.5).reshape(N, Q)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = _cubic_weights(gx - x0)  # [N, Q, 4]
+    wy = _cubic_weights(gy - y0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    PAD = 2
+    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    padded = jnp.pad(
+        jnp.concatenate([imgs, jnp.ones((N, 1, H, W), imgs.dtype)], axis=1),
+        ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)),
+    )  # [N, C+1, Hp, Wp]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+
+    def one(args):
+        p, y0s, x0s, wys, wxs = args  # [C+1,Hp,Wp], [Q], [Q], [Q,4], [Q,4]
+        ry = jnp.zeros((Q, Hp), jnp.float32)
+        rx = jnp.zeros((Q, Wp), jnp.float32)
+        for k in range(4):
+            ry = ry + wys[:, k, None] * (rows == (y0s + (k - 1 + PAD))[:, None])
+            rx = rx + wxs[:, k, None] * (cols == (x0s + (k - 1 + PAD))[:, None])
+        # T1[q, c, b] = sum_a ry[q, a] * p[c, a, b]
+        t1 = jax.lax.dot_general(
+            ry, p.transpose(1, 0, 2).reshape(Hp, (C + 1) * Wp),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Q, C + 1, Wp)
+        return (t1 * rx[:, None, :]).sum(-1)  # [Q, C+1]
+
+    out = jax.lax.map(one, (padded, y0i, x0i, wy, wx))  # [N, Q, C+1]
+    out = out.transpose(0, 2, 1).reshape(N, C + 1, H, W)
+    mask = jnp.clip(out[:, -1:], 0.0, 1.0)
+    res = out[:, :-1] * mask + fill * (1.0 - mask)
+    return jnp.clip(jnp.round(res), 0.0, 255.0)
+
+
+def _geo_matrices_batched(op: jnp.ndarray, mag: jnp.ndarray, H: int, W: int):
+    """[N] op indices + magnitudes -> 6 × [N] inverse-affine coefficients.
+
+    Non-geometric ops (op >= 6) get the identity matrix, for which the
+    bicubic warp is an exact copy (cubic weights at zero offset = [0,1,0,0]).
+    """
+    deg = jnp.degrees(jnp.arctan(mag))
+    zero = jnp.zeros_like(mag)
+    angle = jnp.where(op == 5, mag, zero)
+    sx = jnp.where(op == 1, deg, zero)
+    sy = jnp.where(op == 2, deg, zero)
+    tx = jnp.where(op == 3, jnp.trunc(mag), zero)
+    ty = jnp.where(op == 4, jnp.trunc(mag), zero)
+    # reference shears about center=[0, 0] (top-left corner in torchvision
+    # center coords); everything else about the image center
+    is_shear = (op == 1) | (op == 2)
+    cx = jnp.where(is_shear, -W * 0.5, 0.0)
+    cy = jnp.where(is_shear, -H * 0.5, 0.0)
+    return _inverse_affine_matrix(angle, (tx, ty), (sx, sy), (cx, cy))
+
+
+def _b(mag: jnp.ndarray) -> jnp.ndarray:
+    return mag[:, None, None, None]
+
+
+def _grayscale_b(img: jnp.ndarray) -> jnp.ndarray:
+    l = 0.2989 * img[:, 0] + 0.587 * img[:, 1] + 0.114 * img[:, 2]
+    return jnp.trunc(l)[:, None]
+
+
+def _contrast_b(img: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.trunc(jnp.mean(_grayscale_b(img), axis=(2, 3), keepdims=True))
+    return _blend(img, jnp.broadcast_to(mean, img.shape), 1.0 + _b(mag))
+
+
+def _sharpness_b(img: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
+    N, C, H, W = img.shape
+    k = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    x = img.reshape(N * C, 1, H, W)
+    blurred = jax.lax.conv_general_dilated(
+        x, k[None, None].astype(img.dtype), (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    ).reshape(N, C, H, W)
+    blurred = jnp.clip(jnp.round(blurred), 0.0, 255.0)
+    result = img.at[:, :, 1:-1, 1:-1].set(blurred[:, :, 1:-1, 1:-1])
+    return _blend(img, result, 1.0 + _b(mag))
+
+
+def _autocontrast_b(img: jnp.ndarray, _mag=None) -> jnp.ndarray:
+    lo = img.min(axis=(2, 3), keepdims=True)
+    hi = img.max(axis=(2, 3), keepdims=True)
+    scale = 255.0 / jnp.where(hi > lo, hi - lo, 1.0)
+    out = jnp.trunc((img - lo) * scale)
+    return jnp.where(hi > lo, jnp.clip(out, 0.0, 255.0), img)
+
+
+def _radix_onehots(flat: jnp.ndarray):
+    """[M, P] uint8-valued ints -> ([M, P, 16], [M, P, 16]) hi/lo one-hots.
+
+    The 256-level histogram / LUT lookup factorizes through the radix-16
+    decomposition v = 16*hi + lo, turning both into small MXU matmuls whose
+    one-hot operands are 16 wide instead of 256 (16x less HBM traffic than
+    a direct [P, 256] one-hot)."""
+    levels = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+    hi = (flat // 16)[..., None] == levels
+    lo = (flat % 16)[..., None] == levels
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _equalize_b(img: jnp.ndarray, _mag=None) -> jnp.ndarray:
+    """Batched torchvision F.equalize via radix-16 MXU histograms."""
+    N, C, H, W = img.shape
+    M, P = N * C, H * W
+    flat = img.reshape(M, P).astype(jnp.int32)
+    oh_hi, oh_lo = _radix_onehots(flat)
+    # hist[m, h, l] = #pixels with value 16h + l
+    hist = jax.lax.dot_general(
+        oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(M, 256)
+
+    nz = hist > 0
+    last_idx = 255 - jnp.argmax(nz[:, ::-1], axis=1)
+    last = jnp.take_along_axis(hist, last_idx[:, None], axis=1)[:, 0]
+    step = jnp.floor((hist.sum(axis=1) - last) / 255.0)
+    cum = jnp.cumsum(hist, axis=1)
+    lut = jnp.floor(
+        (cum + jnp.floor(step / 2.0)[:, None])
+        / jnp.where(step > 0, step, 1.0)[:, None]
+    )
+    lut = jnp.clip(
+        jnp.concatenate([jnp.zeros((M, 1)), lut[:, :-1]], axis=1), 0.0, 255.0
+    )  # [M, 256]
+    # mapped[m, p] = lut[m, flat[m, p]] = oh_hi[m,p,:] @ LUT[m,:,:] @ oh_lo[m,p,:]
+    lut16 = lut.reshape(M, 16, 16).astype(jnp.bfloat16)
+    tmp = jax.lax.dot_general(
+        oh_hi, lut16, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [M, P, 16]
+    mapped = (tmp * oh_lo.astype(jnp.float32)).sum(-1)
+    out = mapped.reshape(N, C, H, W)
+    return jnp.where(
+        (step > 0).reshape(N, C, 1, 1), out, img
+    )
+
+
+_PIXEL_OPS_B = (
+    (6, lambda im, m: _blend(im, jnp.zeros_like(im), 1.0 + _b(m))),  # Brightness
+    (7, lambda im, m: _blend(im, _grayscale_b(im), 1.0 + _b(m))),  # Color
+    (8, _contrast_b),
+    (9, _sharpness_b),
+    (10, lambda im, m: posterize(im, _b(m))),
+    (11, lambda im, m: solarize(im, _b(m))),
+    (12, _autocontrast_b),
+    (13, _equalize_b),
+)
+
+
+def _augment_step_batched(flat: jnp.ndarray, op: jnp.ndarray,
+                          mag: jnp.ndarray, fill: float) -> jnp.ndarray:
+    """One RandAugment step over [N, C, H, W]: shared warp + masked selects."""
+    N, C, H, W = flat.shape
+    mats = _geo_matrices_batched(op, mag, H, W)
+    out = _warp_batched(flat, mats, fill)  # exact copy where op >= 6
+    for idx, fn in _PIXEL_OPS_B:
+        sel = (op == idx)[:, None, None, None]
+        out = jnp.where(sel, fn(flat, mag), out)
+    return out
+
+
 def _apply_one_op(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
                   fill: float) -> jnp.ndarray:
     """Apply op `op_idx` with magnitude `mag` to one [C, H, W] image."""
@@ -303,34 +506,60 @@ def _apply_one_op(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
     return jax.lax.switch(op_idx, branches, img, mag)
 
 
+def _sample_ops(rng: jax.Array, B: int, num_ops: int, H: int, W: int):
+    """Per-sample (op index, signed magnitude) draws, [B, num_ops] each.
+
+    Sampling scheme (and key-splitting order) is shared by both drivers so
+    they are bit-identical given the same rng."""
+    mags = magnitude_table(H, W)
+    k_bin, k_op, k_sign = jax.random.split(rng, 3)
+    mag_bins = jax.random.randint(k_bin, (B,), 0, N_MAGNITUDE_BINS)
+    op_idx = jax.random.randint(k_op, (B, num_ops), 0, len(OP_NAMES))
+    flip = jax.random.bernoulli(k_sign, 0.5, (B, num_ops))
+    mag = mags[op_idx, mag_bins[:, None]]  # [B, num_ops]
+    mag = jnp.where(jnp.asarray(SIGNED)[op_idx] & flip, -mag, mag)
+    return op_idx, mag
+
+
 @partial(jax.jit, static_argnums=(2,))
 def randaugment(frames: jnp.ndarray, rng: jax.Array, num_ops: int = 2,
                 fill: float = 255.0) -> jnp.ndarray:
     """Apply per-sample RandAugment to [B, T, C, H, W] frames (f32, 0..255).
 
     Every view of a sample receives the identical op sequence (the
-    reference's deliberate view-consistency, augment.py:159-178).
+    reference's deliberate view-consistency, augment.py:159-178). Runs the
+    batched single-warp driver (_augment_step_batched); op steps unroll
+    statically (num_ops = 2 everywhere in the reference configs).
     """
     B, T, C, H, W = frames.shape
-    mags = magnitude_table(H, W)
-    n_ops_total = len(OP_NAMES)
+    op_idx, mag = _sample_ops(rng, B, num_ops, H, W)
+    flat = frames.reshape(B * T, C, H, W)
+    rep = lambda v: jnp.repeat(v, T, axis=0)  # noqa: E731  per-view copies
+    for i in range(num_ops):
+        flat = _augment_step_batched(flat, rep(op_idx[:, i]), rep(mag[:, i]),
+                                     fill)
+    return flat.reshape(B, T, C, H, W)
 
-    k_bin, k_op, k_sign = jax.random.split(rng, 3)
-    mag_bins = jax.random.randint(k_bin, (B,), 0, N_MAGNITUDE_BINS)
-    op_idx = jax.random.randint(k_op, (B, num_ops), 0, n_ops_total)
-    flip = jax.random.bernoulli(k_sign, 0.5, (B, num_ops))
 
-    def one_sample(views, ops, bins, flips):
+@partial(jax.jit, static_argnums=(2,))
+def _randaugment_switch(frames: jnp.ndarray, rng: jax.Array, num_ops: int = 2,
+                        fill: float = 255.0) -> jnp.ndarray:
+    """Reference driver: vmap x vmap x scan x lax.switch over _apply_one_op.
+
+    Kept as the parity oracle for the batched driver (a vmapped switch
+    computes every branch for every image — ~20x slower on TPU)."""
+    B, T, C, H, W = frames.shape
+    op_idx, mag = _sample_ops(rng, B, num_ops, H, W)
+
+    def one_sample(views, ops, ms):
         def one_view(img):
-            def body(im, op_and_flip):
-                op, fl = op_and_flip
-                m = mags[op, bins]
-                m = jnp.where(jnp.asarray(SIGNED)[op] & fl, -m, m)
+            def body(im, om):
+                op, m = om
                 return _apply_one_op(im, op, m, fill), None
 
-            im, _ = jax.lax.scan(body, img, (ops, flips))
+            im, _ = jax.lax.scan(body, img, (ops, ms))
             return im
 
         return jax.vmap(one_view)(views)
 
-    return jax.vmap(one_sample)(frames, op_idx, mag_bins, flip)
+    return jax.vmap(one_sample)(frames, op_idx, mag)

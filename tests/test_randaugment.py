@@ -149,6 +149,40 @@ def test_randaugment_view_consistency(rng):
     np.testing.assert_array_equal(out, np.round(out))
 
 
+def test_batched_driver_matches_switch_driver(rng):
+    """The single-warp batched driver must be bit-identical to the
+    vmap+switch reference driver for the same rng (same op draws, same
+    per-op math). Several keys so every op family gets hit."""
+    frames = np.full((6, 2, 3, 32, 40), 255.0, np.float32)
+    blob = rng.integers(0, 220, size=(6, 1, 3, 12, 14)).astype(np.float32)
+    frames[:, :, :, 8:20, 10:24] = blob
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        fast = np.asarray(R.randaugment(jnp.asarray(frames), key))
+        slow = np.asarray(R._randaugment_switch(jnp.asarray(frames), key))
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_batched_pixel_ops_match_single(img_u8):
+    """Each batched pixel op == the (oracle-tested) single-image op."""
+    img = to_jax(img_u8)
+    batch = jnp.stack([img, 255.0 - img])
+    mags = jnp.asarray([0.4, -0.3])
+    singles = {
+        6: R.brightness, 7: R.color, 8: R.contrast, 9: R.sharpness,
+        10: lambda im, m: R.posterize(im, m), 11: R.solarize,
+        12: lambda im, m: R.autocontrast(im), 13: lambda im, m: R.equalize(im),
+    }
+    for idx, fn_b in R._PIXEL_OPS_B:
+        mag = jnp.abs(mags) * 8 if idx == 10 else (
+            mags * 255 if idx == 11 else mags)
+        got = np.asarray(fn_b(batch, mag))
+        for n in range(2):
+            want = np.asarray(singles[idx](batch[n], mag[n]))
+            np.testing.assert_array_equal(got[n], want,
+                                          err_msg=R.OP_NAMES[idx])
+
+
 def test_randaugment_covers_all_ops(rng):
     # drive every op index through _apply_one_op once (compile+numerics)
     img = to_jax(np.full((3, 24, 24), 200, np.uint8))
