@@ -210,6 +210,7 @@ def main():
 
     if level == "full":
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
+        _nin_input_feed(bench, rng)
 
     baseline = host_baseline_events_per_sec(
         rng, H, W, N, clip_cfg.vision.image_size
@@ -299,6 +300,59 @@ def _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N):
         )
         bench_step("ftclip_full_train_step_ms", full_cfg, augment=False,
                    note="full fine-tune + remat")
+
+
+def _nin_input_feed(bench, rng):
+    """N-ImageNet-geometry input feed at the PER-CHIP batch (global 128 on
+    4 devices in the reference's LoRA config,
+    configs/ftclip/ft_text_fsclip_nin_params.py): packed int16 windows,
+    rasterize+preprocess on device. Reported twice — device compute only,
+    and with the host->device copy included. Note: this machine reaches the
+    TPU through a ~47 MB/s relay tunnel, so the H2D-inclusive number is
+    tunnel-bound here; on a real TPU host (PCIe >=10 GB/s) the 27 MB/step
+    packed payload transfers in ~3 ms (the unpacked f32 [.., 4] layout
+    would be 215 MB/step — the 8x cut is the point)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec, rasterize_for_clip
+
+    H, W, N = 480, 640, 70000
+    B = int(os.environ.get("BENCH_NIN_BATCH", "32"))
+    T = 2
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=224)
+
+    r = np.random.default_rng(0)
+    win = np.zeros((B, T, N, 3), np.int16)
+    win[..., 0] = r.integers(0, W, size=(B, T, N))
+    win[..., 1] = r.integers(0, H, size=(B, T, N))
+    win[..., 2] = r.choice(np.array([-1, 1], np.int16), size=(B, T, N))
+    mb = win.nbytes / 1e6
+    pipe = jax.jit(lambda w: rasterize_for_clip(spec, pp, w))
+
+    dev = jnp.asarray(win)
+    dt = bench.run(lambda: pipe(dev), _sync, iters=4)
+    bench.record(
+        "nin_event2img_ms_per_step", dt * 1e3, "ms/step",
+        f"device compute only; N-IN geometry B={B} T={T} N={N} "
+        f"{H}x{W}->224^2, {B * T * N / dt / 1e6:,.0f}M events/s",
+    )
+
+    step = [0]
+
+    def dispatch():
+        step[0] += 1
+        win[0, 0, 0, 0] = step[0] % 3  # defeat host-buffer caching
+        return pipe(jnp.asarray(win))
+
+    dt = bench.run(dispatch, _sync, iters=2)
+    bench.record(
+        "nin_input_feed_ms_per_step", dt * 1e3, "ms/step",
+        f"incl. H2D of {mb:.0f} MB/step packed int16 (relay-tunnel-bound "
+        "on this machine; ~3 ms on real PCIe)",
+    )
 
 
 if __name__ == "__main__":

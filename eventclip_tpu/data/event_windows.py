@@ -2,10 +2,11 @@
 
 The reference's Event2ImageDataset (datasets/event2img.py) converts events to
 CLIP-ready image tensors inside DataLoader workers. Here the host only
-selects and pads raw event windows — [V, N, 4] float32 per sample — and the
+selects and pads raw event windows — packed [V, N, 3] int16 (x, y, p) per
+sample, timestamps dropped because the device never reads them — and the
 device turns them into CLIP inputs (eventclip_tpu.ops.rasterize_for_clip),
 so the per-sample host cost is O(n) indexing instead of O(n + T*H*W) image
-math, and the PCIe/ICI payload is the (much smaller) windows.
+math, and the PCIe/ICI payload is the windows at 6 bytes/event.
 
 Behavioral contracts:
 - view budget max(min(round(max_n/N), max_imgs), 1)  event2img.py:70-72
@@ -84,8 +85,10 @@ class EventWindowDataset:
         return RasterSpec(**self.raster_args)
 
     def _events2windows(self, events: np.ndarray, rng):
+        # packed int16 (x, y, p): 8x smaller host->device payload; the
+        # rasterizer accepts both layouts (ops/rasterize.py)
         return gather_event_windows(
-            events, self.window, self.max_imgs, rng=rng
+            events, self.window, self.max_imgs, rng=rng, packed=True
         )
 
     def _load_tta_item(self, data: Dict[str, Any], rng) -> Dict[str, Any]:
@@ -96,7 +99,7 @@ class EventWindowDataset:
         wins, valids = zip(*[
             self._events2windows(e, rng) for e in (events, h, t, ht)
         ])
-        data["windows"] = np.stack(wins)  # [4, V, N, 4]
+        data["windows"] = np.stack(wins)  # [4, V, N, 3] int16 packed
         data["valid_mask"] = np.stack(valids)  # [4, V]
         return data
 
@@ -111,6 +114,6 @@ class EventWindowDataset:
         if self.keep_events:
             data["events"] = copy.deepcopy(events)
         windows, valid = self._events2windows(events, rng)
-        data["windows"] = windows  # [V, N, 4]
+        data["windows"] = windows  # [V, N, 3] int16 packed
         data["valid_mask"] = valid  # [V]
         return data

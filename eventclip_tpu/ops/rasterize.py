@@ -67,39 +67,76 @@ class RasterSpec:
 
 
 _EVENT_CHUNK = 2048  # one-hot tile: [2H, E] + [E, W] bf16, ~2.5 MB at 180x240
+_PARTIALS_LIMIT = 1 << 29  # batch-axis strategy cap on [M*K, 2H, W] partials
 
 
 def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
-    """[M, N, 4] event windows -> [M, 2, H, W] float32 count histograms.
+    """[M, N, 4|3] event windows -> [M, 2, H, W] float32 count histograms.
+
+    Accepts both window layouts: [.., 4] float32 (x, y, t, p) and the packed
+    [.., 3] int16 (x, y, p) — timestamps are never read on-device, so the
+    loader ships the packed form (data/host_ops.py::gather_event_windows).
 
     Events are split into fixed chunks that ride the *batch* axis of one big
     batched matmul (partials summed afterwards) — loop-free, so the TPU
     compile stays fast and the MXU sees a single large einsum.
     """
     H, W = spec.height, spec.width
-    M, N = windows.shape[0], windows.shape[1]
-    E = min(_EVENT_CHUNK, N)
-    pad = (-N) % E
-    if pad:
-        windows = jnp.pad(windows, ((0, 0), (0, pad), (0, 0)))  # p==0: dead
-    K = windows.shape[1] // E
-    chunks = windows.reshape(M * K, E, 4)
+    M, N, ch = windows.shape
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * H, 1), 1)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
 
-    x = chunks[:, :, 0].astype(jnp.int32)
-    y = chunks[:, :, 1].astype(jnp.int32)
-    p = chunks[:, :, 3]
-    in_bounds = (x >= 0) & (x < W) & (y >= 0) & (y < H)
-    live = in_bounds & (p != 0)  # p == 0 marks padding
-    row = y + H * (p < 0)  # [MK, E]; polarity selects the row block
-    # A built directly in [MK, 2H, E] layout (contraction on lanes) so the
-    # matmul needs no relayout of the big one-hot tile
-    a = ((row[:, None, :] == row_ids) & live[:, None, :]).astype(jnp.bfloat16)
-    b = (x[:, :, None] == col_ids).astype(jnp.bfloat16)
-    hist = jnp.einsum("khe,kew->khw", a, b, preferred_element_type=jnp.float32)
-    return hist.reshape(M, K, 2, H, W).sum(1)
+    def onehots(chunk):
+        """[G, E, ch] events -> ([G, 2H, E], [G, E, W]) bf16 one-hots.
+
+        A is built directly in contraction-on-lanes layout so the matmul
+        needs no relayout of the big one-hot tile."""
+        x = chunk[:, :, 0].astype(jnp.int32)
+        y = chunk[:, :, 1].astype(jnp.int32)
+        p = chunk[:, :, ch - 1]  # polarity is last in both layouts
+        in_bounds = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+        live = in_bounds & (p != 0)  # p == 0 marks padding
+        row = y + H * (p < 0)  # polarity selects the row block
+        a = ((row[:, None, :] == row_ids) & live[:, None, :])
+        b = x[:, :, None] == col_ids
+        return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+    # memory strategy: small frames let every chunk ride the batch axis of
+    # one einsum (loop-free, fastest); large frames (N-ImageNet 480x640)
+    # would materialize a [M*K, 2H, W] partial tensor in the tens of GB, so
+    # there the chunks are scan-accumulated into one [M, 2H, W] histogram.
+    E = min(_EVENT_CHUNK, N)
+    K_full = -(-N // E)
+    partial_bytes = M * K_full * 2 * H * W * 4
+    if partial_bytes <= _PARTIALS_LIMIT:  # 512 MB default
+        pad = (-N) % E
+        if pad:
+            windows = jnp.pad(windows, ((0, 0), (0, pad), (0, 0)))
+        K = windows.shape[1] // E
+        a, b = onehots(windows.reshape(M * K, E, ch))
+        hist = jnp.einsum("khe,kew->khw", a, b,
+                          preferred_element_type=jnp.float32)
+        return hist.reshape(M, K, 2, H, W).sum(1)
+
+    # scan path: cap the one-hot A operand near 128 MB per step
+    E = int(max(512, min(_EVENT_CHUNK, (1 << 27) // (M * 2 * H * 2))))
+    E = max(128, (E // 128) * 128)
+    pad = (-N) % E
+    if pad:
+        windows = jnp.pad(windows, ((0, 0), (0, pad), (0, 0)))
+    K = windows.shape[1] // E
+    chunks = windows.reshape(M, K, E, ch).transpose(1, 0, 2, 3)  # [K,M,E,ch]
+
+    def body(acc, chunk):
+        a, b = onehots(chunk)
+        part = jnp.einsum("mhe,mew->mhw", a, b,
+                          preferred_element_type=jnp.float32)
+        return acc + part, None
+
+    acc0 = jnp.zeros((M, 2 * H, W), jnp.float32)
+    hist, _ = jax.lax.scan(body, acc0, chunks)
+    return hist.reshape(M, 2, H, W)
 
 
 def _finish_frames_chw(spec: RasterSpec, hist: jnp.ndarray, cmap: jnp.ndarray) -> jnp.ndarray:

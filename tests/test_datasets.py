@@ -170,7 +170,8 @@ def test_window_dataset_and_build(tmp_path):
     assert train.max_imgs == 2
     assert val.max_imgs == 10  # val forced to 10
     item = train[0]
-    assert item["windows"].shape == (2, 1000, 4)
+    assert item["windows"].shape == (2, 1000, 3)
+    assert item["windows"].dtype == np.int16
     assert item["valid_mask"].shape == (2,)
     assert item["valid_mask"].any()
     # ~3000 events, N=1000 -> 3 windows, subsampled to 2
@@ -182,12 +183,12 @@ def test_window_dataset_tta(tmp_path):
     params = CaltechParams(data_root=str(tmp_path))
     ds = build_dataset(params, gen_data=True, tta=True)
     item = ds[0]
-    assert item["windows"].shape == (4, 10, 1000, 4)
+    assert item["windows"].shape == (4, 10, 1000, 3)
     assert item["valid_mask"].shape == (4, 10)
     # h-flip variant mirrors x
     base = item["windows"][0][item["valid_mask"][0]]
     flip = item["windows"][1][item["valid_mask"][1]]
-    live = base[..., 3] != 0
+    live = base[..., 2] != 0  # packed layout: (x, y, p)
     np.testing.assert_allclose(
         flip[..., 0][live], 240 - 1 - base[..., 0][live]
     )
@@ -214,7 +215,7 @@ class TestPrefetchLoader:
                                 num_workers=3)
         batches = list(loader)
         assert len(batches) == 3
-        assert batches[0]["windows"].shape == (4, 2, 1000, 4)
+        assert batches[0]["windows"].shape == (4, 2, 1000, 3)
         assert list(batches[0]["data_idx"]) == [0, 1, 2, 3]
         assert list(batches[2]["data_idx"]) == [8, 9, 10, 11]
 

@@ -145,3 +145,42 @@ def test_fused_clip_path_matches_composition(rng):
     composed = np.asarray(preprocess_frames(pp, rasterize_windows(spec, wins)))
     assert fused.shape == composed.shape
     np.testing.assert_allclose(fused, composed, atol=1e-5)
+
+
+def test_packed_int16_windows_match_float(rng):
+    """The packed [.., 3] int16 layout must rasterize identically to the
+    [.., 4] float32 layout (the device never reads timestamps)."""
+    spec = RasterSpec(height=24, width=32, window=200)
+    ev = synth_events(rng, 650, 24, 32)
+    from eventclip_tpu.data.host_ops import gather_event_windows
+
+    f32, valid_f = gather_event_windows(ev, 200, 4, rng=None)
+    i16, valid_i = gather_event_windows(ev, 200, 4, rng=None, packed=True)
+    assert i16.dtype == np.int16 and i16.shape == (4, 200, 3)
+    np.testing.assert_array_equal(valid_f, valid_i)
+    a = np.asarray(rasterize_windows(spec, f32))
+    b = np.asarray(rasterize_windows(spec, i16))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_scan_path_matches_batched_path(rng):
+    """The scan-accumulated histogram (large-frame memory strategy) must be
+    exactly equal to the batch-axis strategy, for both window layouts."""
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data.host_ops import gather_event_windows
+    from eventclip_tpu.ops import rasterize as RZ
+
+    spec = RasterSpec(height=20, width=24, window=300)
+    ev = synth_events(rng, 1900, 20, 24)
+    for packed in (False, True):
+        wins, _ = gather_event_windows(ev, 300, 6, rng=None, packed=packed)
+        w = jnp.asarray(wins)
+        batched = np.asarray(RZ._batched_histograms(spec, w))
+        orig = RZ._PARTIALS_LIMIT
+        RZ._PARTIALS_LIMIT = 0  # force the scan-accumulated branch
+        try:
+            scanned = np.asarray(RZ._batched_histograms(spec, w))
+        finally:
+            RZ._PARTIALS_LIMIT = orig
+        np.testing.assert_array_equal(batched, scanned)
