@@ -162,8 +162,14 @@ class EventCLIPTrainer:
 
         arch = params.clip_dict["arch"]
         self.clip_cfg = clip_arch_config(arch)
+        # bf16 activations by default (the TPU analog of the reference's
+        # --fp16 AMP, train.py:104); bf16=False runs f32 end-to-end. Debug
+        # towers with RANDOM weights need f32: their features differ across
+        # inputs by ~1e-4 relative (random-net feature collapse), below
+        # bf16's resolution, so bf16 smoke runs produce constant features.
+        dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
         self.cls_cfg: ClassifierConfig = build_classifier_config(
-            params, self.clip_cfg, dtype=jnp.bfloat16
+            params, self.clip_cfg, dtype=dtype
         )
 
         rng = jax.random.PRNGKey(seed)
@@ -254,6 +260,7 @@ class EventCLIPTrainer:
 
         self.ckpt = CheckpointManager(ckpt_dir, self.cls_cfg)
         self.ckpt_dir = ckpt_dir
+        self.run_id = self._resolve_run_id(ckpt_dir)
         self.epoch = 0
         # observability knobs (absent in the reference beyond wandb):
         # profile_steps > 0 captures a jax.profiler trace of those steps
@@ -261,6 +268,33 @@ class EventCLIPTrainer:
         self.visualize = bool(params.get("visualize", True))
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _resolve_run_id(ckpt_dir: str) -> str:
+        """Stable experiment identity that survives preemption/resume.
+
+        The reference keeps one wandb curve per experiment across Slurm
+        requeues via `id=f'{exp_name}-{SLURM_JOB_ID}'` + find_old_slurm_id
+        (reference train.py:57-82). Here the id is minted once per ckpt_dir
+        and persisted next to the metrics, so a resumed job appends to the
+        same curve and downstream tools can group records by run.
+        """
+        rid_path = os.path.join(ckpt_dir, "run_id.txt")
+        if os.path.exists(rid_path):
+            with open(rid_path) as f:
+                rid = f.read().strip()
+            if rid:
+                return rid
+        exp = os.path.basename(os.path.normpath(ckpt_dir)) or "run"
+        job = (os.environ.get("SLURM_JOB_ID")
+               or os.environ.get("JOB_ID")
+               or f"{os.getpid()}-{int(time.time())}")
+        rid = f"{exp}-{job}"
+        tmp = rid_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(rid + "\n")
+        os.replace(tmp, rid_path)
+        return rid
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
         from ..parallel.distributed import make_global_batch
@@ -329,7 +363,8 @@ class EventCLIPTrainer:
                 samples_per_sec=round(self.global_batch * max(n_batches, 1) / dt, 2),
             )
             print(f"[train] {stats}")
-            _log_jsonl(self.log_file, {"split": "train", **stats})
+            _log_jsonl(self.log_file,
+                       {"run_id": self.run_id, "split": "train", **stats})
 
             val_stats = None
             if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
@@ -370,7 +405,8 @@ class EventCLIPTrainer:
             stats[k.replace("_correct5", "_acc5")] = v / n
         stats["n"] = n
         print(f"[val]   epoch {self.epoch}: {stats}")
-        _log_jsonl(self.log_file, {"split": "val", "epoch": self.epoch, **stats})
+        _log_jsonl(self.log_file, {"run_id": self.run_id, "split": "val",
+                                   "epoch": self.epoch, **stats})
         if self.visualize and max_steps is None:
             try:
                 self._sample_events()

@@ -104,6 +104,10 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
     return ClassifierConfig(
         model=params_cfg.model,
         clip=clip_cfg,
+        # config override is for debug/random towers (no checkpoint to
+        # snapshot exp(tau) from); real checkpoints override it at load
+        # (engine.trainer.snapshot_logit_scale, reference clip_cls.py:44)
+        logit_scale=float(clip_dict.get("logit_scale", 100.0)),
         agg_func=clip_dict.get("agg_func", "mean"),
         adapter=adapter,
         prompt_tuning=prompt_tuning,

@@ -458,7 +458,7 @@ def tp_fused_qkv_attention(
     gather of q/k/v ever happens; the attention output stays sharded on D
     for the row-parallel out-projection that follows (Megatron pattern).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n = tp.n_model
@@ -475,5 +475,5 @@ def tp_fused_qkv_attention(
         mesh=tp.mesh,
         in_specs=P(tp.data_axis, None, None, tp.model_axis),
         out_specs=P(tp.data_axis, None, tp.model_axis),
-        check_rep=False,
+        check_vma=False,
     )(qkv)

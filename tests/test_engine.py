@@ -233,3 +233,24 @@ def test_checkpoint_manager_best_tracking(tmp_path):
     assert mgr.latest().endswith("best.npz")
     import glob
     assert len(glob.glob(str(tmp_path / "models" / "model_*.npz"))) == 2
+
+
+def test_run_id_stable_across_resume(tmp_path, monkeypatch):
+    """Preemption-safe experiment identity (reference train.py:57-82): the
+    id is minted once per ckpt_dir and every later (resumed) process in the
+    same dir reuses it, so metric curves continue instead of forking."""
+    from eventclip_tpu.engine.trainer import EventCLIPTrainer
+
+    d = str(tmp_path / "exp7")
+    import os
+    os.makedirs(d)
+    monkeypatch.setenv("SLURM_JOB_ID", "4242")
+    rid = EventCLIPTrainer._resolve_run_id(d)
+    assert rid == "exp7-4242"
+    # a requeued job gets a NEW slurm id but must keep the old run id
+    monkeypatch.setenv("SLURM_JOB_ID", "9999")
+    assert EventCLIPTrainer._resolve_run_id(d) == "exp7-4242"
+    # a different experiment dir gets its own id
+    d2 = str(tmp_path / "exp8")
+    os.makedirs(d2)
+    assert EventCLIPTrainer._resolve_run_id(d2) == "exp8-9999"

@@ -1,0 +1,62 @@
+"""Job-submission script tests (reference scripts/sbatch_run.sh role).
+
+Dry-run mode generates the job file without touching sbatch/gcloud, so the
+launch wiring (the jax.distributed coordinator triple train.py consumes) is
+testable anywhere.
+"""
+
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUBMIT = os.path.join(REPO, "scripts", "submit_run.sh")
+
+
+def _submit(tmp_path, backend, extra_env=None, job="j1"):
+    env = dict(os.environ, DRYRUN="1", BACKEND=backend,
+               LOG_DIR=str(tmp_path / job), **(extra_env or {}))
+    r = subprocess.run(
+        ["bash", SUBMIT, job, "train.py", "--params", "configs/p.py"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return (tmp_path / job / f"job-{job}.sh").read_text()
+
+
+def test_slurm_jobfile_wires_coordinator_triple(tmp_path):
+    body = _submit(tmp_path, "slurm", {"NUM_HOSTS": "4", "TIME": "08:00:00"})
+    assert "#SBATCH --nodes=4" in body
+    assert "#SBATCH --time=08:00:00" in body
+    assert "JAX_COORDINATOR_ADDRESS=" in body
+    assert "JAX_NUM_PROCESSES=$SLURM_NNODES" in body
+    # the per-task rank must be resolved inside the srun task
+    assert "srun" in body and "JAX_PROCESS_ID=$SLURM_PROCID" in body
+    assert "train.py --params configs/p.py" in body
+
+
+def test_tpuvm_jobfile_one_process_per_host(tmp_path):
+    body = _submit(
+        tmp_path, "tpuvm",
+        {"TPU_NAME": "v5e-pod", "ZONE": "us-central2-b", "NUM_HOSTS": "2"},
+    )
+    assert "JAX_NUM_PROCESSES=2" in body
+    assert "JAX_PROCESS_ID=$WORKER_ID" in body
+    assert "watchdog.sh" in body
+
+
+def test_local_jobfile_runs_under_watchdog(tmp_path):
+    body = _submit(tmp_path, "local")
+    assert "watchdog.sh python train.py" in body
+    assert f'cd "{tmp_path}"' in body
+
+
+def test_tpuvm_requires_topology(tmp_path):
+    env = dict(os.environ, DRYRUN="1", BACKEND="tpuvm",
+               LOG_DIR=str(tmp_path / "x"))
+    env.pop("TPU_NAME", None)
+    env.pop("ZONE", None)
+    r = subprocess.run(
+        ["bash", SUBMIT, "x", "train.py"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode != 0
