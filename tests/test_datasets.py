@@ -268,3 +268,34 @@ class TestPrefetchLoader:
         loader = PrefetchLoader(Boom(), batch_size=4, num_workers=2)
         with pytest.raises(ValueError, match="boom"):
             list(loader)
+
+    def test_host_sharding_partitions_every_batch(self):
+        """Multi-host input feed (the DistributedSampler contract,
+        torch-free): each host loads a disjoint 1/num_shards slice of every
+        GLOBAL batch, slices across hosts union to the full batch, and the
+        shuffle order agrees across hosts (same seed+epoch)."""
+
+        class Ids:
+            def __len__(self):
+                return 24
+
+            def __getitem__(self, i):
+                import numpy as np
+                return {"data_idx": np.int64(i)}
+
+        def collect(shard):
+            loader = PrefetchLoader(
+                Ids(), batch_size=8, shuffle=True, drop_last=True,
+                num_workers=2, seed=3, shard_index=shard, num_shards=2,
+            )
+            return [b["data_idx"].tolist() for b in loader.epoch(1)]
+
+        a, b = collect(0), collect(1)
+        assert len(a) == len(b) == 3
+        for ba, bb in zip(a, b):
+            assert len(ba) == len(bb) == 4  # local batch = global/num_shards
+            assert not set(ba) & set(bb)  # disjoint
+        union = sorted(x for ba, bb in zip(a, b) for x in ba + bb)
+        assert union == list(range(24))  # every sample covered exactly once
+        # identical order when both hosts draw the same epoch again
+        assert collect(0) == a

@@ -60,3 +60,34 @@ def test_tpuvm_requires_topology(tmp_path):
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
     )
     assert r.returncode != 0
+
+
+def test_watchdog_retries_until_success(tmp_path):
+    """The retry watchdog (reference resubmit_failed_job.sh role) must
+    relaunch a failing command and stop as soon as it exits cleanly."""
+    marker = tmp_path / "attempts"
+    script = tmp_path / "flaky.sh"
+    script.write_text(
+        "#!/bin/bash\n"
+        f"echo x >> {marker}\n"
+        f"[ $(wc -l < {marker}) -ge 3 ] && exit 0\n"
+        "exit 1\n"
+    )
+    script.chmod(0o755)
+    env = dict(os.environ, MAX_RETRIES="5", SLEEP_SECS="0")
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "watchdog.sh"), str(script)],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert marker.read_text().count("x") == 3
+
+
+def test_watchdog_gives_up_after_max_retries(tmp_path):
+    env = dict(os.environ, MAX_RETRIES="2", SLEEP_SECS="0")
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "watchdog.sh"), "false"],
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 1
+    assert "giving up" in r.stdout
