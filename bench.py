@@ -293,7 +293,10 @@ def _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N):
     bench_step("ftclip_lora_train_step_ms", ft_cfg, augment=False,
                note="LoRA-16")
 
-    if os.environ.get("BENCH_FT_FULL"):
+    # on by default: BENCH_STAGES.json is rewritten wholesale each run and
+    # BASELINE.md cites this row, so the default invocation must produce it
+    # (BENCH_FT_FULL=0 skips it to save the extra ~2 min of compile)
+    if os.environ.get("BENCH_FT_FULL", "1") != "0":
         full_cfg = ClassifierConfig(
             model="FTCLIP", clip=clip_cfg, dtype=jnp.bfloat16,
             ft_mode="full", remat=True,

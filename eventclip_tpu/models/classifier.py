@@ -97,10 +97,19 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
             ft_mode = "cls_token"
     # loss selection comes from the config, exactly one of the two; without
     # a loss_dict both regimes default to logits CE (the value every shipped
-    # reference config specifies — no model-dependent invention here)
+    # reference config specifies — no model-dependent invention here); a
+    # partially-specified dict fills the other flag with False, and exactly
+    # one loss must end up enabled (reference clip_cls.py:58)
     loss_dict = dict(params_cfg.get("loss_dict", {}) or {})
-    use_logits = bool(loss_dict.get("use_logits_loss", True))
-    use_probs = bool(loss_dict.get("use_probs_loss", not use_logits))
+    if not loss_dict:
+        use_logits, use_probs = True, False
+    else:
+        use_logits = bool(loss_dict.get("use_logits_loss", False))
+        use_probs = bool(loss_dict.get("use_probs_loss", False))
+    assert int(use_logits) + int(use_probs) == 1, (
+        f"exactly one of use_logits_loss/use_probs_loss must be set, got "
+        f"{loss_dict}"
+    )
     return ClassifierConfig(
         model=params_cfg.model,
         clip=clip_cfg,

@@ -97,7 +97,11 @@ def main(params, args):
     class_names, ds_labels = test_set.classes, ev_dst.labels
 
     clip_cfg = clip_arch_config(params.clip_dict["arch"])
-    cls_cfg = build_classifier_config(params, clip_cfg, dtype=jnp.bfloat16)
+    # honor the config's precision knob like the trainer does (bf16=False
+    # runs f32 - mandatory for random debug towers, whose ~1e-4 feature
+    # differences underflow bf16)
+    dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
+    cls_cfg = build_classifier_config(params, clip_cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     clip_params, pretrained = resolve_clip_params(
         params, clip_cfg, rng, args.clip_ckpt or None,

@@ -29,7 +29,8 @@ BACKEND=${BACKEND:-local}
 DRYRUN=${DRYRUN:-0}
 JOB_NAME=${1:?usage: submit_run.sh JOB_NAME SCRIPT [args...]}
 PY_FILE=${2:?missing python entry point}
-PY_ARGS="${@:3}"
+# shell-quote each argument so spaces/quotes survive the job-file round trip
+PY_ARGS=$(printf ' %q' "${@:3}")
 
 # resources (slurm backend)
 PARTITION=${PARTITION:-tpu}
@@ -52,7 +53,7 @@ LOG_FILE="$LOG_DIR/run.log"
 
 # every backend runs this inner command; resume.pkl makes retries continue
 # the same run (run_id.txt keeps the metric curve identity stable too)
-INNER="python $PY_FILE $PY_ARGS"
+INNER="python $PY_FILE$PY_ARGS"
 
 case "$BACKEND" in
   slurm)
@@ -72,36 +73,46 @@ case "$BACKEND" in
 # one process per TPU host; jax.distributed wires the slice from this triple
 export JAX_COORDINATOR_ADDRESS=\$(scontrol show hostnames "\$SLURM_JOB_NODELIST" | head -n1):$COORD_PORT
 export JAX_NUM_PROCESSES=\$SLURM_NNODES
-# SLURM_PROCID is only correct inside the srun task, not in this prologue
-srun --kill-on-bad-exit=1 bash -c 'export JAX_PROCESS_ID=\$SLURM_PROCID; exec $INNER'
+# SLURM_PROCID is only correct inside the srun task, not in this prologue,
+# so its expansion is deferred to the per-task shell
+srun --kill-on-bad-exit=1 bash -c "export JAX_PROCESS_ID=\\\$SLURM_PROCID; exec $INNER"
 EOF
     chmod +x "$JOB_FILE"
     echo "[submit] wrote $JOB_FILE"
     if [[ "$DRYRUN" == "1" ]]; then exit 0; fi
     job_id=$(sbatch --parsable "$JOB_FILE") || { echo "[submit] sbatch failed"; exit 1; }
     echo "[submit] slurm job $job_id"
-    # requeue-on-failure watchdog (reference resubmit_failed_job.sh role)
+    # requeue-on-failure watchdog (reference resubmit_failed_job.sh role);
+    # only the INITIAL id is baked in — after a resubmission the loop polls
+    # the replacement job, not the dead original
     nohup bash -c "
+      cur=$job_id
       while true; do
         sleep \${POLL_SECS:-600}
-        st=\$(sacct -j $job_id --format=State --noheader -X 2>/dev/null | tr -d ' ')
+        st=\$(sacct -j \$cur --format=State --noheader -X 2>/dev/null | head -n1 | tr -d ' ')
         case \"\$st\" in
           FAILED*|OUT_OF_MEMORY*|TIMEOUT*|NODE_FAIL*|PREEMPTED*)
-            echo \"[watchdog] \$st -> resubmitting\" >> '$LOG_FILE'
-            job_id=\$(sbatch --parsable '$JOB_FILE');;
+            echo \"[watchdog] job \$cur \$st -> resubmitting\" >> '$LOG_FILE'
+            cur=\$(sbatch --parsable '$JOB_FILE');;
           COMPLETED*|CANCELLED*) exit 0;;
         esac
       done" >/dev/null 2>&1 &
     ;;
   tpuvm)
     [[ -n "$TPU_NAME" && -n "$ZONE" ]] || { echo "[submit] tpuvm needs TPU_NAME and ZONE"; exit 1; }
+    REMOTE_DIR=${REMOTE_DIR:-\$HOME/eventclip_tpu}
     cat > "$JOB_FILE" <<EOF
 #!/bin/bash
-# runs on every worker of the pod slice; \$WORKER_ID is injected per host
-cd \$(dirname \$0)/../.. 2>/dev/null || cd ~/eventclip_tpu
-export JAX_COORDINATOR_ADDRESS=\${COORDINATOR:-worker-0}:$COORD_PORT
+# runs on every worker of the pod slice (scp'd to /tmp, so the repo dir is
+# configured, not derived from \$0)
+cd $REMOTE_DIR || { echo "[job] repo not found at $REMOTE_DIR (set REMOTE_DIR at submit time)"; exit 1; }
+# per-worker rank from the TPU-VM metadata server; the coordinator is
+# worker 0's hostname (Cloud TPU VM hostnames end in -w-<rank>)
+WORKER_ID=\$(curl -s -H 'Metadata-Flavor: Google' \\
+  'http://metadata.google.internal/computeMetadata/v1/instance/attributes/agent-worker-number')
+export JAX_COORDINATOR_ADDRESS=\${COORDINATOR:-\${HOSTNAME%-w-*}-w-0}:$COORD_PORT
 export JAX_NUM_PROCESSES=$NUM_HOSTS
-export JAX_PROCESS_ID=\$WORKER_ID
+export JAX_PROCESS_ID=\${WORKER_ID:?metadata lookup failed - set WORKER_ID}
 MAX_RETRIES=\${MAX_RETRIES:-10} ./scripts/watchdog.sh $INNER
 EOF
     chmod +x "$JOB_FILE"
@@ -110,7 +121,7 @@ EOF
     gcloud compute tpus tpu-vm scp "$JOB_FILE" "$TPU_NAME:/tmp/$SAFE_NAME.sh" \
       --zone "$ZONE" --worker=all
     gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
-      --command "WORKER_ID=\$(hostname | grep -o '[0-9]*\$') nohup bash /tmp/$SAFE_NAME.sh >> /tmp/$SAFE_NAME.log 2>&1 &"
+      --command "nohup bash /tmp/$SAFE_NAME.sh >> /tmp/$SAFE_NAME.log 2>&1 &"
     echo "[submit] launched on $NUM_HOSTS worker(s) of $TPU_NAME"
     ;;
   local)

@@ -135,6 +135,27 @@ def test_loss_defaults_to_logits_ce_without_loss_dict():
     cfg = build_classifier_config(ProbsLoss(), tiny)
     assert cfg.use_probs_loss and not cfg.use_logits_loss
 
+    # a partially-specified dict fills the missing flag with False (the
+    # reference style: configs often set only the flag they enable)
+    class PartialProbs(NoLoss):
+        loss_dict = dict(use_probs_loss=True)
+
+    cfg = build_classifier_config(PartialProbs(), tiny)
+    assert cfg.use_probs_loss and not cfg.use_logits_loss
+
+    # exactly one loss must be enabled (reference clip_cls.py:58)
+    class BothLosses(NoLoss):
+        loss_dict = dict(use_logits_loss=True, use_probs_loss=True)
+
+    with pytest.raises(AssertionError):
+        build_classifier_config(BothLosses(), tiny)
+
+    class NeitherLoss(NoLoss):
+        loss_dict = dict(use_logits_loss=False, use_probs_loss=False)
+
+    with pytest.raises(AssertionError):
+        build_classifier_config(NeitherLoss(), tiny)
+
 
 def test_shipped_configs_all_specify_loss_dict():
     """Every trainable shipped config must carry an explicit loss_dict (the

@@ -29,8 +29,9 @@ def test_slurm_jobfile_wires_coordinator_triple(tmp_path):
     assert "#SBATCH --time=08:00:00" in body
     assert "JAX_COORDINATOR_ADDRESS=" in body
     assert "JAX_NUM_PROCESSES=$SLURM_NNODES" in body
-    # the per-task rank must be resolved inside the srun task
-    assert "srun" in body and "JAX_PROCESS_ID=$SLURM_PROCID" in body
+    # the per-task rank must be resolved inside the srun task, i.e. the
+    # $SLURM_PROCID expansion is deferred (escaped) past the batch prologue
+    assert "srun" in body and r"JAX_PROCESS_ID=\$SLURM_PROCID" in body
     assert "train.py --params configs/p.py" in body
 
 
@@ -40,7 +41,13 @@ def test_tpuvm_jobfile_one_process_per_host(tmp_path):
         {"TPU_NAME": "v5e-pod", "ZONE": "us-central2-b", "NUM_HOSTS": "2"},
     )
     assert "JAX_NUM_PROCESSES=2" in body
-    assert "JAX_PROCESS_ID=$WORKER_ID" in body
+    # rank comes from the TPU-VM metadata server and must hard-fail if the
+    # lookup comes back empty (an empty JAX_PROCESS_ID would crash train.py
+    # with a confusing int() error on every worker)
+    assert "agent-worker-number" in body
+    assert "JAX_PROCESS_ID=${WORKER_ID:?" in body
+    # repo dir is configured, never derived from the scp'd file's location
+    assert "cd $HOME/eventclip_tpu ||" in body
     assert "watchdog.sh" in body
 
 
@@ -60,6 +67,36 @@ def test_tpuvm_requires_topology(tmp_path):
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
     )
     assert r.returncode != 0
+
+
+def test_args_with_spaces_survive_the_jobfile(tmp_path):
+    """Arguments are shell-quoted into the job file: a --prompt with spaces
+    must reach the python process as ONE argv entry after the round trip."""
+    env = dict(os.environ, DRYRUN="1", BACKEND="local",
+               LOG_DIR=str(tmp_path / "q"))
+    r = subprocess.run(
+        ["bash", SUBMIT, "q", "train.py", "--prompt", "a photo of a {}"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    job = str(tmp_path / "q" / "job-q.sh")
+    # execute the job file with a stub watchdog+python that dump argv
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    (bindir / "python").write_text(
+        "#!/bin/bash\nfor a in \"$@\"; do echo \"ARG:$a\"; done\n"
+    )
+    (bindir / "python").chmod(0o755)
+    scripts = tmp_path / "scripts"
+    scripts.mkdir(exist_ok=True)
+    wd = scripts / "watchdog.sh"
+    wd.write_text('#!/bin/bash\nexec "$@"\n')
+    wd.chmod(0o755)
+    env2 = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+    r2 = subprocess.run(["bash", job], cwd=str(tmp_path), env=env2,
+                        capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr
+    assert "ARG:a photo of a {}" in r2.stdout
 
 
 def test_watchdog_retries_until_success(tmp_path):
