@@ -283,6 +283,8 @@ def _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N):
                               num_layers=2, residual=0.8),
         prompt_tuning=True,
     )
+    bench_step("fsclip_train_step_ms", fs_cfg, augment=False,
+               note="joint adapter + prompts, no RandAugment")
     bench_step("fsclip_aug_train_step_ms", fs_cfg, augment=True,
                note="joint adapter + prompts, img_aug=True (RandAugment)")
 

@@ -306,18 +306,25 @@ def _warp_batched(imgs: jnp.ndarray, mats, fill: float) -> jnp.ndarray:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # grid_sample's zero-padding mask (interpolation of a ones-image that is
+    # zero outside the frame) is separable: the 2-D tap sum over the product
+    # region factors into per-axis sums — no extra matmul channel needed
+    taps = jnp.arange(-1, 3, dtype=jnp.int32)
+    ty = y0i[..., None] + taps
+    tx = x0i[..., None] + taps
+    my = (wy * ((ty >= 0) & (ty < H))).sum(-1)  # [N, Q]
+    mx = (wx * ((tx >= 0) & (tx < W))).sum(-1)
+    mask = jnp.clip(my * mx, 0.0, 1.0).reshape(N, 1, H, W)
+
     PAD = 2
     Hp, Wp = H + 2 * PAD, W + 2 * PAD
-    padded = jnp.pad(
-        jnp.concatenate([imgs, jnp.ones((N, 1, H, W), imgs.dtype)], axis=1),
-        ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)),
-    )  # [N, C+1, Hp, Wp]
+    padded = jnp.pad(imgs, ((0, 0), (0, 0), (PAD, PAD), (PAD, PAD)))
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, Hp), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
 
     def one(args):
-        p, y0s, x0s, wys, wxs = args  # [C+1,Hp,Wp], [Q], [Q], [Q,4], [Q,4]
+        p, y0s, x0s, wys, wxs = args  # [C,Hp,Wp], [Q], [Q], [Q,4], [Q,4]
         ry = jnp.zeros((Q, Hp), jnp.float32)
         rx = jnp.zeros((Q, Wp), jnp.float32)
         for k in range(4):
@@ -325,16 +332,15 @@ def _warp_batched(imgs: jnp.ndarray, mats, fill: float) -> jnp.ndarray:
             rx = rx + wxs[:, k, None] * (cols == (x0s + (k - 1 + PAD))[:, None])
         # T1[q, c, b] = sum_a ry[q, a] * p[c, a, b]
         t1 = jax.lax.dot_general(
-            ry, p.transpose(1, 0, 2).reshape(Hp, (C + 1) * Wp),
+            ry, p.transpose(1, 0, 2).reshape(Hp, C * Wp),
             (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-        ).reshape(Q, C + 1, Wp)
-        return (t1 * rx[:, None, :]).sum(-1)  # [Q, C+1]
+        ).reshape(Q, C, Wp)
+        return (t1 * rx[:, None, :]).sum(-1)  # [Q, C]
 
-    out = jax.lax.map(one, (padded, y0i, x0i, wy, wx))  # [N, Q, C+1]
-    out = out.transpose(0, 2, 1).reshape(N, C + 1, H, W)
-    mask = jnp.clip(out[:, -1:], 0.0, 1.0)
-    res = out[:, :-1] * mask + fill * (1.0 - mask)
+    out = jax.lax.map(one, (padded, y0i, x0i, wy, wx))  # [N, Q, C]
+    out = out.transpose(0, 2, 1).reshape(N, C, H, W)
+    res = out * mask + fill * (1.0 - mask)
     return jnp.clip(jnp.round(res), 0.0, 255.0)
 
 
@@ -364,7 +370,14 @@ def _b(mag: jnp.ndarray) -> jnp.ndarray:
 
 
 def _grayscale_b(img: jnp.ndarray) -> jnp.ndarray:
-    l = 0.2989 * img[:, 0] + 0.587 * img[:, 1] + 0.114 * img[:, 2]
+    # C==1 (the grayscale-config fast path) must stay bit-identical to the
+    # 3-channel computation on equal channels, so the same f32 expression is
+    # evaluated with the one channel three times (the weights sum to 0.9999,
+    # NOT 1.0 — trunc(0.9999*v) != v for v >= 104, so this is not identity)
+    r = img[:, 0]
+    g = img[:, 1] if img.shape[1] == 3 else r
+    b = img[:, 2] if img.shape[1] == 3 else r
+    l = 0.2989 * r + 0.587 * g + 0.114 * b
     return jnp.trunc(l)[:, None]
 
 

@@ -243,5 +243,12 @@ def rasterize_augment_for_clip(
     """
     frames = _rasterize_chw(spec, windows)  # [B, T, 3, H, W]
     fill = 255.0 if spec.background_mask else 0.0
-    frames = randaugment(frames, rng, 2, fill)
+    if spec.grayscale:
+        # grayscale colormaps emit R=G=B exactly and every RandAugment op
+        # preserves channel equality, so the whole augment chain runs on one
+        # channel (3x less warp/histogram work) and broadcasts after
+        aug = randaugment(frames[:, :, :1], rng, 2, fill)
+        frames = jnp.broadcast_to(aug, frames.shape[:2] + (3,) + aug.shape[3:])
+    else:
+        frames = randaugment(frames, rng, 2, fill)
     return preprocess_frames_chw(pp, frames)

@@ -190,3 +190,19 @@ def test_randaugment_covers_all_ops(rng):
     for op in range(len(R.OP_NAMES)):
         out = R._apply_one_op(img, jnp.int32(op), mags[op, 15], 255.0)
         assert np.isfinite(np.asarray(out)).all(), R.OP_NAMES[op]
+
+
+def test_single_channel_path_matches_three_channel(rng):
+    """Grayscale configs run the augment chain on ONE channel and broadcast
+    (ops/rasterize.py); on equal-channel frames this must be bit-identical
+    to the 3-channel computation (the 0.9999-weighted grayscale op included)."""
+    B, T, H, W = 2, 2, 40, 48
+    one = jnp.asarray(
+        np.random.default_rng(5).integers(0, 256, (B, T, 1, H, W))
+    ).astype(jnp.float32)
+    three = jnp.broadcast_to(one, (B, T, 3, H, W))
+    key = jax.random.PRNGKey(123)
+    for fill in (255.0, 0.0):
+        got1 = np.asarray(R.randaugment(one, key, 2, fill))
+        got3 = np.asarray(R.randaugment(three, key, 2, fill))
+        np.testing.assert_array_equal(np.broadcast_to(got1, got3.shape), got3)
