@@ -42,6 +42,8 @@ def parse_args():
     parser.add_argument("--smoke", action="store_true",
                         help="allow RANDOM CLIP weights (pipeline testing "
                         "only; accuracies will be garbage)")
+    parser.add_argument("--fp32", action="store_true",
+                        help="run activations in f32 instead of bf16")
     return parser.parse_args()
 
 
@@ -72,7 +74,8 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
     # honor the config's precision knob like the trainer does (bf16=False
     # runs f32 - mandatory for random debug towers, whose ~1e-4 feature
     # differences underflow bf16)
-    dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
+    use_bf16 = bool(params.get("bf16", True)) and not getattr(args, "fp32", False)
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     cls_cfg = build_classifier_config(params, clip_cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     clip_params, pretrained = resolve_clip_params(

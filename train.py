@@ -47,6 +47,10 @@ def parse_args():
                         "testing; accuracies will be garbage)")
     parser.add_argument("--profile", type=int, default=0,
                         help="capture a jax.profiler trace of N train steps")
+    parser.add_argument("--fp32", action="store_true",
+                        help="run activations in f32 instead of bf16 (the "
+                        "reference's precision toggle is --fp16, train.py:104"
+                        "; bf16 is our default)")
     return parser.parse_args()
 
 
@@ -82,6 +86,8 @@ def load_and_override(args):
         params.max_epochs = args.max_epochs
     if args.profile > 0:
         params.profile_steps = args.profile
+    if args.fp32:
+        params.bf16 = False
     return params, exp_name
 
 
