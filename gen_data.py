@@ -100,9 +100,7 @@ def main(params, args):
     # honor the config's precision knob like the trainer does (bf16=False
     # runs f32 - mandatory for random debug towers, whose ~1e-4 feature
     # differences underflow bf16)
-    use_bf16 = bool(params.get("bf16", True)) and not getattr(args, "fp32",
-                                                              False)
-    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
     cls_cfg = build_classifier_config(params, clip_cfg, dtype=dtype)
     rng = jax.random.PRNGKey(0)
     clip_params, pretrained = resolve_clip_params(
@@ -330,6 +328,8 @@ if __name__ == "__main__":
     from eventclip_tpu.utils.config import load_params
 
     params = load_params(args.params)
+    if args.fp32:
+        params.bf16 = False  # single source: dtype derives from params.bf16
     if args.data_root:
         params.data_root = args.data_root
     if args.save_path:

@@ -30,7 +30,9 @@ DRYRUN=${DRYRUN:-0}
 JOB_NAME=${1:?usage: submit_run.sh JOB_NAME SCRIPT [args...]}
 PY_FILE=${2:?missing python entry point}
 # shell-quote each argument so spaces/quotes survive the job-file round trip
-PY_ARGS=$(printf ' %q' "${@:3}")
+# (printf with no args still runs its format once, which would inject a
+# spurious '' argv entry — hence the guard)
+if [ $# -gt 2 ]; then PY_ARGS=$(printf ' %q' "${@:3}"); else PY_ARGS=""; fi
 
 # resources (slurm backend)
 PARTITION=${PARTITION:-tpu}
@@ -73,9 +75,10 @@ case "$BACKEND" in
 # one process per TPU host; jax.distributed wires the slice from this triple
 export JAX_COORDINATOR_ADDRESS=\$(scontrol show hostnames "\$SLURM_JOB_NODELIST" | head -n1):$COORD_PORT
 export JAX_NUM_PROCESSES=\$SLURM_NNODES
-# SLURM_PROCID is only correct inside the srun task, not in this prologue,
-# so its expansion is deferred to the per-task shell
-srun --kill-on-bad-exit=1 bash -c "export JAX_PROCESS_ID=\\\$SLURM_PROCID; exec $INNER"
+# SLURM_PROCID is only correct inside the srun task, so the single-quoted
+# inner script reads it per task; the command arrives as positionals, parsed
+# exactly once by this job file's shell (no double evaluation of quoting)
+srun --kill-on-bad-exit=1 bash -c 'export JAX_PROCESS_ID=\$SLURM_PROCID; exec "\$@"' -- $INNER
 EOF
     chmod +x "$JOB_FILE"
     echo "[submit] wrote $JOB_FILE"
@@ -108,7 +111,7 @@ EOF
 cd $REMOTE_DIR || { echo "[job] repo not found at $REMOTE_DIR (set REMOTE_DIR at submit time)"; exit 1; }
 # per-worker rank from the TPU-VM metadata server; the coordinator is
 # worker 0's hostname (Cloud TPU VM hostnames end in -w-<rank>)
-WORKER_ID=\$(curl -s -H 'Metadata-Flavor: Google' \\
+WORKER_ID=\$(curl -sf -H 'Metadata-Flavor: Google' \\
   'http://metadata.google.internal/computeMetadata/v1/instance/attributes/agent-worker-number')
 export JAX_COORDINATOR_ADDRESS=\${COORDINATOR:-\${HOSTNAME%-w-*}-w-0}:$COORD_PORT
 export JAX_NUM_PROCESSES=$NUM_HOSTS

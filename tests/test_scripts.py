@@ -29,9 +29,11 @@ def test_slurm_jobfile_wires_coordinator_triple(tmp_path):
     assert "#SBATCH --time=08:00:00" in body
     assert "JAX_COORDINATOR_ADDRESS=" in body
     assert "JAX_NUM_PROCESSES=$SLURM_NNODES" in body
-    # the per-task rank must be resolved inside the srun task, i.e. the
-    # $SLURM_PROCID expansion is deferred (escaped) past the batch prologue
-    assert "srun" in body and r"JAX_PROCESS_ID=\$SLURM_PROCID" in body
+    # the per-task rank must be resolved inside the srun task: the inner
+    # script is single-quoted so $SLURM_PROCID survives the batch prologue
+    # (test_slurm_args_evaluated_exactly_once proves this behaviorally)
+    assert "srun" in body
+    assert "bash -c 'export JAX_PROCESS_ID=$SLURM_PROCID" in body
     assert "train.py --params configs/p.py" in body
 
 
@@ -97,6 +99,52 @@ def test_args_with_spaces_survive_the_jobfile(tmp_path):
                         capture_output=True, text=True)
     assert r2.returncode == 0, r2.stderr
     assert "ARG:a photo of a {}" in r2.stdout
+
+
+def test_slurm_args_evaluated_exactly_once(tmp_path):
+    """The srun line passes the command as positionals into a single-quoted
+    inner script, so %q-quoted args are parsed exactly once — dollar signs,
+    quotes, and spaces survive; SLURM_PROCID resolves in the task shell."""
+    env = dict(os.environ, DRYRUN="1", BACKEND="slurm",
+               LOG_DIR=str(tmp_path / "s"))
+    r = subprocess.run(
+        ["bash", SUBMIT, "s", "train.py", "--note", 'cost $5 "x" `y`'],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    body = (tmp_path / "s" / "job-s.sh").read_text()
+    line = next(l for l in body.splitlines() if l.startswith("srun"))
+    # execute the launch line sans srun, with a stub python dumping argv
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    (bindir / "python").write_text(
+        "#!/bin/bash\nfor a in \"$@\"; do echo \"ARG:$a\"; done\n"
+        "echo \"RANK:$JAX_PROCESS_ID\"\n"
+    )
+    (bindir / "python").chmod(0o755)
+    env2 = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}",
+                SLURM_PROCID="3")
+    r2 = subprocess.run(
+        ["bash", "-c", line.replace("srun --kill-on-bad-exit=1 ", "")],
+        env=env2, capture_output=True, text=True,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert 'ARG:cost $5 "x" `y`' in r2.stdout
+    assert "RANK:3" in r2.stdout
+
+
+def test_no_extra_args_adds_no_empty_argv(tmp_path):
+    """printf %q with zero args would emit a spurious '' argument."""
+    env = dict(os.environ, DRYRUN="1", BACKEND="local",
+               LOG_DIR=str(tmp_path / "n"))
+    r = subprocess.run(
+        ["bash", SUBMIT, "n", "train.py"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    body = (tmp_path / "n" / "job-n.sh").read_text()
+    assert "python train.py ''" not in body
+    assert "python train.py\n" in body
 
 
 def test_watchdog_retries_until_success(tmp_path):
