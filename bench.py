@@ -184,6 +184,25 @@ def main():
     bench.record("rasterize_events_per_sec", events_per_batch / dt,
                  "events/s", f"B={B} T={T} N={N} frames only")
 
+    # --- stage 2b: achievable MXU ceiling (context for the encode stage) ----
+    # 8 chained 4096^3 bf16 matmuls: one dispatch, compute-bound — the
+    # highest sustained matmul rate this chip+runtime combination reaches.
+    mk = 4096
+    ma = jnp.asarray(rng.normal(size=(mk, mk)), dtype=jnp.bfloat16)
+
+    def _chain(a):
+        x = a
+        for _ in range(8):
+            x = jax.lax.dot_general(x, a, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.bfloat16)
+        return x
+
+    chain = jax.jit(_chain)
+    dt = bench.run(lambda: chain(ma), _sync, iters)
+    mxu_tflops = 8 * 2 * mk**3 / dt / 1e12
+    bench.record("mxu_ceiling_tflops", mxu_tflops, "TFLOP/s",
+                 "8x chained 4096^3 bf16 matmul (achievable, not paper peak)")
+
     # --- stage 3: CLIP encode (bf16 forward) --------------------------------
     eB = int(os.environ.get("BENCH_ENC_BATCH", "64"))
     imgs = jnp.asarray(rng.normal(size=(
@@ -193,8 +212,17 @@ def main():
         p, clip_cfg.vision, x, dtype=jnp.bfloat16))
     visual = params["clip"]["visual"]
     dt = bench.run(lambda: enc(visual, imgs), _sync, iters)
+    v = clip_cfg.vision
+    if getattr(v, "patch_size", 0):  # ViT: qkv + scores/av + out + mlp / layer
+        S = (v.image_size // v.patch_size) ** 2 + 1
+        gf = v.layers * (2 * S * v.width * 3 * v.width + 4 * S * S * v.width
+                         + 2 * S * v.width * v.width
+                         + 4 * S * v.width * 4 * v.width) / 1e9
+        mfu = f"; {eB * gf / dt / 1e3:.0f} TFLOP/s vs {mxu_tflops:.0f} ceiling"
+    else:
+        mfu = ""
     bench.record(f"encode_{arch.replace('/', '')}_img_per_sec", eB / dt,
-                 "img/s", f"bf16 B={eB}")
+                 "img/s", f"bf16 B={eB}{mfu}")
 
     # --- stage 4: end-to-end events -> prediction ---------------------------
     @jax.jit

@@ -189,6 +189,58 @@ def test_train_test_cycle(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_train_shots_sweep_averages_dups(tree, ckpt_base):
+    """--train_shots discovers `<cfg>[-dupX]-<K>shot/models` checkpoint dirs,
+    averages accuracies over the dups, and prints the LaTeX-ready row
+    (reference test.py:137-186). Runs after test_train_test_cycle so a real
+    trained checkpoint exists to clone into the sweep layout."""
+    import shutil
+
+    src = os.path.join(ckpt_base, "fsclip_tiny_params")
+    if not os.path.exists(os.path.join(src, "models")):
+        pytest.skip("train cycle has not produced a checkpoint")
+    for dup in ("fsclip_tiny_params-2shot", "fsclip_tiny_params-dup1-2shot",
+                "fsclip_tiny_params-1shot"):
+        dst = os.path.join(ckpt_base, dup)
+        if not os.path.exists(dst):
+            shutil.copytree(src, dst)
+    r = run([
+        "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu",
+        "--ckpt_base", ckpt_base, "--train_shots", "2", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Average accuracy over 2 runs" in r.stdout  # 2-shot: base + dup1
+    assert "Average accuracy over 1 runs" in r.stdout  # 1-shot: base only
+    assert "&" in r.stdout  # LaTeX row joins the per-shot accuracies
+
+
+@pytest.mark.e2e
+def test_preemption_resume_continues_same_run(tree, ckpt_base):
+    """Relaunching into the same ckpt dir must restore the full state from
+    resume.pkl, train only the REMAINING epochs, and keep the metric-curve
+    identity (one run_id across both processes) — the reference's Slurm
+    requeue contract (train.py:51-82). Runs after test_train_test_cycle,
+    whose 1-epoch run left resume.pkl at epoch 1."""
+    exp = os.path.join(ckpt_base, "fsclip_tiny_params")
+    if not os.path.exists(os.path.join(exp, "models", "resume.pkl")):
+        pytest.skip("train cycle has not produced a resume file")
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base,
+        "--max_epochs", "2", "--san_check_val_step", "0",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Resumed full state from epoch 1" in r.stdout
+    with open(os.path.join(exp, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    train_epochs = [rec["epoch"] for rec in recs if rec["split"] == "train"]
+    assert train_epochs == [0, 1]  # epoch 0 from run 1, only epoch 1 here
+    run_ids = {rec["run_id"] for rec in recs if "run_id" in rec}
+    assert len(run_ids) == 1, run_ids  # same curve identity across requeue
+
+
+@pytest.mark.e2e
 def test_training_actually_learns(tmp_path):
     """Guard the optimizer/schedule/loss wiring: fine-tuning the tiny conv
     tower on a synthetically separable 3-class tree must cut the train CE
