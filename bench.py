@@ -236,6 +236,22 @@ def main():
     bench.record("e2e_events_per_sec", e2e_events, "events/s",
                  f"incl. {arch} encode; {e2e_imgs:,.1f} img/s")
 
+    # --- stage 3b/4b: W8A8 int8 inference (opt-in eval path, --int8) --------
+    if getattr(clip_cfg.vision, "patch_size", 0):
+        from eventclip_tpu.ops.quant import (
+            quantize_classifier_params,
+            quantize_visual,
+        )
+
+        qvisual = quantize_visual(visual)
+        dt = bench.run(lambda: enc(qvisual, imgs), _sync, iters)
+        bench.record(f"encode_int8_{arch.replace('/', '')}_img_per_sec",
+                     eB / dt, "img/s", f"W8A8 B={eB}")
+        qparams = quantize_classifier_params(params)
+        dt = bench.run(lambda: e2e(qparams, windows, valid), _sync, iters)
+        bench.record("e2e_int8_events_per_sec", events_per_batch / dt,
+                     "events/s", f"--int8 eval path; {B * T / dt:,.1f} img/s")
+
     if level == "full":
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
         _nin_input_feed(bench, rng)

@@ -50,8 +50,17 @@ def _use_pallas_attention() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x @ w.T + b with f32 accumulation; w is [out, in] (torch layout)."""
+def dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ w.T + b with f32 accumulation; w is [out, in] (torch layout).
+
+    Also accepts an int8-quantized weight ({'q', 's'} dict from
+    ops/quant.py) and dispatches to the W8A8 MXU path — so a
+    `quantize_visual`-processed tree runs through the unchanged forward.
+    """
+    if isinstance(w, dict):
+        from ...ops.quant import qdense
+
+        return qdense(x, w, b)
     y = jnp.einsum(
         "...i,oi->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
     )
@@ -113,6 +122,8 @@ def attention(
     # [B, H, T, dh] relayouts ever materialize
     if tp is not None:
         assert mask is None, "TP attention is only wired for the ViT tower"
+        assert not isinstance(p["wqkv"], dict), \
+            "int8 quantization is a single-chip inference path (no TP)"
         # keep the q/k/v axis explicit so the head-aligned weight sharding
         # ([3, D_out, D_in] split on D_out) propagates onto the activation
         qkv = jnp.einsum(
@@ -128,8 +139,13 @@ def attention(
         # replicated weights: collapse to the single fused matmul (the
         # reshape is free; the [B, T, 3, D]-producing einsum measures ~25%
         # slower end-to-end on the ViT-L/14 forward)
-        qkv = dense(x, p["wqkv"].reshape(3 * D, D),
-                    p["bqkv"].reshape(3 * D))  # [B, T, 3D]
+        wqkv = p["wqkv"]
+        if isinstance(wqkv, dict):  # int8: reshape both payload and scales
+            wqkv = {"q": wqkv["q"].reshape(3 * D, D),
+                    "s": wqkv["s"].reshape(3 * D)}
+        else:
+            wqkv = wqkv.reshape(3 * D, D)
+        qkv = dense(x, wqkv, p["bqkv"].reshape(3 * D))  # [B, T, 3D]
         if lora is not None:
             qkv = qkv + lora_deltas(lambda ds: jnp.concatenate(ds, axis=-1))
         o = fused_qkv_attention(qkv, heads, mask,

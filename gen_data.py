@@ -138,6 +138,11 @@ def main(params, args):
         gt_data = {k: class_names[v] for k, v in gt_split.items()}
     gt_data_paths = {class_relpath(k) for k in gt_data}
 
+    if getattr(args, "int8", False):
+        from eventclip_tpu.ops.quant import quantize_classifier_params
+
+        model_params = quantize_classifier_params(model_params)
+
     spec = test_set.raster_spec()
     pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
                         image_size=clip_cfg.vision.image_size)
@@ -312,6 +317,9 @@ if __name__ == "__main__":
     parser.add_argument("--smoke", action="store_true",
                         help="allow RANDOM CLIP weights (pipeline testing "
                         "only; pseudo labels will be garbage)")
+    parser.add_argument("--int8", action="store_true",
+                        help="quantize the ViT tower to W8A8 int8 for "
+                        "pseudo-labeling (faster teacher inference)")
     parser.add_argument("--fp32", action="store_true",
                         help="run activations in f32 instead of bf16")
     args = parser.parse_args()

@@ -38,6 +38,36 @@ def make_tree(root, classes=("airplanes", "ant", "brain"), rng=None):
     return root
 
 
+def make_nin_tree(root, n_classes=6, rng=None):
+    """Synthetic N-ImageNet-shaped tree: wnid dirs of structured npz events
+    (x/y uint16, t int64 µs, p uint8 0/1 — datasets.py::load_event_npz), a
+    val split, and one robustness variant dir (extracted_val_mode_1)."""
+    rng = rng or np.random.default_rng(13)
+    wnids = []
+    asset = os.path.join(REPO, "eventclip_tpu", "assets",
+                         "CLIP-IN_ClassNames.txt")
+    with open(asset) as f:
+        for ln in f:
+            wnids.append(ln.split(" ")[0])
+            if len(wnids) == n_classes:
+                break
+    dtype = np.dtype([("x", "<u2"), ("y", "<u2"), ("t", "<i8"), ("p", "u1")])
+    for wnid in wnids:
+        for split, k in (("extracted_train", 3), ("extracted_val", 2),
+                         ("extracted_val_mode_1", 2)):
+            d = os.path.join(root, split, wnid)
+            os.makedirs(d, exist_ok=True)
+            for i in range(k):
+                n = 1500 + int(rng.integers(0, 500))
+                ev = np.zeros(n, dtype=dtype)
+                ev["x"] = rng.integers(0, 640, n)
+                ev["y"] = rng.integers(0, 480, n)
+                ev["t"] = np.sort(rng.integers(0, 50000, n))  # µs
+                ev["p"] = rng.integers(0, 2, n)
+                np.savez(os.path.join(d, f"{wnid}_{i}.npz"), event_data=ev)
+    return root
+
+
 def make_separable_tree(root, rng=None):
     """3 classes distinguishable by event *shape*.
 
@@ -187,6 +217,15 @@ def test_train_test_cycle(tree, ckpt_base):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Probs-based accuracy@1" in r.stdout
 
+    # int8 eval path: quantized ViT tower through the same CLI contract
+    r = run([
+        "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--int8",
+        "--weight", os.path.join(mdir, "best.npz"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Probs-based accuracy@1" in r.stdout
+
 
 @pytest.mark.e2e
 def test_train_shots_sweep_averages_dups(tree, ckpt_base):
@@ -238,6 +277,41 @@ def test_preemption_resume_continues_same_run(tree, ckpt_base):
     assert train_epochs == [0, 1]  # epoch 0 from run 1, only epoch 1 here
     run_ids = {rec["run_id"] for rec in recs if "run_id" in rec}
     assert len(run_ids) == 1, run_ids  # same curve identity across requeue
+
+
+@pytest.mark.e2e
+def test_nimagenet_eval_top5_and_subset(tmp_path):
+    """ZS evaluation on an N-ImageNet-shaped npz tree: top-5 reporting
+    (reference test.py:55-93) and --subset robustness-variant selection
+    (imagenet.py:89-99) through the real CLI."""
+    tree = make_nin_tree(str(tmp_path / "nin"))
+    cfg = tmp_path / "zs_nin_tiny_params.py"
+    cfg.write_text(f"""
+from eventclip_tpu.utils.config import Params
+
+class EventCLIPParams(Params):
+    gpus = 1
+    dataset = 'n_imagenet'
+    data_root = {tree!r}
+    train_batch_size = 4
+    val_batch_size = 8
+    num_workers = 2
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method='event_count',
+        convert_method='event_histogram', grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = 'ZSCLIP'
+    clip_dict = dict(arch='ViT-T/8@32',
+                     prompt='a point cloud image of a {{}}',
+                     agg_func='mean')
+""")
+    r = run(["test.py", "--params", str(cfg), "--cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Probs-based accuracy@5" in r.stdout  # N-IN reports top-5 too
+    r = run(["test.py", "--params", str(cfg), "--cpu", "--subset", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "accuracy@1" in r.stdout
 
 
 @pytest.mark.e2e

@@ -1,0 +1,114 @@
+"""W8A8 int8 inference path (ops/quant.py): numerics and plumbing.
+
+The quantized tree must drop into the unchanged forward (model.dense
+dispatches on the {'q','s'} dict) and stay close enough to the f32 tower
+that eval-time predictions are preserved. The reference has no quantized
+path; these tests guard a beyond-parity feature.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eventclip_tpu.models.clip import clip_arch_config
+from eventclip_tpu.models.clip.model import dense, encode_image, init_clip_params
+from eventclip_tpu.ops.quant import qdense, quantize_visual, quantize_weight
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_quantize_weight_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    qw = quantize_weight(w)
+    assert qw["q"].dtype == jnp.int8 and qw["s"].shape == (16,)
+    back = qw["q"].astype(jnp.float32) * qw["s"][:, None]
+    # per-channel symmetric: error bounded by half a quantization step
+    step = np.asarray(qw["s"])[:, None]
+    assert np.all(np.abs(np.asarray(back - w)) <= 0.5 * step + 1e-7)
+
+
+def test_quantize_weight_stacked_axes(rng):
+    w = jnp.asarray(rng.normal(size=(3, 4, 8, 16)).astype(np.float32))  # [L,3,D,D]-style
+    qw = quantize_weight(w)
+    assert qw["q"].shape == w.shape and qw["s"].shape == (3, 4, 8)
+
+
+def test_qdense_close_to_dense(rng):
+    x = jnp.asarray(rng.normal(size=(5, 7, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+    want = np.asarray(dense(x, w, b))
+    got = np.asarray(qdense(x, quantize_weight(w), b))
+    # int8 W8A8 on gaussian data: ~2% RMS relative error (quant noise does
+    # not average out with contraction size — both error and output grow
+    # ~sqrt(K)); outliers a few sigma above that
+    denom = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / denom) < 0.3
+    assert np.mean(np.abs(got - want) / denom) < 0.03
+
+
+def _tiny_cfg():
+    cfg = clip_arch_config("ViT-B/32")
+    vision = dataclasses.replace(cfg.vision, layers=2, width=64, heads=2,
+                                 image_size=64, patch_size=16, output_dim=32)
+    return dataclasses.replace(cfg, vision=vision)
+
+
+def test_quantized_encode_matches_f32(rng):
+    cfg = _tiny_cfg()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.normal(size=(4, 3, 64, 64)).astype(np.float32))
+    ref = np.asarray(encode_image(params["visual"], cfg.vision, imgs))
+    qvis = quantize_visual(params["visual"])
+    got = np.asarray(encode_image(qvis, cfg.vision, imgs))
+    # feature direction is what the classifier consumes (cosine logits)
+    cos = np.sum(ref * got, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert np.all(cos > 0.99), cos
+    # and it runs under jit with the quantized tree as a traced input
+    jit_ref = np.asarray(
+        jax.jit(lambda v, x: encode_image(v, cfg.vision, x))(qvis, imgs)
+    )
+    np.testing.assert_allclose(jit_ref, got, rtol=1e-4, atol=1e-4)
+
+
+def test_quantize_visual_is_idempotent_and_partial(rng):
+    cfg = _tiny_cfg()
+    params = init_clip_params(jax.random.PRNGKey(1), cfg)
+    qvis = quantize_visual(params["visual"])
+    assert qvis["blocks"]["attn"]["wqkv"]["q"].dtype == jnp.int8
+    assert qvis["blocks"]["mlp"]["w1"]["q"].dtype == jnp.int8
+    # float leaves untouched
+    assert qvis["proj"].dtype != jnp.int8
+    assert qvis["ln_pre"]["scale"].dtype == jnp.float32
+    again = quantize_visual(qvis)
+    assert again["blocks"]["attn"]["wqkv"]["q"] is qvis["blocks"]["attn"]["wqkv"]["q"]
+
+
+def test_quantized_classifier_predictions_agree(rng):
+    """ZS classifier argmax must survive quantization on the tiny tower."""
+    from eventclip_tpu.models.classifier import (
+        ClassifierConfig,
+        classifier_forward,
+        init_classifier_params,
+    )
+
+    cfg = _tiny_cfg()
+    ccfg = ClassifierConfig(model="ZSCLIP", clip=cfg, dtype=jnp.float32)
+    params = init_classifier_params(jax.random.PRNGKey(2), ccfg, n_classes=7)
+    imgs = jnp.asarray(rng.normal(size=(3, 2, 3, 64, 64)).astype(np.float32))
+    valid = jnp.ones((3, 2), dtype=bool)
+    ref = classifier_forward(params, ccfg, imgs, valid)["probs"]
+    qparams = dict(params)
+    qparams["clip"] = dict(params["clip"])
+    qparams["clip"]["visual"] = quantize_visual(params["clip"]["visual"])
+    got = classifier_forward(qparams, ccfg, imgs, valid)["probs"]
+    assert np.argmax(np.asarray(ref), -1).tolist() == \
+        np.argmax(np.asarray(got), -1).tolist()
