@@ -411,6 +411,15 @@ _BUILDERS = {
     "n_imagenet_mini": build_n_imagenet_mini_dataset,
 }
 
+# sensor stats by config name, for consumers that need resolution/max_n
+# without a dataset tree on disk (serve.Predictor)
+DATASET_CLASSES = {
+    "n_caltech": NCaltech101,
+    "n_cars": NCars,
+    "n_imagenet": NImageNet,
+    "n_imagenet_mini": NImageNetMini,
+}
+
 
 def build_dataset(params, val_only: bool = False, gen_data: bool = False,
                   tta: bool = False, **kwargs):

@@ -1,0 +1,181 @@
+"""Batch inference API: raw event streams -> class predictions.
+
+The reference has no serving surface — deployment means re-running its
+test.py over a dataset directory. This module packages the same eval
+pipeline (window gathering -> on-device rasterize/preprocess -> CLIP ->
+aggregation, exactly the path `test.py` drives; reference semantics
+datasets/event2img.py + models/clip_cls.py) behind a `Predictor` object
+for production use:
+
+- params/weights are resolved and placed once; every call reuses one
+  compiled program (fixed [B, V, N, 3] window shapes — arbitrary request
+  sizes are chunked/padded to the compiled batch, so no retraces);
+- input is a list of raw event arrays ([n, 4] float x/y/t/p, the layout
+  every supported sensor dump decodes to), not a dataset tree;
+- opt-in W8A8 int8 tower (`int8=True`) for ~1.3x encode throughput
+  (ops/quant.py).
+
+Example:
+    from eventclip_tpu.serve import Predictor
+    pred = Predictor.from_config("configs/zsclip/zsclip_nc_params.py",
+                                 class_names=names, clip_ckpt="ViT-L-14.pt")
+    out = pred(list_of_event_arrays)       # {'label', 'probs', 'names'}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class Predictor:
+    """Compiled-once event-stream classifier (see module docstring)."""
+
+    def __init__(
+        self,
+        params,
+        class_names: Sequence[str],
+        weight: str = "",
+        clip_ckpt: Optional[str] = None,
+        smoke: bool = False,
+        int8: bool = False,
+        batch_size: int = 32,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from .data.datasets import DATASET_CLASSES
+        from .data.host_ops import max_views
+        from .engine.checkpoint import load_checkpoint
+        from .engine.trainer import (
+            build_text_features,
+            resolve_clip_params,
+            snapshot_logit_scale,
+        )
+        from .models.classifier import (
+            build_classifier_config,
+            classifier_forward,
+            init_classifier_params,
+        )
+        from .models.clip.config import clip_arch_config
+        from .ops.preprocess import ClipPreprocess
+        from .ops.rasterize import RasterSpec, rasterize_for_clip
+
+        self.class_names = list(class_names)
+        self.batch_size = int(batch_size)
+
+        # sensor geometry + view budget from the config's dataset stats
+        # (no dataset tree needed); eval view budget is the reference's
+        # forced max_imgs=10 (datasets/__init__.py:23)
+        ds = DATASET_CLASSES[params.dataset]
+        q = dict(params.quantize_args)
+        assert q.pop("split_method", "event_count") == "event_count"
+        q.pop("convert_method", None)
+        q.pop("max_imgs", None)
+        self.window = int(q.pop("N"))
+        self.views = max_views(ds.max_n, self.window, 10)
+        self.resolution = ds.resolution
+        self._spec = RasterSpec(height=ds.resolution[0],
+                                width=ds.resolution[1],
+                                window=self.window, **q)
+
+        clip_cfg = clip_arch_config(params.clip_dict["arch"])
+        dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
+        self._cfg = build_classifier_config(params, clip_cfg, dtype=dtype)
+        rng = jax.random.PRNGKey(0)
+        clip_params, pretrained = resolve_clip_params(
+            params, clip_cfg, rng, clip_ckpt, smoke=smoke
+        )
+        self._cfg = snapshot_logit_scale(self._cfg, clip_params, pretrained)
+        text_feats = build_text_features(
+            clip_params, clip_cfg, self.class_names,
+            params.clip_dict.get("prompt", "a point cloud image of a {}"),
+            pretrained,
+        )
+        model_params = init_classifier_params(
+            rng, self._cfg, clip_params=clip_params, text_feats=text_feats
+        )
+        if weight:
+            model_params, _ = load_checkpoint(weight, target=model_params)
+        if int8:
+            from .ops.quant import quantize_classifier_params
+
+            model_params = quantize_classifier_params(model_params)
+        self._params = jax.device_put(model_params)
+
+        pp = ClipPreprocess(in_height=ds.resolution[0],
+                            in_width=ds.resolution[1],
+                            image_size=clip_cfg.vision.image_size)
+
+        @jax.jit
+        def step(p, windows, valid):
+            x = rasterize_for_clip(self._spec, pp, windows)
+            return classifier_forward(p, self._cfg, x, valid)["probs"]
+
+        self._step = step
+
+    # -- host half -----------------------------------------------------------
+
+    def _windows(self, events: np.ndarray, rng) -> tuple:
+        from .data.host_ops import center_events, gather_event_windows
+
+        events = np.asarray(events, dtype=np.float32)
+        assert events.ndim == 2 and events.shape[1] == 4, (
+            f"expected [n, 4] x/y/t/p events, got {events.shape}"
+        )
+        events = center_events(events, resolution=self.resolution)
+        return gather_event_windows(
+            events, self.window, self.views, rng=rng, packed=True
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def __call__(self, event_streams) -> Dict[str, Any]:
+        return self.predict(event_streams)
+
+    def predict(
+        self, event_streams: List[np.ndarray], top_k: int = 1
+    ) -> Dict[str, Any]:
+        """Classify raw event streams.
+
+        event_streams: list of [n, 4] float arrays (x, y, t in s, p ±1/0-1).
+        Returns {'label': [B] int, 'names': [B] str, 'probs': [B, C] f32,
+        'topk': [B, top_k] int} with rows aligned to the input order.
+        """
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)  # eval view subsampling (det.)
+        wins, valids = zip(*[self._windows(e, rng) for e in event_streams])
+        wins = np.stack(wins)      # [B, V, N, 3] int16
+        valids = np.stack(valids)  # [B, V]
+
+        probs_out = []
+        bs = self.batch_size
+        for i in range(0, len(wins), bs):
+            w, v = wins[i:i + bs], valids[i:i + bs]
+            pad = bs - len(w)
+            if pad:  # fixed compiled batch; padded rows sliced off below
+                w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
+                v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], bool)])
+            p = self._step(self._params, jnp.asarray(w), jnp.asarray(v))
+            probs_out.append(np.asarray(p)[:bs - pad])
+        probs = np.concatenate(probs_out)[: len(event_streams)]
+
+        label = probs.argmax(-1)
+        k = min(top_k, probs.shape[-1])
+        topk = np.argsort(-probs, axis=-1)[:, :k]
+        return {
+            "label": label,
+            "names": [self.class_names[i] for i in label],
+            "probs": probs,
+            "topk": topk,
+        }
+
+    @classmethod
+    def from_config(cls, config_path: str, class_names: Sequence[str],
+                    **kwargs) -> "Predictor":
+        """Build from an experiment config file (the CLIs' --params)."""
+        from .utils.config import load_params
+
+        return cls(load_params(config_path), class_names, **kwargs)

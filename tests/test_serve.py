@@ -1,0 +1,83 @@
+"""serve.Predictor: the batch-inference API must reproduce the eval
+pipeline's predictions without a dataset tree on disk."""
+
+import numpy as np
+import pytest
+
+from eventclip_tpu.serve import Predictor
+from eventclip_tpu.utils.config import Params
+
+
+class _TinyZS(Params):
+    gpus = 1
+    dataset = "n_caltech"
+    data_root = "/nonexistent"  # serving never touches it
+    train_batch_size = 4
+    val_batch_size = 8
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method="event_count",
+        convert_method="event_histogram", grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = "ZSCLIP"
+    clip_dict = dict(arch="ViT-T/8@32",
+                     prompt="a point cloud image of a {}",
+                     agg_func="mean")
+    bf16 = False
+
+
+def _streams(rng, n=5):
+    out = []
+    for _ in range(n):
+        k = 2500 + int(rng.integers(0, 2000))
+        out.append(np.stack([
+            rng.integers(0, 240, k),
+            rng.integers(0, 180, k),
+            np.sort(rng.uniform(0, 0.3, k)),
+            rng.choice([-1.0, 1.0], k),
+        ], axis=1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                     smoke=True, batch_size=4)
+
+
+def test_predict_shapes_and_alignment(predictor):
+    rng = np.random.default_rng(5)
+    streams = _streams(rng, n=5)  # forces a padded second chunk (bs=4)
+    out = predictor.predict(streams, top_k=2)
+    assert out["probs"].shape == (5, 3)
+    assert out["label"].shape == (5,)
+    assert len(out["names"]) == 5
+    assert out["topk"].shape == (5, 2)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, atol=1e-4)
+    assert all(n in ("airplanes", "ant", "brain") for n in out["names"])
+    # argmax consistency between the returned views
+    np.testing.assert_array_equal(out["topk"][:, 0], out["label"])
+
+
+def test_batching_invariance(predictor):
+    """Chunked/padded execution must not change any row's prediction."""
+    rng = np.random.default_rng(6)
+    streams = _streams(rng, n=6)
+    full = predictor.predict(streams)["probs"]
+    one_by_one = np.concatenate(
+        [predictor.predict([s])["probs"] for s in streams]
+    )
+    np.testing.assert_allclose(full, one_by_one, rtol=1e-4, atol=1e-5)
+
+
+def test_int8_predictor_runs():
+    pred = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
+                     int8=True, batch_size=2)
+    rng = np.random.default_rng(7)
+    out = pred.predict(_streams(rng, n=3))
+    assert out["probs"].shape == (3, 3)
+
+
+def test_rejects_malformed_streams(predictor):
+    with pytest.raises(AssertionError):
+        predictor.predict([np.zeros((10, 3))])
