@@ -117,12 +117,21 @@ class Predictor:
 
     # -- host half -----------------------------------------------------------
 
-    def _windows(self, events: np.ndarray, rng) -> tuple:
+    def _windows(self, events: np.ndarray) -> tuple:
+        import zlib
+
         from .data.host_ops import center_events, gather_event_windows
 
         events = np.asarray(events, dtype=np.float32)
         assert events.ndim == 2 and events.shape[1] == 4, (
             f"expected [n, 4] x/y/t/p events, got {events.shape}"
+        )
+        # view subsampling (streams longer than the view budget) must be
+        # deterministic AND independent of the stream's position in the
+        # request, so batching never changes a row's prediction: seed from
+        # the stream content itself
+        rng = np.random.default_rng(
+            zlib.crc32(np.ascontiguousarray(events).tobytes())
         )
         events = center_events(events, resolution=self.resolution)
         return gather_event_windows(
@@ -145,8 +154,7 @@ class Predictor:
         """
         import jax.numpy as jnp
 
-        rng = np.random.default_rng(0)  # eval view subsampling (det.)
-        wins, valids = zip(*[self._windows(e, rng) for e in event_streams])
+        wins, valids = zip(*[self._windows(e) for e in event_streams])
         wins = np.stack(wins)      # [B, V, N, 3] int16
         valids = np.stack(valids)  # [B, V]
 

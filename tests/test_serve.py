@@ -60,9 +60,17 @@ def test_predict_shapes_and_alignment(predictor):
 
 
 def test_batching_invariance(predictor):
-    """Chunked/padded execution must not change any row's prediction."""
+    """Chunked/padded execution must not change any row's prediction —
+    including for streams long enough to trigger random view subsampling
+    (content-seeded, so position in the request cannot matter)."""
     rng = np.random.default_rng(6)
     streams = _streams(rng, n=6)
+    # > views * N events: exercises the subsample path (views=10, N=1000)
+    k = 14000
+    streams[2] = np.stack([
+        rng.integers(0, 240, k), rng.integers(0, 180, k),
+        np.sort(rng.uniform(0, 0.3, k)), rng.choice([-1.0, 1.0], k),
+    ], axis=1)
     full = predictor.predict(streams)["probs"]
     one_by_one = np.concatenate(
         [predictor.predict([s])["probs"] for s in streams]
