@@ -1,6 +1,8 @@
 """serve.Predictor: the batch-inference API must reproduce the eval
 pipeline's predictions without a dataset tree on disk."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,32 @@ def test_int8_predictor_runs():
 def test_rejects_malformed_streams(predictor):
     with pytest.raises(AssertionError):
         predictor.predict([np.zeros((10, 3))])
+
+
+def test_matches_dataset_window_path(predictor, tmp_path):
+    """Serving must produce the same probs as the dataset/eval window path
+    for the same underlying event files (short streams: both paths are
+    fully deterministic, so equality is exact up to dispatch order)."""
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data.datasets import NCaltech101
+    from eventclip_tpu.data.event_windows import EventWindowDataset
+
+    from .test_e2e import make_tree
+
+    tree = make_tree(str(tmp_path / "t"))
+    ds = EventWindowDataset(
+        NCaltech101(os.path.join(tree, "testing")),
+        dict(_TinyZS.quantize_args, max_imgs=10),
+    )
+    idxs = range(4)
+    items = [ds[i] for i in idxs]
+    wins = np.stack([it["windows"] for it in items])
+    valid = np.stack([it["valid_mask"] for it in items])
+    probs_ds = np.asarray(
+        predictor._step(predictor._params, jnp.asarray(wins),
+                        jnp.asarray(valid))
+    )
+    raw = [np.load(str(ds.event_dataset.labeled_files[i])) for i in idxs]
+    probs_serve = predictor.predict(raw)["probs"]
+    np.testing.assert_allclose(probs_serve, probs_ds, rtol=1e-4, atol=1e-5)
