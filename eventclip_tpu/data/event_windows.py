@@ -25,6 +25,31 @@ import numpy as np
 from .host_ops import gather_event_windows, hflip_events, max_views, tflip_events
 
 
+def parse_quantize_args(quantize_args, resolution, max_n, hard_limit=None):
+    """Split a config's quantize_args into (window, views, raster_args).
+
+    Single source of truth for the parsing rules (consumed by both the
+    dataset pipeline here and serve.Predictor): split_method must be
+    event_count, convert_method parameterizes nothing on-device, N is the
+    events-per-window, max_imgs caps the view budget
+    max(min(round(max_n/N), cap), 1) (reference event2img.py:70-72).
+    `hard_limit` overrides the config's max_imgs (eval forces 10).
+    """
+    q = dict(quantize_args)
+    split = q.pop("split_method", "event_count")
+    if split != "event_count":
+        raise ValueError(f"unsupported split_method {split!r}")
+    q.pop("convert_method", None)
+    window = int(q.pop("N"))
+    cap = int(q.pop("max_imgs", 10))
+    if hard_limit is not None:
+        cap = hard_limit
+    views = max_views(max_n, window, cap)
+    raster_args = dict(height=resolution[0], width=resolution[1],
+                       window=window, **q)
+    return window, views, raster_args
+
+
 class EventWindowDataset:
     """Wraps an event dataset; items are padded window tensors + masks."""
 
@@ -42,16 +67,8 @@ class EventWindowDataset:
         self.max_t = event_dataset.max_t
         self.max_n = event_dataset.max_n
 
-        q = dict(quantize_args)
-        assert q.pop("split_method", "event_count") == "event_count"
-        q.pop("convert_method", None)
-        self.window = int(q.pop("N"))
-        hard_limit = int(q.pop("max_imgs", 10))
-        self.max_imgs = max_views(self.max_n, self.window, hard_limit)
-        # remaining keys parameterize the on-device rasterizer
-        self.raster_args = dict(
-            height=self.resolution[0], width=self.resolution[1],
-            window=self.window, **q,
+        self.window, self.max_imgs, self.raster_args = parse_quantize_args(
+            quantize_args, self.resolution, self.max_n
         )
 
         # `augment` requests image-space RandAugment; it is applied on-device

@@ -105,8 +105,9 @@ def quantize_classifier_params(model_params: Params) -> Params:
     """
     visual = model_params["clip"]["visual"]
     if "blocks" not in visual or "patch_embed" not in visual:
-        raise SystemExit(
-            "--int8 supports the ViT towers only (ResNet archs run bf16)"
+        raise ValueError(
+            "int8 quantization supports the ViT towers only "
+            "(ResNet archs run bf16)"
         )
     out = dict(model_params)
     clip = dict(out["clip"])

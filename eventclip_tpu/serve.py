@@ -46,7 +46,7 @@ class Predictor:
         import jax.numpy as jnp
 
         from .data.datasets import DATASET_CLASSES
-        from .data.host_ops import max_views
+        from .data.event_windows import parse_quantize_args
         from .engine.checkpoint import load_checkpoint
         from .engine.trainer import (
             build_text_features,
@@ -67,18 +67,14 @@ class Predictor:
 
         # sensor geometry + view budget from the config's dataset stats
         # (no dataset tree needed); eval view budget is the reference's
-        # forced max_imgs=10 (datasets/__init__.py:23)
+        # forced max_imgs=10 (datasets/__init__.py:23); the parsing rules
+        # are shared with the dataset pipeline (parse_quantize_args)
         ds = DATASET_CLASSES[params.dataset]
-        q = dict(params.quantize_args)
-        assert q.pop("split_method", "event_count") == "event_count"
-        q.pop("convert_method", None)
-        q.pop("max_imgs", None)
-        self.window = int(q.pop("N"))
-        self.views = max_views(ds.max_n, self.window, 10)
+        self.window, self.views, raster_args = parse_quantize_args(
+            params.quantize_args, ds.resolution, ds.max_n, hard_limit=10
+        )
         self.resolution = ds.resolution
-        self._spec = RasterSpec(height=ds.resolution[0],
-                                width=ds.resolution[1],
-                                window=self.window, **q)
+        self._spec = RasterSpec(**raster_args)
 
         clip_cfg = clip_arch_config(params.clip_dict["arch"])
         dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
@@ -122,14 +118,22 @@ class Predictor:
 
         from .data.host_ops import center_events, gather_event_windows
 
-        events = np.asarray(events, dtype=np.float32)
+        # own copy: center_events works in place and must never mutate the
+        # caller's array (or the content hash below)
+        events = np.array(events, dtype=np.float32, copy=True)
         assert events.ndim == 2 and events.shape[1] == 4, (
             f"expected [n, 4] x/y/t/p events, got {events.shape}"
         )
+        if events.size and events[:, 3].min() >= -0.5:
+            # 0/1 polarity encoding (raw N-ImageNet-style dumps) -> ±1,
+            # the loaders' rule (datasets.py::load_event_npz); the
+            # rasterizer treats p == 0 as padding, so unmapped 0/1 would
+            # silently drop every negative event
+            events[:, 3] = np.where(events[:, 3] <= 0.5, -1.0, 1.0)
         # view subsampling (streams longer than the view budget) must be
         # deterministic AND independent of the stream's position in the
         # request, so batching never changes a row's prediction: seed from
-        # the stream content itself
+        # the (pre-centering) stream content
         rng = np.random.default_rng(
             zlib.crc32(np.ascontiguousarray(events).tobytes())
         )

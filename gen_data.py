@@ -141,7 +141,10 @@ def main(params, args):
     if getattr(args, "int8", False):
         from eventclip_tpu.ops.quant import quantize_classifier_params
 
-        model_params = quantize_classifier_params(model_params)
+        try:
+            model_params = quantize_classifier_params(model_params)
+        except ValueError as e:
+            raise SystemExit(f"--int8: {e}")
 
     spec = test_set.raster_spec()
     pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,

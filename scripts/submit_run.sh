@@ -90,14 +90,32 @@ EOF
     # the replacement job, not the dead original
     nohup bash -c "
       cur=$job_id
+      unknown=0
       while true; do
         sleep \${POLL_SECS:-600}
         st=\$(sacct -j \$cur --format=State --noheader -X 2>/dev/null | head -n1 | tr -d ' ')
         case \"\$st\" in
           FAILED*|OUT_OF_MEMORY*|TIMEOUT*|NODE_FAIL*|PREEMPTED*)
+            unknown=0
             echo \"[watchdog] job \$cur \$st -> resubmitting\" >> '$LOG_FILE'
-            cur=\$(sbatch --parsable '$JOB_FILE');;
+            # keep the old id on a failed sbatch: its state stays FAILED,
+            # so the next poll retries the resubmission instead of going
+            # blind on an empty id
+            if new=\$(sbatch --parsable '$JOB_FILE') && [ -n \"\$new\" ]; then
+              cur=\$new
+            else
+              echo \"[watchdog] sbatch failed; retrying next poll\" >> '$LOG_FILE'
+            fi;;
           COMPLETED*|CANCELLED*) exit 0;;
+          '')
+            # sacct empty: accounting down or unavailable on this cluster.
+            # Bounded patience, then exit loudly rather than spin forever.
+            unknown=\$((unknown + 1))
+            if [ \$unknown -ge \${MAX_UNKNOWN_POLLS:-12} ]; then
+              echo \"[watchdog] no job state from sacct after \$unknown polls; giving up (is accounting enabled?)\" >> '$LOG_FILE'
+              exit 1
+            fi;;
+          *) unknown=0;;
         esac
       done" >/dev/null 2>&1 &
     ;;

@@ -105,7 +105,10 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
         from eventclip_tpu.ops.quant import quantize_classifier_params
 
         assert args.n_model == 1, "--int8 is a single-chip inference path"
-        model_params = quantize_classifier_params(model_params)
+        try:
+            model_params = quantize_classifier_params(model_params)
+        except ValueError as e:
+            raise SystemExit(f"--int8: {e}")
 
     n_devices = jax.device_count()
     mesh = make_mesh(n_data=n_devices // args.n_model, n_model=args.n_model)

@@ -88,6 +88,33 @@ def test_int8_predictor_runs():
     assert out["probs"].shape == (3, 3)
 
 
+def test_predict_does_not_mutate_input_and_is_repeatable(predictor):
+    """center_events works in place; predict must operate on its own copy
+    (a float32 input would otherwise alias through np.asarray), keeping the
+    caller's array intact and repeat calls identical."""
+    rng = np.random.default_rng(8)
+    s = _streams(rng, n=1)[0].astype(np.float32)
+    orig = s.copy()
+    p1 = predictor.predict([s])["probs"]
+    np.testing.assert_array_equal(s, orig)
+    p2 = predictor.predict([s])["probs"]
+    np.testing.assert_allclose(p1, p2)
+
+
+def test_zero_one_polarity_matches_pm_one(predictor):
+    """0/1-encoded polarity (raw N-ImageNet-style dumps) must be remapped
+    to ±1 like the loaders do — the rasterizer treats p == 0 as padding, so
+    an unmapped stream would silently drop every negative event."""
+    rng = np.random.default_rng(9)
+    s = _streams(rng, n=1)[0]
+    s01 = s.copy()
+    s01[:, 3] = (s01[:, 3] > 0).astype(np.float64)
+    np.testing.assert_allclose(
+        predictor.predict([s])["probs"],
+        predictor.predict([s01])["probs"], rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_rejects_malformed_streams(predictor):
     with pytest.raises(AssertionError):
         predictor.predict([np.zeros((10, 3))])
