@@ -28,6 +28,7 @@ Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -208,8 +209,14 @@ def main():
     imgs = jnp.asarray(rng.normal(size=(
         eB, 3, clip_cfg.vision.image_size, clip_cfg.vision.image_size
     )).astype(np.float32))
-    enc = jax.jit(lambda p, x: encode_image(
-        p, clip_cfg.vision, x, dtype=jnp.bfloat16))
+    if getattr(clip_cfg.vision, "patch_size", 0):
+        enc = jax.jit(lambda p, x: encode_image(
+            p, clip_cfg.vision, x, dtype=jnp.bfloat16))
+    else:  # BENCH_ARCH=RN50 etc.
+        from eventclip_tpu.models.clip.resnet import encode_image_resnet
+
+        enc = jax.jit(lambda p, x: encode_image_resnet(
+            p, clip_cfg.vision, x, dtype=jnp.bfloat16))
     visual = params["clip"]["visual"]
     dt = bench.run(lambda: enc(visual, imgs), _sync, iters)
     v = clip_cfg.vision
@@ -252,6 +259,22 @@ def main():
         bench.record("e2e_int8_events_per_sec", events_per_batch / dt,
                      "events/s", f"--int8 eval path; {B * T / dt:,.1f} img/s")
 
+        # --- stage 4c: fast path (--int8 --prune_tokens) ------------------
+        K = int(os.environ.get("BENCH_PRUNE", "128"))
+        pcfg = dataclasses.replace(cfg, keep_tokens=K)
+
+        @jax.jit
+        def e2e_fast(p, w, v):
+            x = rasterize_for_clip(spec, pp, w)
+            return classifier_forward(p, pcfg, x, v)["probs"]
+
+        dt = bench.run(lambda: e2e_fast(qparams, windows, valid), _sync,
+                       iters)
+        bench.record("e2e_int8_prune_events_per_sec", events_per_batch / dt,
+                     "events/s",
+                     f"--int8 --prune_tokens {K} (of "
+                     f"{clip_cfg.vision.grid ** 2}); {B * T / dt:,.1f} img/s")
+
     if level == "full":
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
         _nin_input_feed(bench, rng)
@@ -262,7 +285,14 @@ def main():
     bench.record("host_pipeline_events_per_sec", baseline, "events/s",
                  "reference DataLoader-worker pipeline, 1 worker")
 
-    with open(STAGES_PATH, "w") as f:
+    # non-default invocations (other arch / quick level) write a suffixed
+    # artifact so they never clobber the canonical full-run stage record
+    path = STAGES_PATH
+    if arch != "ViT-L/14" or level != "full":
+        path = STAGES_PATH.replace(
+            ".json", f"-{arch.replace('/', '')}-{level}.json"
+        )
+    with open(path, "w") as f:
         for rec in bench.records:
             f.write(json.dumps(rec) + "\n")
 

@@ -45,6 +45,10 @@ class ClassifierConfig:
     use_probs_loss: bool = False
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize transformer layers (FT memory)
+    # eval-time ViT token pruning: keep the K highest-variance patches
+    # (sparse event frames are mostly uniform background); None = full
+    # sequence. Ignored during training and for ResNet towers.
+    keep_tokens: Optional[int] = None
 
     def __post_init__(self):
         assert self.model in ("ZSCLIP", "FSCLIP", "FTCLIP"), self.model
@@ -254,6 +258,7 @@ def classifier_forward(
             dtype=cfg.dtype, lora=lora,
             remat=cfg.remat and cfg.model == "FTCLIP" and train,
             tp=tp,
+            keep_tokens=None if train else cfg.keep_tokens,
         ).astype(jnp.float32)
     if cfg.model != "FTCLIP":
         img_feats = jax.lax.stop_gradient(img_feats)

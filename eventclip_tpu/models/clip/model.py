@@ -201,18 +201,38 @@ def encode_image(
     lora: Optional[Params] = None,
     remat: bool = False,
     tp=None,
+    keep_tokens: Optional[int] = None,
 ) -> jnp.ndarray:
-    """[B, 3, H, W] CLIP-normalized images -> [B, output_dim] features."""
+    """[B, 3, H, W] CLIP-normalized images -> [B, output_dim] features.
+
+    keep_tokens=K (eval-time, opt-in) prunes the patch sequence to the K
+    highest-variance patches before the tower. Event frames are sparse —
+    most patches are uniform background with ~zero variance — so pruning
+    drops near-information-free tokens while the shapes stay static
+    (jax.lax.top_k; kept patches carry their own positional embeddings,
+    in raster order). K = grid² reproduces the full forward exactly.
+    """
     B = images.shape[0]
     ps, g, D = cfg.patch_size, cfg.grid, cfg.width
     x = images.astype(dtype)
     # patchify: equivalent to the stride-ps conv1 but explicitly one matmul
     x = x.reshape(B, 3, g, ps, g, ps).transpose(0, 2, 4, 1, 3, 5)
     x = x.reshape(B, g * g, 3 * ps * ps)
-    x = dense(x, visual["patch_embed"])
-    cls = jnp.broadcast_to(visual["class_embedding"].astype(dtype), (B, 1, D))
+    pos = visual["positional_embedding"].astype(dtype)
+    if keep_tokens is not None and keep_tokens < g * g:
+        assert tp is None, "token pruning is a single-chip inference path"
+        score = x.astype(jnp.float32).var(axis=-1)  # background patches ~0
+        idx = jax.lax.top_k(score, keep_tokens)[1]
+        idx = jnp.sort(idx, axis=-1)  # keep raster order
+        x = jnp.take_along_axis(x, idx[..., None], axis=1)
+        pos_tok = pos[1:][idx]  # [B, K, D] — embeddings follow their patches
+    else:
+        pos_tok = pos[1:][None]
+    x = dense(x, visual["patch_embed"]) + pos_tok
+    cls = jnp.broadcast_to(
+        (visual["class_embedding"].astype(dtype) + pos[0]), (B, 1, D)
+    )
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + visual["positional_embedding"].astype(dtype)
     x = layer_norm(x, visual["ln_pre"])
     x = transformer(visual["blocks"], x, cfg.heads, lora=lora, remat=remat,
                     tp=tp)

@@ -40,6 +40,7 @@ class Predictor:
         clip_ckpt: Optional[str] = None,
         smoke: bool = False,
         int8: bool = False,
+        prune_tokens: int = 0,
         batch_size: int = 32,
     ):
         import jax
@@ -79,6 +80,11 @@ class Predictor:
         clip_cfg = clip_arch_config(params.clip_dict["arch"])
         dtype = jnp.bfloat16 if bool(params.get("bf16", True)) else jnp.float32
         self._cfg = build_classifier_config(params, clip_cfg, dtype=dtype)
+        if prune_tokens > 0:
+            import dataclasses
+
+            self._cfg = dataclasses.replace(self._cfg,
+                                            keep_tokens=prune_tokens)
         rng = jax.random.PRNGKey(0)
         clip_params, pretrained = resolve_clip_params(
             params, clip_cfg, rng, clip_ckpt, smoke=smoke

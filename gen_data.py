@@ -108,6 +108,11 @@ def main(params, args):
         smoke=getattr(args, "smoke", False),
     )
     cls_cfg = snapshot_logit_scale(cls_cfg, clip_params, pretrained)
+    if getattr(args, "prune_tokens", 0) > 0:
+        import dataclasses
+
+        cls_cfg = dataclasses.replace(cls_cfg,
+                                      keep_tokens=args.prune_tokens)
     text_feats = build_text_features(
         clip_params, clip_cfg, class_names,
         params.clip_dict.get("prompt", "a point cloud image of a {}"),
@@ -323,6 +328,9 @@ if __name__ == "__main__":
     parser.add_argument("--int8", action="store_true",
                         help="quantize the ViT tower to W8A8 int8 for "
                         "pseudo-labeling (faster teacher inference)")
+    parser.add_argument("--prune_tokens", type=int, default=0,
+                        help="keep only the K highest-variance ViT patches "
+                        "per frame; stacks with --int8")
     parser.add_argument("--fp32", action="store_true",
                         help="run activations in f32 instead of bf16")
     args = parser.parse_args()

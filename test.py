@@ -48,6 +48,10 @@ def parse_args():
                         help="quantize the ViT tower to W8A8 int8 for eval "
                         "(~1.3x faster encode on v5e; <0.5%% typical top-1 "
                         "cost; single-chip only)")
+    parser.add_argument("--prune_tokens", type=int, default=0,
+                        help="keep only the K highest-variance ViT patches "
+                        "per frame (event frames are mostly background); "
+                        "stacks with --int8")
     return parser.parse_args()
 
 
@@ -86,6 +90,11 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
         smoke=getattr(args, "smoke", False),
     )
     cls_cfg = snapshot_logit_scale(cls_cfg, clip_params, pretrained)
+    if getattr(args, "prune_tokens", 0) > 0:
+        import dataclasses
+
+        cls_cfg = dataclasses.replace(cls_cfg,
+                                      keep_tokens=args.prune_tokens)
     text_feats = build_text_features(
         clip_params, clip_cfg, val_set.classes,
         params.clip_dict.get("prompt", "a point cloud image of a {}"),

@@ -217,10 +217,11 @@ def test_train_test_cycle(tree, ckpt_base):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Probs-based accuracy@1" in r.stdout
 
-    # int8 eval path: quantized ViT tower through the same CLI contract
+    # fast inference path: int8 tower + token pruning through the same CLI
+    # contract (tiny tower: 4x4 grid, keep 8 of 16 patches)
     r = run([
         "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
-        "--data_root", tree, "--cpu", "--int8",
+        "--data_root", tree, "--cpu", "--int8", "--prune_tokens", "8",
         "--weight", os.path.join(mdir, "best.npz"),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
