@@ -88,6 +88,16 @@ def test_int8_predictor_runs():
     assert out["probs"].shape == (3, 3)
 
 
+def test_pruned_predictor_runs():
+    # fast path: int8 + token pruning stacked (tiny tower: 16 patches -> 8)
+    pred = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
+                     int8=True, prune_tokens=8, batch_size=2)
+    rng = np.random.default_rng(10)
+    out = pred.predict(_streams(rng, n=3))
+    assert out["probs"].shape == (3, 3)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, atol=1e-4)
+
+
 def test_predict_does_not_mutate_input_and_is_repeatable(predictor):
     """center_events works in place; predict must operate on its own copy
     (a float32 input would otherwise alias through np.asarray), keeping the
