@@ -12,8 +12,9 @@ for production use:
   sizes are chunked/padded to the compiled batch, so no retraces);
 - input is a list of raw event arrays ([n, 4] float x/y/t/p, the layout
   every supported sensor dump decodes to), not a dataset tree;
-- opt-in W8A8 int8 tower (`int8=True`) for ~1.3x encode throughput
-  (ops/quant.py).
+- opt-in W8A8 int8 tower (`int8=True`, ~1.3x encode), token pruning
+  (`prune_tokens=K`, stacks with int8 for ~2x e2e), and data-parallel
+  batch sharding over all local devices (`data_parallel=True`).
 
 Example:
     from eventclip_tpu.serve import Predictor
@@ -42,6 +43,7 @@ class Predictor:
         int8: bool = False,
         prune_tokens: int = 0,
         batch_size: int = 32,
+        data_parallel: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -104,7 +106,20 @@ class Predictor:
             from .ops.quant import quantize_classifier_params
 
             model_params = quantize_classifier_params(model_params)
-        self._params = jax.device_put(model_params)
+        # data_parallel shards each compiled batch over all local devices
+        # (the eval CLI's DP layout — parallel/sharding.py); single-device
+        # placement stays uncommitted (the relay dispatch-cost quirk)
+        from .parallel import make_mesh, shard_batch, shard_params
+
+        self._mesh = make_mesh() if data_parallel else None
+        if self._mesh is not None:
+            n_data = self._mesh.shape["data"]
+            self.batch_size = max(
+                self.batch_size - self.batch_size % n_data, n_data
+            )
+            self._params = shard_params(model_params, self._mesh)
+        else:
+            self._params = jax.device_put(model_params)
 
         pp = ClipPreprocess(in_height=ds.resolution[0],
                             in_width=ds.resolution[1],
@@ -116,6 +131,10 @@ class Predictor:
             return classifier_forward(p, self._cfg, x, valid)["probs"]
 
         self._step = step
+        self._shard_batch = (
+            (lambda w, v: shard_batch({"w": w, "v": v}, self._mesh))
+            if self._mesh is not None else None
+        )
 
     # -- host half -----------------------------------------------------------
 
@@ -176,7 +195,11 @@ class Predictor:
             if pad:  # fixed compiled batch; padded rows sliced off below
                 w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
                 v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], bool)])
-            p = self._step(self._params, jnp.asarray(w), jnp.asarray(v))
+            w, v = jnp.asarray(w), jnp.asarray(v)
+            if self._shard_batch is not None:
+                sb = self._shard_batch(w, v)
+                w, v = sb["w"], sb["v"]
+            p = self._step(self._params, w, v)
             probs_out.append(np.asarray(p)[:bs - pad])
         probs = np.concatenate(probs_out)[: len(event_streams)]
 

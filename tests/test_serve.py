@@ -88,6 +88,24 @@ def test_int8_predictor_runs():
     assert out["probs"].shape == (3, 3)
 
 
+def test_data_parallel_predictor_matches_single(predictor):
+    """DP serving (batch sharded over the 8-device CPU mesh) must return
+    the single-device predictions."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    dp = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                   smoke=True, batch_size=8, data_parallel=True)
+    assert dp.batch_size % jax.device_count() == 0
+    rng = np.random.default_rng(12)
+    streams = _streams(rng, n=5)
+    np.testing.assert_allclose(
+        dp.predict(streams)["probs"],
+        predictor.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_pruned_predictor_runs():
     # fast path: int8 + token pruning stacked (tiny tower: 16 patches -> 8)
     pred = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
