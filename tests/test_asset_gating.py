@@ -178,3 +178,44 @@ def test_shipped_configs_all_specify_loss_dict():
         assert int(bool(loss_dict.get("use_logits_loss"))) + int(
             bool(loss_dict.get("use_probs_loss"))
         ) == 1, path
+
+
+def test_convert_cli_to_npz_to_resolve_roundtrip(rng, tmp_path):
+    """The full asset drop-in loop: torch.save a checkpoint, convert it with
+    scripts/convert_clip.py (subprocess, the documented command), then load
+    the npz through resolve_clip_params — the tree must equal the in-process
+    conversion and report pretrained=True."""
+    import subprocess
+    import sys
+
+    import jax
+    import numpy as np
+    import torch
+
+    sd = random_clip_state_dict(rng)
+    pt = str(tmp_path / "tiny.pt")
+    torch.save(sd, pt)
+    npz = str(tmp_path / "tiny.npz")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convert_clip.py"),
+         pt, npz],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(npz)
+
+    from eventclip_tpu.models.clip.convert import infer_config_from_state_dict
+
+    cfg = infer_config_from_state_dict(sd)
+    got, pretrained = resolve_clip_params(
+        _Cfg(), cfg, jax.random.PRNGKey(0), npz
+    )
+    assert pretrained
+    want = convert_clip_state_dict(sd)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        ),
+        got, want,
+    )
