@@ -338,7 +338,7 @@ def _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N):
         tx = build_optimizer(cfg, OptimConfig(lr=1e-4, total_steps=1000),
                              params)
         state = create_train_state(params, tx, jax.random.PRNGKey(1))
-        step = make_train_step(cfg, tx, mesh, state,
+        step = make_train_step(cfg, tx, mesh,
                                pipeline=(spec, pp), augment=augment)
         holder = {"state": state}
 

@@ -28,7 +28,8 @@ import jax
 import numpy as np
 
 from ..models.classifier import ClassifierConfig
-from ..models.partition import trainable_mask
+from ..models.partition import trainable_mask, trainable_subtree
+from ..utils.pytree import path_str
 
 Params = Dict[str, Any]
 
@@ -38,8 +39,7 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if leaf is None:
             continue
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[path_str(path)] = np.asarray(leaf)
     return flat
 
 
@@ -74,15 +74,17 @@ def load_checkpoint(path: str, target=None):
         return flat, extra
 
     def replace(path_entries, leaf):
-        key = "/".join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path_entries
-        )
+        key = path_str(path_entries)
         if key in flat:
             loaded = flat[key]
             assert loaded.shape == tuple(np.shape(leaf)), (
                 f"{key}: ckpt {loaded.shape} vs target {np.shape(leaf)}"
             )
-            return jax.numpy.asarray(loaded, dtype=np.asarray(leaf).dtype)
+            # read the dtype without np.asarray(leaf): that would fetch
+            # every target leaf (incl. the GB-scale frozen CLIP tower)
+            # device->host through the slow relay
+            dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+            return jax.numpy.asarray(loaded, dtype=dtype)
         return leaf
 
     return jax.tree_util.tree_map_with_path(replace, target), extra
@@ -91,8 +93,7 @@ def load_checkpoint(path: str, target=None):
 def save_trainable(path: str, cfg: ClassifierConfig, params: Params,
                    *, extra: Optional[dict] = None) -> None:
     """Save only the trainable leaves (the reference's CLIP-free state dict)."""
-    mask = trainable_mask(cfg, params)
-    sub = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    sub = trainable_subtree(params, trainable_mask(cfg, params))
     save_checkpoint(path, sub, extra=extra)
 
 
@@ -131,9 +132,8 @@ class CheckpointManager:
         are re-derivable from the CLIP checkpoint at startup, so they are
         not fetched/stored — a ViT-L/14 resume file stays MBs, and the
         device->host fetch stays off the training critical path)."""
-        mask = trainable_mask(self.cfg, state.params)
-        trainable = jax.tree_util.tree_map(
-            lambda p, m: p if m else None, state.params, mask
+        trainable = trainable_subtree(
+            state.params, trainable_mask(self.cfg, state.params)
         )
         blob = {
             "step": int(state.step),
@@ -158,10 +158,7 @@ class CheckpointManager:
         flat = blob["params"]
 
         def replace(path_entries, leaf):
-            key = "/".join(
-                str(getattr(p, "key", getattr(p, "idx", p)))
-                for p in path_entries
-            )
+            key = path_str(path_entries)
             return jax.numpy.asarray(flat[key]) if key in flat else leaf
 
         params = jax.tree_util.tree_map_with_path(replace, state.params)

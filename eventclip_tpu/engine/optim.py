@@ -43,7 +43,9 @@ def optimizer_labels(cfg: ClassifierConfig, params: Params) -> Params:
     def label(path, m):
         if not m:
             return "frozen"
-        p = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        from ..utils.pytree import path_str
+
+        p = path_str(path)
         # reference groups by 'model.visual' in the torch param name
         # (method.py:166-172); LoRA deltas live inside the visual tower too
         if p.startswith("clip/visual") or p.startswith("lora"):

@@ -68,7 +68,6 @@ def make_train_step(
     cfg: ClassifierConfig,
     tx: optax.GradientTransformation,
     mesh: Mesh,
-    state: TrainState,
     loss_weights: Optional[Dict[str, float]] = None,
     pipeline=None,
     augment: bool = False,
@@ -93,7 +92,7 @@ def make_train_step(
     from ..parallel.sharding import make_tp_context
 
     tp = make_tp_context(mesh)
-    del mesh, state  # shardings flow from the input arrays
+    del mesh  # shardings flow from the input arrays
     loss_weights = dict(loss_weights or {})
 
     def loss_fn(params, batch, rng):
@@ -130,7 +129,7 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
+def make_eval_step(cfg: ClassifierConfig, mesh: Mesh,
                    top5: bool = False, pipeline=None):
     """Jitted eval step returning summed counters (host accumulates).
 
@@ -140,7 +139,7 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh, params_example: Params,
     from ..parallel.sharding import make_tp_context
 
     tp = make_tp_context(mesh)
-    del mesh, params_example
+    del mesh
 
     def step_fn(params, batch):
         imgs = _batch_images(batch, pipeline)

@@ -73,13 +73,34 @@ def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str],
             tree = init_clip_params(rng, clip_cfg)
             import jax.tree_util as jtu
 
-            def replace(path, leaf):
-                key = "/".join(
-                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path
-                )
-                return jnp.asarray(flat[key]) if key in flat else leaf
+            from ..utils.pytree import path_str
 
-            return jtu.tree_map_with_path(replace, tree), True
+            missing = []
+
+            def replace(path, leaf):
+                key = path_str(path)
+                if key not in flat:
+                    # a partially-matching archive must not silently leave
+                    # random-init leaves in a tree reported as pretrained
+                    missing.append(key)
+                    return leaf
+                loaded = flat[key]
+                assert loaded.shape == tuple(np.shape(leaf)), (
+                    f"{key}: ckpt {loaded.shape} vs model {np.shape(leaf)} — "
+                    f"is {ckpt} converted for {clip_cfg.name!r}?"
+                )
+                return jnp.asarray(loaded)
+
+            out = jtu.tree_map_with_path(replace, tree)
+            if missing:
+                raise ValueError(
+                    f"{ckpt} is missing {len(missing)} parameter(s) the "
+                    f"{clip_cfg.name!r} tree needs (e.g. {missing[:3]}); "
+                    "re-convert with scripts/convert_clip.py — loading it "
+                    "would silently mix random weights into a tree treated "
+                    "as pretrained"
+                )
+            return out, True
         from ..models.clip.convert import load_clip_checkpoint
 
         params, _ = load_clip_checkpoint(ckpt)
@@ -99,6 +120,34 @@ def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str],
 
     print("WARNING: smoke mode - RANDOM CLIP weights; accuracies are garbage")
     return init_clip_params(rng, clip_cfg), False
+
+
+def restore_placement(new_state, ref_state, mesh):
+    """Re-place a host-restored TrainState onto the mesh.
+
+    load_resume_state rebuilds leaves as host/process-local arrays; on a
+    multi-device (or multi-host) mesh the jitted step needs them back in
+    the placement the pre-restore state carries — params sharded by
+    shard_params, optimizer moments following their params. On 1-device
+    meshes the restored uncommitted placement is deliberate (committed
+    buffers cost ~30x per dispatch through the relay, see CLAUDE.md), so
+    nothing is moved.
+    """
+    if mesh.size == 1 and jax.process_count() == 1:
+        return new_state
+    from jax.sharding import NamedSharding
+
+    def place(new, ref):
+        # only leaves shard_params/optax placed on the mesh get committed
+        # back; scalars (step, opt counts, rng) stay uncommitted — jit moves
+        # those freely, and committing them to their incidental single
+        # device would conflict with the mesh-placed leaves
+        if isinstance(ref, jax.Array) and isinstance(ref.sharding,
+                                                     NamedSharding):
+            return jax.device_put(new, ref.sharding)
+        return new
+
+    return jax.tree_util.tree_map(place, new_state, ref_state)
 
 
 def snapshot_logit_scale(cls_cfg, clip_params, pretrained: bool):
@@ -248,13 +297,13 @@ class EventCLIPTrainer:
 
         loss_weights = {"ce_loss": float(params.get("ce_loss_w", 1.0))}
         self.train_step = make_train_step(
-            self.cls_cfg, self.tx, self.mesh, self.state,
+            self.cls_cfg, self.tx, self.mesh,
             loss_weights=loss_weights, pipeline=self.pipeline,
             augment=bool(getattr(train_set, "augment", False)),
         )
         top5 = params.dataset == "n_imagenet"
         self.eval_step = make_eval_step(
-            self.cls_cfg, self.mesh, self.model_params, top5=top5,
+            self.cls_cfg, self.mesh, top5=top5,
             pipeline=self.pipeline,
         )
 
@@ -310,7 +359,8 @@ class EventCLIPTrainer:
         start_epoch = 0
         restored = self.ckpt.load_resume_state(self.state)
         if restored is not None:
-            self.state, start_epoch = restored
+            new_state, start_epoch = restored
+            self.state = restore_placement(new_state, self.state, self.mesh)
             print(f"Resumed full state from epoch {start_epoch}")
         elif resume_from:
             target = self.model_params
@@ -346,7 +396,10 @@ class EventCLIPTrainer:
                 metric_hist.append(metrics)
                 n_batches += 1
                 if profiling and n_batches >= 2 + self.profile_steps:
-                    jax.block_until_ready(metrics)
+                    # scalar fetch, not block_until_ready: the latter is a
+                    # no-op through the axon relay (CLAUDE.md), which would
+                    # stop the trace before the profiled steps executed
+                    jax.device_get(metrics)
                     jax.profiler.stop_trace()
                     profiling = False
             if profiling:
@@ -372,13 +425,12 @@ class EventCLIPTrainer:
             if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
                 # fetch only trainable leaves (the frozen CLIP tower is GBs
                 # and never changes; fetching it per save dominates epochs)
-                from ..models.partition import trainable_mask
+                from ..models.partition import trainable_mask, trainable_subtree
 
-                mask = trainable_mask(self.cls_cfg, self.state.params)
-                host_trainable = jax.tree_util.tree_map(
-                    lambda p, m: np.asarray(p) if m else None,
-                    self.state.params, mask,
-                )
+                host_trainable = jax.device_get(trainable_subtree(
+                    self.state.params,
+                    trainable_mask(self.cls_cfg, self.state.params),
+                ))
                 self.ckpt.save(host_trainable, int(self.state.step), val_stats)
                 self.ckpt.save_resume_state(self.state, epoch + 1)
 

@@ -16,19 +16,10 @@ import jax
 
 from .classifier import ClassifierConfig
 
+from ..utils.pytree import path_str as _path_str
+
 Params = Dict[str, Any]
 
-
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
 
 
 def _visual_leaf_trainable(path: str, ft_mode: str) -> bool:

@@ -150,8 +150,10 @@ def color(img, mag):
 
 
 def contrast(img, mag):
+    # PIL ImageEnhance.Contrast quantizes the gray mean half-up
+    # (int(mean + 0.5)); the reference runs the PIL backend
     mean = jnp.mean(jnp.trunc(_grayscale(img)))
-    return _blend(img, jnp.full_like(img, jnp.trunc(mean)), 1.0 + mag)
+    return _blend(img, jnp.full_like(img, jnp.floor(mean + 0.5)), 1.0 + mag)
 
 
 def sharpness(img, mag):
@@ -352,7 +354,10 @@ def _geo_matrices_batched(op: jnp.ndarray, mag: jnp.ndarray, H: int, W: int):
     """
     deg = jnp.degrees(jnp.arctan(mag))
     zero = jnp.zeros_like(mag)
-    angle = jnp.where(op == 5, mag, zero)
+    # rotate: positive magnitude = counterclockwise (PIL img.rotate and the
+    # torchvision tensor path both negate the angle before building the
+    # inverse matrix — F_t.rotate's _get_inverse_affine_matrix(-angle))
+    angle = jnp.where(op == 5, -mag, zero)
     sx = jnp.where(op == 1, deg, zero)
     sy = jnp.where(op == 2, deg, zero)
     tx = jnp.where(op == 3, jnp.trunc(mag), zero)
@@ -382,7 +387,9 @@ def _grayscale_b(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _contrast_b(img: jnp.ndarray, mag: jnp.ndarray) -> jnp.ndarray:
-    mean = jnp.trunc(jnp.mean(_grayscale_b(img), axis=(2, 3), keepdims=True))
+    mean = jnp.floor(
+        jnp.mean(_grayscale_b(img), axis=(2, 3), keepdims=True) + 0.5
+    )
     return _blend(img, jnp.broadcast_to(mean, img.shape), 1.0 + _b(mag))
 
 
@@ -505,7 +512,7 @@ def _apply_one_op(img: jnp.ndarray, op_idx: jnp.ndarray, mag: jnp.ndarray,
             im, _inverse_affine_matrix(
                 0.0, (0.0, jnp.trunc(m)), (0.0, 0.0), no_off), fill),
         lambda im, m: affine_bicubic(
-            im, _inverse_affine_matrix(m, (0.0, 0.0), (0.0, 0.0), no_off),
+            im, _inverse_affine_matrix(-m, (0.0, 0.0), (0.0, 0.0), no_off),
             fill),
         brightness,
         color,

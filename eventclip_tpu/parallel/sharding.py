@@ -33,6 +33,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.pytree import path_str as _path_str
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -90,12 +92,6 @@ def batch_pspec() -> P:
     """Inputs shard their leading (batch) dim over the data axis."""
     return P(DATA_AXIS)
 
-
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
-    return "/".join(parts)
 
 
 # weight-name -> which dim (counted from the right, to be robust to the

@@ -127,7 +127,7 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
     pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
                         image_size=clip_cfg.vision.image_size)
     top5 = params.dataset == "n_imagenet"
-    eval_step = make_eval_step(cls_cfg, mesh, model_params, top5=top5,
+    eval_step = make_eval_step(cls_cfg, mesh, top5=top5,
                                pipeline=(spec, pp))
 
     n_data = n_devices // args.n_model

@@ -83,7 +83,7 @@ def test_train_step_runs_and_learns(rng, n_model):
     tx = build_optimizer(cfg, opt_cfg, params)
     params = shard_params(params, mesh)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
-    step = make_train_step(cfg, tx, mesh, state, loss_weights={"ce_loss": 1.0})
+    step = make_train_step(cfg, tx, mesh, loss_weights={"ce_loss": 1.0})
 
     batch = shard_batch(make_batch(rng), mesh)
     frozen_before = np.asarray(
@@ -112,7 +112,7 @@ def test_tp_matches_dp_numerics(rng):
     for n_model in (1, 2):
         mesh = make_mesh(n_data=8 // n_model, n_model=n_model)
         p = shard_params(params, mesh)
-        ev = make_eval_step(cfg, mesh, p)
+        ev = make_eval_step(cfg, mesh)
         b = shard_batch({**batch, "sample_mask": np.ones(8, bool)}, mesh)
         outs.append({k: float(v) for k, v in ev(p, b).items()})
     assert outs[0]["n"] == 8
@@ -140,7 +140,7 @@ def test_tp_train_step_hlo_has_no_all_gather(rng):
     tx = build_optimizer(cfg, OptimConfig(lr=1e-3, total_steps=10), params)
     params = shard_params(params, mesh)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
-    step = make_train_step(cfg, tx, mesh, state)
+    step = make_train_step(cfg, tx, mesh)
     batch = shard_batch(
         {**make_batch(rng, B=8), "label": np.zeros(8, np.int32)}, mesh
     )
@@ -159,7 +159,7 @@ def test_eval_step_masks_padded_rows(rng):
         init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS),
         mesh,
     )
-    ev = make_eval_step(cfg, mesh, params, top5=True)
+    ev = make_eval_step(cfg, mesh, top5=True)
     batch = make_batch(rng, B=8)
     batch["sample_mask"] = np.array([True] * 5 + [False] * 3)
     # padded rows have no valid views at all (worst case for NaN leaks)
@@ -185,7 +185,7 @@ def test_ftclip_two_lr_groups(rng):
     )
     params = shard_params(params, mesh)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
-    step = make_train_step(cfg, tx, mesh, state)
+    step = make_train_step(cfg, tx, mesh)
     before = jax.device_get(state.params["clip"]["visual"])
     state, _ = step(state, shard_batch(make_batch(rng), mesh))
     after = jax.device_get(state.params["clip"]["visual"])
@@ -254,3 +254,37 @@ def test_run_id_stable_across_resume(tmp_path, monkeypatch):
     d2 = str(tmp_path / "exp8")
     os.makedirs(d2)
     assert EventCLIPTrainer._resolve_run_id(d2) == "exp8-9999"
+
+
+def test_resume_restores_mesh_placement(tmp_path, rng):
+    """load_resume_state rebuilds host arrays; restore_placement must put
+    every leaf back with the pre-restore sharding (params sharded over the
+    model axis, opt moments following) — without it, a resumed multi-device
+    run feeds process-local/replicated arrays into the sharded train step."""
+    from eventclip_tpu.engine.trainer import restore_placement
+
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    tx = build_optimizer(cfg, OptimConfig(lr=1e-2, total_steps=10), params)
+    state = create_train_state(shard_params(params, mesh), tx,
+                               jax.random.PRNGKey(1))
+    # one step so moments are non-trivial
+    step = make_train_step(cfg, tx, mesh)
+    state, _ = step(state, shard_batch(make_batch(rng), mesh))
+
+    mgr = CheckpointManager(str(tmp_path), cfg)
+    mgr.save_resume_state(state, epoch=3)
+    restored, epoch = mgr.load_resume_state(state)
+    assert epoch == 3
+    placed = restore_placement(restored, state, mesh)
+
+    ref_leaves = jax.tree_util.tree_leaves(state)
+    got_leaves = jax.tree_util.tree_leaves(placed)
+    assert len(ref_leaves) == len(got_leaves)
+    for ref, got in zip(ref_leaves, got_leaves):
+        if isinstance(ref, jax.Array):
+            assert got.sharding == ref.sharding, (ref.sharding, got.sharding)
+    # and the sharded step accepts the restored state
+    placed, metrics = step(placed, shard_batch(make_batch(rng), mesh))
+    assert np.isfinite(float(metrics["ce_loss"]))

@@ -143,7 +143,9 @@ def color_oracle(img, mag):
 
 
 def contrast_oracle(img, mag):
-    mean = _np.floor(_gray_u8(img).mean())
+    # PIL ImageEnhance.Contrast: degenerate = gray mean rounded HALF-UP
+    # (int(mean + 0.5)); the reference augments PIL images
+    mean = _np.floor(_gray_u8(img).mean() + 0.5)
     return _blend_u8(img, _np.full(img.shape, mean, _np.float32), 1.0 + mag)
 
 
