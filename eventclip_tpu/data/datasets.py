@@ -52,9 +52,9 @@ CARS_NEW_CNAMES = {
 
 
 def real_path(path: str) -> str:
-    while os.path.islink(path):
-        path = os.readlink(path)
-    return path
+    # realpath, not readlink-in-a-loop: relative symlink targets resolve
+    # against the link's parent directory, not the process CWD
+    return os.path.realpath(path)
 
 
 def load_split_asset(cls_name: str, num_shots: int, repeat: bool) -> Optional[Dict[str, int]]:

@@ -122,8 +122,12 @@ class EventWindowDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         # per-item generator: thread-safe under the PrefetchLoader and
-        # deterministic given (seed, epoch, idx)
-        rng = np.random.default_rng((self._seed, self._epoch, idx))
+        # deterministic given (seed, epoch, idx). The trailing stream tag
+        # decorrelates it from the wrapped event dataset's own generator,
+        # which is seeded with the same (seed, epoch, idx) prefix — without
+        # it, view subsampling would be a deterministic function of the
+        # event-augmentation draws every epoch
+        rng = np.random.default_rng((self._seed, self._epoch, idx, 0xE77))
         data = self.event_dataset[idx]
         if self.tta:
             return self._load_tta_item(data, rng)

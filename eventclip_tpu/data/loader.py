@@ -90,7 +90,11 @@ class PrefetchLoader:
         for b in range(n_batches):
             sl = order[b * self.batch_size:(b + 1) * self.batch_size]
             lo = self.shard_index * self.local_batch
-            jobs.append(sl[lo:lo + self.local_batch])
+            # (shard slice, fallback index): a ragged final global batch can
+            # leave a trailing shard with NO items — it still must emit a
+            # lockstep batch (collectives), so it pads from any sample in
+            # the global batch with every row masked out
+            jobs.append((sl[lo:lo + self.local_batch], int(sl[0])))
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -136,11 +140,19 @@ class PrefetchLoader:
         finally:
             stop.set()
 
-    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+    def _make_batch(self, job) -> Dict[str, np.ndarray]:
+        idxs, fallback = job
         items = [self.dataset[int(i)] for i in idxs]
         n = len(items)
+        if n == 0 and not self.pad_last:
+            raise ValueError(
+                f"shard {self.shard_index}/{self.num_shards} got 0 of "
+                f"{self.local_batch} items for the final ragged batch; "
+                "use pad_last=True (eval) or drop_last=True (train)"
+            )
         if self.pad_last and n < self.local_batch:
-            items = items + [items[-1]] * (self.local_batch - n)
+            pad_src = items[-1] if items else self.dataset[fallback]
+            items = items + [pad_src] * (self.local_batch - n)
         batch = collate(items)
         if self.pad_last:
             mask = np.zeros(self.local_batch, dtype=bool)

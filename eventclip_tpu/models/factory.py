@@ -62,10 +62,15 @@ def build_model(
     clip_params: converted CLIP weights (models.clip.convert); random when
         omitted (smoke mode). text_feats: precomputed prompt features;
         computed from the text tower + tokenizer when omitted and possible.
+
+    Passing real clip_params without the BPE vocab asset raises: real
+    weights + random text features would silently produce garbage zero-shot
+    numbers (same guard as engine.trainer.build_text_features).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     clip_cfg: CLIPConfig = clip_arch_config(params_cfg.clip_dict["arch"])
     cfg = build_classifier_config(params_cfg, clip_cfg, dtype=dtype)
+    pretrained = clip_params is not None
     if clip_params is None:
         from .clip.model import init_clip_params
 
@@ -82,8 +87,15 @@ def build_model(
                 ),
                 SimpleTokenizer(),
             )
-        except (FileNotFoundError, OSError):
-            text_feats = None  # random fallback inside init
+        except (FileNotFoundError, OSError) as e:
+            if pretrained:
+                raise FileNotFoundError(
+                    "BPE vocab asset missing; drop "
+                    "bpe_simple_vocab_16e6.txt.gz into eventclip_tpu/assets/"
+                    " — real CLIP weights with random text features would "
+                    f"silently produce garbage accuracies. ({e})"
+                ) from e
+            text_feats = None  # random fallback (smoke towers only)
     params = init_classifier_params(
         rng, cfg, clip_params=clip_params, text_feats=text_feats,
         n_classes=len(class_names),

@@ -245,8 +245,13 @@ def main(params, args):
     os.makedirs(train_path, exist_ok=True)
     new_cnames = getattr(ev_dst, "new_cnames", None)
     # renamed class -> original folder name (undo the CoOp renames when
-    # writing folders; reference walks the dict per lookup, we invert once)
-    orig_cname = {v: k for k, v in (new_cnames or {}).items()}
+    # writing folders; reference walks the dict per lookup and takes the
+    # FIRST match — e.g. both Faces and Faces_easy rename to 'face', and
+    # reference trees put 'face' pseudo labels under Faces/ — so the
+    # inversion must keep the first occurrence, not the last
+    orig_cname = {}
+    for k, v in (new_cnames or {}).items():
+        orig_cname.setdefault(v, k)
 
     # per-class top-k re-filter by confidence (gen_data.py:202-228)
     if topk > 0:
@@ -274,11 +279,22 @@ def main(params, args):
         report_selection(args, class_names, gt_class_cnt, sel_class_cnt,
                          sel_correct_class_cnt)
 
-    # merge GT labeled data, then materialize symlinks
+    # merge GT labeled data, then materialize symlinks; the protocol
+    # guarantees every GT few-shot sample is included (reference merges
+    # unconditionally), so a split entry that doesn't resolve under this
+    # data_root must be surfaced, not silently trained without
+    missing_gt = []
     for rel, cls in gt_data.items():
         abs_path = ev_dst._resolve_split_path(rel)
         if osp.exists(abs_path):
             pred_path2cls[abs_path] = cls
+        else:
+            missing_gt.append(rel)
+    if missing_gt:
+        print(f"WARNING: {len(missing_gt)} GT few-shot file(s) not found "
+              f"under {ev_dst.root} (e.g. {missing_gt[:3]}) - the pseudo "
+              "dataset will hold fewer labeled samples than the protocol "
+              "expects")
     for path, pred_cls in pred_path2cls.items():
         path = resolve_link(path)
         pred_cls = orig_cname.get(pred_cls, pred_cls)

@@ -55,12 +55,16 @@ def parse_args():
     return parser.parse_args()
 
 
-def evaluate(params, args, weight: str = "", printing: bool = True):
+def build_eval_context(params, args):
+    """Everything about an evaluation that does NOT depend on the weight
+    file: dataset, CLIP weights, text features, the jitted eval step, the
+    loader. A --train_shots sweep evaluates up to dozens of checkpoints —
+    re-resolving the CLIP .pt, re-encoding prompts and re-jitting per
+    weight would dominate the sweep."""
     import jax
     import jax.numpy as jnp
 
     from eventclip_tpu.data import PrefetchLoader, build_dataset
-    from eventclip_tpu.engine.checkpoint import load_checkpoint
     from eventclip_tpu.engine.train import make_eval_step
     from eventclip_tpu.engine.trainer import (
         build_text_features,
@@ -73,7 +77,7 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
     )
     from eventclip_tpu.models.clip.config import clip_arch_config
     from eventclip_tpu.ops.preprocess import ClipPreprocess
-    from eventclip_tpu.parallel import make_mesh, shard_batch, shard_params
+    from eventclip_tpu.parallel import make_mesh
 
     kwargs = {"subset": args.subset} if args.subset > 0 else {}
     val_set = build_dataset(params, val_only=True, **kwargs)
@@ -100,9 +104,43 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
         params.clip_dict.get("prompt", "a point cloud image of a {}"),
         pretrained,
     )
-    model_params = init_classifier_params(
+    template = init_classifier_params(
         rng, cls_cfg, clip_params=clip_params, text_feats=text_feats
     )
+
+    n_devices = jax.device_count()
+    mesh = make_mesh(n_data=n_devices // args.n_model, n_model=args.n_model)
+
+    spec = val_set.raster_spec()
+    pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
+                        image_size=clip_cfg.vision.image_size)
+    top5 = params.dataset == "n_imagenet"
+    eval_step = make_eval_step(cls_cfg, mesh, top5=top5,
+                               pipeline=(spec, pp))
+
+    n_data = n_devices // args.n_model
+    bs = int(params.get("val_batch_size", 64))
+    bs = max(bs - bs % n_data, n_data)
+    loader = PrefetchLoader(
+        val_set, bs, pad_last=True,
+        num_workers=params.get("num_workers", 8),
+    )
+    return {
+        "template": template, "mesh": mesh, "eval_step": eval_step,
+        "loader": loader, "top5": top5,
+    }
+
+
+def evaluate(params, args, weight: str = "", printing: bool = True,
+             ctx=None):
+    import jax
+
+    from eventclip_tpu.engine.checkpoint import load_checkpoint
+    from eventclip_tpu.parallel import shard_batch, shard_params
+
+    if ctx is None:
+        ctx = build_eval_context(params, args)
+    model_params = ctx["template"]
     if weight:
         model_params, _ = load_checkpoint(weight, target=model_params)
         if printing:
@@ -119,27 +157,12 @@ def evaluate(params, args, weight: str = "", printing: bool = True):
         except ValueError as e:
             raise SystemExit(f"--int8: {e}")
 
-    n_devices = jax.device_count()
-    mesh = make_mesh(n_data=n_devices // args.n_model, n_model=args.n_model)
+    mesh = ctx["mesh"]
     model_params = shard_params(model_params, mesh)
-
-    spec = val_set.raster_spec()
-    pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
-                        image_size=clip_cfg.vision.image_size)
-    top5 = params.dataset == "n_imagenet"
-    eval_step = make_eval_step(cls_cfg, mesh, top5=top5,
-                               pipeline=(spec, pp))
-
-    n_data = n_devices // args.n_model
-    bs = int(params.get("val_batch_size", 64))
-    bs = max(bs - bs % n_data, n_data)
-    loader = PrefetchLoader(
-        val_set, bs, pad_last=True,
-        num_workers=params.get("num_workers", 8),
-    )
+    eval_step, top5 = ctx["eval_step"], ctx["top5"]
 
     results = []
-    for batch in loader:
+    for batch in ctx["loader"]:
         dev = {
             k: v for k, v in batch.items()
             if k in ("windows", "valid_mask", "sample_mask")
@@ -216,6 +239,9 @@ def main():
         evaluate(params, args, weight=args.weight)
         return
 
+    # dataset / CLIP weights / text features / jitted step are identical
+    # across every checkpoint in the sweep — build them once
+    ctx = build_eval_context(params, args)
     all_probs, all_logits = [], []
     for num_shot in args.train_shots:
         base = os.path.join(args.ckpt_base, cfg_base)
@@ -228,7 +254,7 @@ def main():
             if not os.path.exists(mdir):
                 continue
             w = find_weight(mdir)
-            p, l = evaluate(params, args, weight=w, printing=False)
+            p, l = evaluate(params, args, weight=w, printing=False, ctx=ctx)
             probs_avg.update(p, 1)
             logits_avg.update(l, 1)
         print(f"\n\nTesting {cfg_base}-{num_shot}shot")

@@ -299,3 +299,31 @@ class TestPrefetchLoader:
         assert union == list(range(24))  # every sample covered exactly once
         # identical order when both hosts draw the same epoch again
         assert collect(0) == a
+
+
+def test_loader_pads_empty_trailing_shard():
+    """A ragged final global batch can leave a trailing host shard with ZERO
+    items; it must still emit a lockstep all-masked batch (the sharded eval
+    step runs collectives — a host that crashes or skips deadlocks the
+    others)."""
+
+    class Tiny:
+        def __len__(self):
+            return 2  # ONE global batch of 8: shard 0 gets rows 0..1,
+                      # shard 1 gets nothing
+
+        def __getitem__(self, i):
+            return {"data_idx": np.int64(i)}
+
+    b0 = list(PrefetchLoader(Tiny(), batch_size=8, shard_index=0,
+                             num_shards=2, pad_last=True))
+    b1 = list(PrefetchLoader(Tiny(), batch_size=8, shard_index=1,
+                             num_shards=2, pad_last=True))
+    assert len(b0) == len(b1) == 1
+    assert b0[0]["sample_mask"].tolist() == [True, True, False, False]
+    assert b1[0]["sample_mask"].tolist() == [False] * 4
+    assert b1[0]["data_idx"].shape == (4,)  # padded to the local batch
+    # without pad_last the empty shard must fail loudly, not IndexError
+    with pytest.raises(ValueError, match="got 0 of"):
+        list(PrefetchLoader(Tiny(), batch_size=8, shard_index=1,
+                            num_shards=2))
