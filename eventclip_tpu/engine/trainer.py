@@ -53,6 +53,12 @@ def _log_jsonl(path: Optional[str], record: Dict[str, Any]) -> None:
         f.write(json.dumps(record) + "\n")
 
 
+# the reference's hard-coded prompt template (configs override via
+# clip_dict['prompt']); every consumer falls back to THIS constant so
+# serving/eval/pseudo-labeling text features can never silently diverge
+DEFAULT_PROMPT = "a point cloud image of a {}"
+
+
 def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str],
                         smoke: bool = False):
     """Load converted CLIP weights, or random init in smoke/debug mode.
@@ -230,7 +236,7 @@ class EventCLIPTrainer:
         )
         text_feats = build_text_features(
             clip_params, self.clip_cfg, train_set.classes,
-            params.clip_dict.get("prompt", "a point cloud image of a {}"),
+            params.clip_dict.get("prompt", DEFAULT_PROMPT),
             self.pretrained,
         )
         self.model_params = init_classifier_params(

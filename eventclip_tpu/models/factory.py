@@ -77,14 +77,13 @@ def build_model(
         clip_params = init_clip_params(rng, clip_cfg)
     if text_feats is None:
         try:
+            from ..engine.trainer import DEFAULT_PROMPT
             from .classifier import compute_text_features
             from .clip.tokenizer import SimpleTokenizer
 
             text_feats = compute_text_features(
                 clip_params, clip_cfg, class_names,
-                params_cfg.clip_dict.get(
-                    "prompt", "a point cloud image of a {}"
-                ),
+                params_cfg.clip_dict.get("prompt", DEFAULT_PROMPT),
                 SimpleTokenizer(),
             )
         except (FileNotFoundError, OSError) as e:

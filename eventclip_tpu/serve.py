@@ -48,10 +48,15 @@ class Predictor:
         import jax
         import jax.numpy as jnp
 
+        from .utils.jax_setup import setup_jax
+
+        setup_jax()  # serving cold starts amortize the 30-500 s compiles
+
         from .data.datasets import DATASET_CLASSES
         from .data.event_windows import parse_quantize_args
         from .engine.checkpoint import load_checkpoint
         from .engine.trainer import (
+            DEFAULT_PROMPT,
             build_text_features,
             resolve_clip_params,
             snapshot_logit_scale,
@@ -94,7 +99,7 @@ class Predictor:
         self._cfg = snapshot_logit_scale(self._cfg, clip_params, pretrained)
         text_feats = build_text_features(
             clip_params, clip_cfg, self.class_names,
-            params.clip_dict.get("prompt", "a point cloud image of a {}"),
+            params.clip_dict.get("prompt", DEFAULT_PROMPT),
             pretrained,
         )
         model_params = init_classifier_params(
@@ -149,6 +154,11 @@ class Predictor:
         assert events.ndim == 2 and events.shape[1] == 4, (
             f"expected [n, 4] x/y/t/p events, got {events.shape}"
         )
+        if events.shape[0] == 0:
+            raise ValueError(
+                "empty event stream (0 events) — an idle sensor window has "
+                "no defined prediction; filter empty streams before predict()"
+            )
         if events.size and events[:, 3].min() >= -0.5:
             # 0/1 polarity encoding (raw N-ImageNet-style dumps) -> ±1,
             # the loaders' rule (datasets.py::load_event_npz); the

@@ -14,8 +14,12 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+# the canonical normalization constants live with the preprocess op; a
+# drift between normalize and denormalize would silently skew saved GIFs
+from ..ops.preprocess import CLIP_MEAN as _MEAN, CLIP_STD as _STD
+
+CLIP_MEAN = np.asarray(_MEAN, np.float32)
+CLIP_STD = np.asarray(_STD, np.float32)
 
 
 def denormalize(img: np.ndarray) -> np.ndarray:
@@ -79,7 +83,9 @@ def visualize_samples(
 ) -> List[Dict]:
     """Render n_samples val items with GT + top-3 captions.
 
-    probs_fn(windows [1, V, N, 4], valid [1, V]) -> probs [1, n_cls].
+    probs_fn(windows [1, V, N, 3] int16 packed x/y/p — the layout
+    EventWindowDataset yields; the rasterizer also accepts [1, V, N, 4]
+    float x/y/t/p — valid [1, V]) -> probs [1, n_cls].
     inputs_fn (optional): same args -> CLIP-normalized imgs [1, V, 3, S, S];
     when given, the model-input frames are also saved (the reference's
     second wandb video, method.py:139-142).

@@ -72,6 +72,7 @@ def main(params, args):
     from eventclip_tpu.data.datasets import load_split_asset
     from eventclip_tpu.engine.checkpoint import load_checkpoint
     from eventclip_tpu.engine.trainer import (
+        DEFAULT_PROMPT,
         build_text_features,
         resolve_clip_params,
         snapshot_logit_scale,
@@ -115,7 +116,7 @@ def main(params, args):
                                       keep_tokens=args.prune_tokens)
     text_feats = build_text_features(
         clip_params, clip_cfg, class_names,
-        params.clip_dict.get("prompt", "a point cloud image of a {}"),
+        params.clip_dict.get("prompt", DEFAULT_PROMPT),
         pretrained,
     )
     model_params = init_classifier_params(

@@ -17,8 +17,12 @@ do
         echo "[watchdog] command finished cleanly"
         exit 0
     fi
+    if [ "$i" -ge "$MAX_RETRIES" ]; then
+        # last attempt: no phantom "retry 11/10" announcement, no idle sleep
+        break
+    fi
     echo "[watchdog] exit code $code; retry $((i+1))/$MAX_RETRIES in ${SLEEP_SECS}s"
     sleep $SLEEP_SECS
 done
-echo "[watchdog] giving up after $MAX_RETRIES retries"
+echo "[watchdog] giving up after $MAX_RETRIES retries (last exit code $code)"
 exit 1

@@ -67,6 +67,7 @@ def build_eval_context(params, args):
     from eventclip_tpu.data import PrefetchLoader, build_dataset
     from eventclip_tpu.engine.train import make_eval_step
     from eventclip_tpu.engine.trainer import (
+        DEFAULT_PROMPT,
         build_text_features,
         resolve_clip_params,
         snapshot_logit_scale,
@@ -101,7 +102,7 @@ def build_eval_context(params, args):
                                       keep_tokens=args.prune_tokens)
     text_feats = build_text_features(
         clip_params, clip_cfg, val_set.classes,
-        params.clip_dict.get("prompt", "a point cloud image of a {}"),
+        params.clip_dict.get("prompt", DEFAULT_PROMPT),
         pretrained,
     )
     template = init_classifier_params(

@@ -146,6 +146,10 @@ def test_zero_one_polarity_matches_pm_one(predictor):
 def test_rejects_malformed_streams(predictor):
     with pytest.raises(AssertionError):
         predictor.predict([np.zeros((10, 3))])
+    # an empty stream (idle sensor window) has no defined prediction; it
+    # must fail with a clear message, not a numpy reduction error
+    with pytest.raises(ValueError, match="empty event stream"):
+        predictor.predict([np.zeros((0, 4))])
 
 
 def test_matches_dataset_window_path(predictor, tmp_path):
