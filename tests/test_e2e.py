@@ -281,6 +281,32 @@ def test_preemption_resume_continues_same_run(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_serve_predictor_with_trained_checkpoint(tree, ckpt_base):
+    """The serving API must load a CLI-trained checkpoint and classify raw
+    event files from disk (the deployment path: train with train.py, serve
+    with serve.Predictor). Runs after test_train_test_cycle."""
+    best = os.path.join(ckpt_base, "fsclip_tiny_params", "models", "best.npz")
+    if not os.path.exists(best):
+        pytest.skip("train cycle has not produced a checkpoint")
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from eventclip_tpu.serve import Predictor
+    from eventclip_tpu.utils.config import load_params
+
+    params = load_params("configs/debug/fsclip_tiny_params.py")
+    pred = Predictor(params, class_names=["airplanes", "ant", "brain"],
+                     weight=best, smoke=True, batch_size=4)
+    files = sorted(glob.glob(os.path.join(tree, "testing", "*", "*.npy")))[:5]
+    out = pred.predict([np.load(f) for f in files])
+    assert out["probs"].shape == (5, 3)
+    assert all(n in ("airplanes", "ant", "brain") for n in out["names"])
+
+
+@pytest.mark.e2e
 def test_nimagenet_eval_top5_and_subset(tmp_path):
     """ZS evaluation on an N-ImageNet-shaped npz tree: top-5 reporting
     (reference test.py:55-93) and --subset robustness-variant selection
