@@ -382,6 +382,11 @@ class EventCLIPTrainer:
         max_epochs = int(self.params.get("max_epochs", 1))
         eval_interval = int(self.params.get("eval_interval", 5))
         save_interval = max(int(self.params.get("save_interval", 1)), 1)
+        # profiling skips 2 warmup steps (compile + first dispatch) when the
+        # epoch is long enough; tiny datasets (1-2 batches/epoch) must still
+        # produce a trace rather than silently never reaching the trigger
+        profile_warmup = min(2, max(len(self.train_loader) -
+                                    self.profile_steps, 0))
         for epoch in range(start_epoch, max_epochs):
             self.epoch = epoch
             t0 = time.perf_counter()
@@ -391,7 +396,8 @@ class EventCLIPTrainer:
             # force a host sync every step and serialize the input pipeline
             metric_hist = []
             for batch in self.train_loader.epoch(epoch):
-                if self.profile_steps and epoch == 0 and n_batches == 2:
+                if self.profile_steps and epoch == 0 \
+                        and n_batches == profile_warmup:
                     jax.profiler.start_trace(
                         os.path.join(self.ckpt_dir, "profile")
                     )
@@ -401,7 +407,7 @@ class EventCLIPTrainer:
                 )
                 metric_hist.append(metrics)
                 n_batches += 1
-                if profiling and n_batches >= 2 + self.profile_steps:
+                if profiling and n_batches >= profile_warmup + self.profile_steps:
                     # scalar fetch, not block_until_ready: the latter is a
                     # no-op through the axon relay (CLAUDE.md), which would
                     # stop the trace before the profiled steps executed

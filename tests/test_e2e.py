@@ -195,13 +195,18 @@ def test_train_test_cycle(tree, ckpt_base):
     r = run([
         "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
         "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base,
-        "--max_epochs", "1", "--san_check_val_step", "1",
+        "--max_epochs", "1", "--san_check_val_step", "1", "--profile", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "[val]" in r.stdout
     mdir = os.path.join(ckpt_base, "fsclip_tiny_params", "models")
     assert os.path.exists(os.path.join(mdir, "best.npz"))
     assert os.path.exists(os.path.join(mdir, "resume.pkl"))
+    # --profile N captured a jax.profiler trace (the observability contract;
+    # the reference has no profiling at all)
+    pdir = os.path.join(ckpt_base, "fsclip_tiny_params", "profile")
+    traces = [os.path.join(dp, f) for dp, _, fs in os.walk(pdir) for f in fs]
+    assert traces, f"no profiler trace written under {pdir}"
     # metrics JSONL written
     with open(os.path.join(ckpt_base, "fsclip_tiny_params",
                            "metrics.jsonl")) as f:
