@@ -176,3 +176,75 @@ def test_watchdog_gives_up_after_max_retries(tmp_path):
     )
     assert r.returncode == 1
     assert "giving up" in r.stdout
+
+
+def _slurm_stub_env(tmp_path, states_script):
+    """PATH-prefix stub scheduler: `sbatch` logs each submit and prints a
+    fresh job id; `sacct` replays the given state sequence (one per poll)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    (bindir / "sbatch").write_text(
+        "#!/bin/bash\n"
+        f"echo submit >> {tmp_path}/sbatch.log\n"
+        f"echo $(( $(wc -l < {tmp_path}/sbatch.log) + 100 ))\n"
+    )
+    (bindir / "sacct").write_text(
+        "#!/bin/bash\n"
+        f"n=$(cat {tmp_path}/poll 2>/dev/null || echo 0)\n"
+        f"echo $((n + 1)) > {tmp_path}/poll\n"
+        + states_script
+    )
+    for f in ("sbatch", "sacct"):
+        os.chmod(str(bindir / f), 0o755)
+    return dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}",
+                BACKEND="slurm", POLL_SECS="1")
+
+
+def _run_slurm_submit(tmp_path, env, job="wd"):
+    env = dict(env, LOG_DIR=str(tmp_path / job))
+    r = subprocess.run(
+        ["bash", SUBMIT, job, "train.py", "--params", "c.py"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return tmp_path / job / "run.log"
+
+
+def test_slurm_watchdog_resubmits_then_stops(tmp_path):
+    """FAILED -> resubmit (second sbatch call) -> COMPLETED -> exit."""
+    import time
+
+    env = _slurm_stub_env(
+        tmp_path,
+        'case $n in 0) echo " FAILED ";; *) echo " COMPLETED ";; esac\n',
+    )
+    log = _run_slurm_submit(tmp_path, env)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if log.exists() and "resubmitting" in log.read_text():
+            subs = (tmp_path / "sbatch.log").read_text().count("submit")
+            if subs >= 2:
+                return
+        time.sleep(0.5)
+    raise AssertionError(
+        f"watchdog never resubmitted: log={log.read_text() if log.exists() else '<absent>'}, "
+        f"sbatch calls={(tmp_path / 'sbatch.log').read_text()}"
+    )
+
+
+def test_slurm_watchdog_bounded_when_accounting_absent(tmp_path):
+    """Empty sacct output (no accounting) must give up loudly after
+    MAX_UNKNOWN_POLLS instead of spinning forever."""
+    import time
+
+    env = _slurm_stub_env(tmp_path, "echo ''\n")
+    env["MAX_UNKNOWN_POLLS"] = "2"
+    log = _run_slurm_submit(tmp_path, env, job="wd2")
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if log.exists() and "giving up" in log.read_text():
+            return
+        time.sleep(0.5)
+    raise AssertionError(
+        f"watchdog never gave up: {log.read_text() if log.exists() else '<absent>'}"
+    )
