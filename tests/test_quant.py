@@ -112,3 +112,54 @@ def test_quantized_classifier_predictions_agree(rng):
     got = classifier_forward(qparams, ccfg, imgs, valid)["probs"]
     assert np.argmax(np.asarray(ref), -1).tolist() == \
         np.argmax(np.asarray(got), -1).tolist()
+
+
+def test_fast_path_preserves_learned_predictions(rng):
+    """int8 + token pruning must keep a TRAINED model's predictions, not
+    just execute: overfit the tiny FS adapter on one batch (the
+    test_engine learning recipe), then evaluate the same batch through the
+    quantized + pruned forward and require the fitted accuracy to survive."""
+    import jax
+
+    from eventclip_tpu.engine import OptimConfig, build_optimizer, \
+        create_train_state, make_train_step
+    from eventclip_tpu.models.classifier import (
+        classifier_forward,
+        init_classifier_params,
+    )
+    from eventclip_tpu.parallel import make_mesh
+    from tests.test_engine import make_batch, tiny_fs_config
+
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=jax.device_count(), n_model=1)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=5)
+    tx = build_optimizer(
+        cfg, OptimConfig(lr=3e-2, total_steps=80, warmup_steps_pct=0.0),
+        params,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = make_train_step(cfg, tx, mesh, loss_weights={"ce_loss": 1.0})
+    batch = make_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(60):
+        state, _ = step(state, batch)
+
+    def acc(p, c):
+        out = classifier_forward(p, c, batch["img"], batch["valid_mask"])
+        return float(
+            (np.asarray(out["probs"]).argmax(-1) ==
+             np.asarray(batch["label"])).mean()
+        )
+
+    full = acc(state.params, cfg)
+    assert full >= 0.75, f"tiny adapter failed to overfit: {full}"
+    qparams = dict(state.params)
+    qparams["clip"] = dict(state.params["clip"])
+    qparams["clip"]["visual"] = quantize_visual(
+        state.params["clip"]["visual"]
+    )
+    fast_cfg = dataclasses.replace(cfg, keep_tokens=12)  # of 16 patches
+    fast = acc(qparams, fast_cfg)
+    assert fast >= full - 0.15, (
+        f"fast path lost the learned accuracy: full={full} fast={fast}"
+    )
