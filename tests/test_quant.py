@@ -114,7 +114,7 @@ def test_quantized_classifier_predictions_agree(rng):
         np.argmax(np.asarray(got), -1).tolist()
 
 
-def test_fast_path_preserves_learned_predictions(rng):
+def test_fast_path_preserves_learned_predictions():
     """int8 + token pruning must keep a TRAINED model's predictions, not
     just execute: overfit the tiny FS adapter on one batch (the
     test_engine learning recipe), then evaluate the same batch through the
@@ -139,7 +139,9 @@ def test_fast_path_preserves_learned_predictions(rng):
     )
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     step = make_train_step(cfg, tx, mesh, loss_weights={"ce_loss": 1.0})
-    batch = make_batch(rng)
+    # dedicated generator: the module `rng` fixture's state depends on
+    # which tests ran before, and the overfit budget is tuned to the data
+    batch = make_batch(np.random.default_rng(42))
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     for _ in range(60):
         state, _ = step(state, batch)
