@@ -312,6 +312,47 @@ def test_serve_predictor_with_trained_checkpoint(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_dup_run_trains_seed_duplicates(tree, tmp_path):
+    """scripts/dup_run.sh copies the params file as -dupN.py and trains each
+    with a distinct seed (reference dup_run_sbatch.sh); the resulting ckpt
+    dirs follow the naming test.py's sweep discovers."""
+    import shutil
+    import subprocess
+
+    cfg = tmp_path / "fsclip_tiny_params.py"
+    shutil.copy(os.path.join(REPO, "configs/debug/fsclip_tiny_params.py"),
+                cfg)
+    ckpt_base = str(tmp_path / "ck")
+    env = dict(os.environ, REPEAT="2")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1-device CPU: two trainings back to back
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "dup_run.sh"),
+         f"{sys.executable} train.py",
+         str(cfg),
+         "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base,
+         "--max_epochs", "1", "--san_check_val_step", "0"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert (tmp_path / "fsclip_tiny_params-dup1.py").exists()
+    for d in ("fsclip_tiny_params", "fsclip_tiny_params-dup1"):
+        assert os.path.exists(os.path.join(ckpt_base, d, "models",
+                                           "best.npz")), d
+    # distinct seeds -> distinct trained weights
+    import numpy as np_
+
+    a = dict(np_.load(os.path.join(ckpt_base, "fsclip_tiny_params",
+                                   "models", "best.npz")))
+    b = dict(np_.load(os.path.join(ckpt_base, "fsclip_tiny_params-dup1",
+                                   "models", "best.npz")))
+    diff = any(
+        not np_.array_equal(a[k], b[k]) for k in a if not k.startswith("__")
+    )
+    assert diff, "dup run produced identical weights (seed not applied?)"
+
+
+@pytest.mark.e2e
 def test_nimagenet_eval_top5_and_subset(tmp_path):
     """ZS evaluation on an N-ImageNet-shaped npz tree: top-5 reporting
     (reference test.py:55-93) and --subset robustness-variant selection
