@@ -248,3 +248,38 @@ def test_slurm_watchdog_bounded_when_accounting_absent(tmp_path):
     raise AssertionError(
         f"watchdog never gave up: {log.read_text() if log.exists() else '<absent>'}"
     )
+
+
+def test_sweep_helpers_enumerate_the_reference_grids(tmp_path):
+    """train_all_shots / test_all_arch / test_all_subset must invoke the
+    wrapped command once per grid point with the right flag (reference
+    scripts of the same names)."""
+    import sys
+
+    rec = tmp_path / "calls.log"
+    stub = (f"{sys.executable} -c \"import sys;"
+            f"open(r'{rec}','a').write(' '.join(sys.argv[1:]) + chr(10))\"")
+
+    def calls(script, *extra):
+        rec.write_text("")
+        r = subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", script), stub, *extra],
+            capture_output=True, text=True, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr
+        return rec.read_text().strip().splitlines()
+
+    shots = calls("train_all_shots.sh")
+    assert [c.split("--num_shots ")[1] for c in shots] == \
+        ["20", "10", "5", "3", "1"]  # the paper grid, reference order
+
+    archs = calls("test_all_arch.sh")
+    got = [c.split("--arch ")[1].split(" ")[0] for c in archs]
+    assert "ViT-L/14" in got and "RN50" in got and len(got) == 8
+    # RN50x64 gets the reduced batch like the reference
+    rn64 = [c for c in archs if "RN50x64" in c][0]
+    assert "--bs 32" in rn64
+
+    subsets = calls("test_all_subset.sh")
+    assert [c.split("--subset ")[1] for c in subsets] == \
+        [str(i) for i in range(1, 10)]  # 9 robustness variants
