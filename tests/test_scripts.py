@@ -282,4 +282,4 @@ def test_sweep_helpers_enumerate_the_reference_grids(tmp_path):
 
     subsets = calls("test_all_subset.sh")
     assert [c.split("--subset ")[1] for c in subsets] == \
-        [str(i) for i in range(1, 10)]  # 9 robustness variants
+        ["-1"] + [str(i) for i in range(1, 10)]  # plain val + 9 variants
