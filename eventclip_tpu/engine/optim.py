@@ -20,6 +20,7 @@ import optax
 
 from ..models.classifier import ClassifierConfig
 from ..models.partition import trainable_mask
+from ..utils.pytree import path_str
 from .schedule import warmup_cosine
 
 Params = Dict[str, Any]
@@ -43,8 +44,6 @@ def optimizer_labels(cfg: ClassifierConfig, params: Params) -> Params:
     def label(path, m):
         if not m:
             return "frozen"
-        from ..utils.pytree import path_str
-
         p = path_str(path)
         # reference groups by 'model.visual' in the torch param name
         # (method.py:166-172); LoRA deltas live inside the visual tower too

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..data import PrefetchLoader
 from ..models.classifier import (
+    DEFAULT_PROMPT,
     ClassifierConfig,
     build_classifier_config,
     compute_text_features,
@@ -51,12 +52,6 @@ def _log_jsonl(path: Optional[str], record: Dict[str, Any]) -> None:
         return
     with open(path, "a") as f:
         f.write(json.dumps(record) + "\n")
-
-
-# the reference's hard-coded prompt template (configs override via
-# clip_dict['prompt']); every consumer falls back to THIS constant so
-# serving/eval/pseudo-labeling text features can never silently diverge
-DEFAULT_PROMPT = "a point cloud image of a {}"
 
 
 def resolve_clip_params(params_cfg, clip_cfg, rng, clip_ckpt: Optional[str],
@@ -415,6 +410,10 @@ class EventCLIPTrainer:
                     jax.profiler.stop_trace()
                     profiling = False
             if profiling:
+                # same relay caveat as the in-loop stop: sync the last step
+                # before stopping or the trace captures nothing
+                if metric_hist:
+                    jax.device_get(metric_hist[-1])
                 jax.profiler.stop_trace()
             meters: Dict[str, AverageMeter] = {}
             for metrics in jax.device_get(metric_hist):

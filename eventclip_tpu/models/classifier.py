@@ -30,6 +30,11 @@ from .clip.tokenizer import SimpleTokenizer, tokenize
 
 Params = Dict[str, Any]
 
+# the reference's hard-coded prompt template (configs override via
+# clip_dict['prompt']); every consumer falls back to THIS constant so
+# serving/eval/pseudo-labeling text features can never silently diverge
+DEFAULT_PROMPT = "a point cloud image of a {}"
+
 
 @dataclasses.dataclass(frozen=True)
 class ClassifierConfig:

@@ -77,7 +77,7 @@ def build_model(
         clip_params = init_clip_params(rng, clip_cfg)
     if text_feats is None:
         try:
-            from ..engine.trainer import DEFAULT_PROMPT
+            from .classifier import DEFAULT_PROMPT
             from .classifier import compute_text_features
             from .clip.tokenizer import SimpleTokenizer
 
