@@ -312,6 +312,24 @@ def test_serve_predictor_with_trained_checkpoint(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_cli_overrides_rename_experiment(tree, tmp_path):
+    """--N (thousands of events/window) and --num_shots must mutate the
+    config AND suffix the experiment dir the reference way
+    (`<cfg>-N_<k>-<s>shot`, reference train.py:120-127) — the sweep
+    discovery in test.py depends on this naming."""
+    ckpt_base = str(tmp_path / "ck")
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base,
+        "--max_epochs", "1", "--san_check_val_step", "0",
+        "--N", "2", "--num_shots", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = os.path.join(ckpt_base, "fsclip_tiny_params-N_2-2shot")
+    assert os.path.exists(os.path.join(exp, "models")), os.listdir(ckpt_base)
+
+
+@pytest.mark.e2e
 def test_dup_run_trains_seed_duplicates(tree, tmp_path):
     """scripts/dup_run.sh copies the params file as -dupN.py and trains each
     with a distinct seed (reference dup_run_sbatch.sh); the resulting ckpt
