@@ -260,7 +260,10 @@ def main():
                      "events/s", f"--int8 eval path; {B * T / dt:,.1f} img/s")
 
         # --- stage 4c: fast path (--int8 --prune_tokens) ------------------
-        K = int(os.environ.get("BENCH_PRUNE", "128"))
+        # default: keep half the patch tokens; a K >= grid^2 would silently
+        # measure the unpruned path under a pruned label
+        K = int(os.environ.get("BENCH_PRUNE",
+                               str(clip_cfg.vision.grid ** 2 // 2)))
         pcfg = dataclasses.replace(cfg, keep_tokens=K)
 
         @jax.jit
