@@ -41,6 +41,11 @@ except ImportError:  # pragma: no cover
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    # NOTE: keep the softmax-attention math here in lockstep with
+    # _qkv_kernel below — the backward already unifies both layouts
+    # through one _bwd_kernel, but the forwards are separate kernels
+    # (different ref layouts); a numerics change applied to one must be
+    # applied to the other
     q = q_ref[0]  # [S, D]
     k = k_ref[0]
     v = v_ref[0]
@@ -190,8 +195,28 @@ def _attention_bwd_xla(scale, res, g):
                     preferred_element_type=jnp.float32) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", dscores, q.astype(jnp.float32),
                     preferred_element_type=jnp.float32) * scale
-    dmask = None if mask is None else jnp.zeros_like(mask)
+    # the additive mask broadcasts over (batch, head): its cotangent is the
+    # dscores sum — a silently-zero cotangent would make a trainable
+    # attention bias never learn on this path while the einsum path does
+    dmask = None if mask is None else \
+        dscores.sum(axis=(0, 1)).astype(mask.dtype)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask
+
+
+def _mask_cotangent(q, k, v, mask, g, scale):
+    """dL/dmask for the Pallas backward paths: an XLA recompute of dscores
+    summed over (batch, head). Only runs when a mask is present — the text
+    tower, S <= context_length — where the [B, H, S, S] intermediate is
+    tiny; the masked-free ViT path never pays for it."""
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    ) + mask.astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1)
+    dattn = jnp.einsum("bhqd,bhkd->bhqk", g.astype(jnp.float32),
+                       v.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    dscores = attn * (dattn - (dattn * attn).sum(-1, keepdims=True))
+    return dscores.sum(axis=(0, 1)).astype(mask.dtype)
 
 
 def _bwd_pallas_call(args, mask, grid, in_spec_fns, out_shape, out_spec_fn,
@@ -240,7 +265,8 @@ def _attention_bwd(scale, res, g):
         out_spec_fn=spec,
         scale=scale, dh=D, per=1, interpret=interpret,
     )
-    dmask = None if mask is None else jnp.zeros_like(mask)
+    dmask = None if mask is None else _mask_cotangent(q, k, v, mask, g,
+                                                      scale)
     unflat = lambda t: t.reshape(B, H, S, D)  # noqa: E731
     return unflat(dq), unflat(dk), unflat(dv), dmask
 
@@ -393,7 +419,9 @@ def _qkv_attention_bwd(heads, scale, res, g):
             # tiny/debug towers: no legal block tiling; XLA path
             q, k, v = _split_heads(qkv, heads)
             gh = g.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
-            dq, dk, dv, _ = _attention_bwd_xla(scale, (q, k, v, mask), gh)
+            dq, dk, dv, dmask = _attention_bwd_xla(
+                scale, (q, k, v, mask), gh
+            )
 
             def merge(t):
                 return t.transpose(0, 2, 1, 3).reshape(B, S, D)
@@ -401,7 +429,6 @@ def _qkv_attention_bwd(heads, scale, res, g):
             dqkv = jnp.concatenate(
                 [merge(dq), merge(dk), merge(dv)], axis=-1
             )
-            dmask = None if mask is None else jnp.zeros_like(mask)
             return dqkv.astype(qkv.dtype), dmask
         per = 1
     G = heads // per
@@ -420,7 +447,12 @@ def _qkv_attention_bwd(heads, scale, res, g):
         scale=scale, dh=dh, per=per, interpret=interpret,
     )
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    dmask = None if mask is None else jnp.zeros_like(mask)
+    if mask is None:
+        dmask = None
+    else:
+        qh, kh, vh = _split_heads(qkv, heads)
+        gh = g.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+        dmask = _mask_cotangent(qh, kh, vh, mask, gh, scale)
     return dqkv.astype(qkv.dtype), dmask
 
 

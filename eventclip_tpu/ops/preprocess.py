@@ -125,5 +125,6 @@ def preprocess_frames_chw(pp: ClipPreprocess, frames: jnp.ndarray) -> jnp.ndarra
 @partial(jax.jit, static_argnums=0)
 def preprocess_frames(pp: ClipPreprocess, frames: jnp.ndarray) -> jnp.ndarray:
     """[..., H, W, 3] uint8 -> [..., 3, S, S] float32, CLIP-normalized."""
-    x = frames.astype(jnp.float32)
-    return preprocess_frames_chw(pp, jnp.moveaxis(x, -1, -3))
+    # transpose the uint8 (1 B/px), then let the chw path cast: moving the
+    # f32 would relayout 4x the bytes
+    return preprocess_frames_chw(pp, jnp.moveaxis(frames, -1, -3))

@@ -119,9 +119,12 @@ def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
                           preferred_element_type=jnp.float32)
         return hist.reshape(M, K, 2, H, W).sum(1)
 
-    # scan path: cap the one-hot A operand near 128 MB per step
-    E = int(max(512, min(_EVENT_CHUNK, (1 << 27) // (M * 2 * H * 2))))
-    E = max(128, (E // 128) * 128)
+    # scan path: cap the one-hot A operand near 128 MB per step. The cap
+    # takes precedence over the efficiency floor — a max(512, cap) would
+    # silently blow the cap ~16x at extreme M (e.g. M=2048 N-IN windows),
+    # which is exactly the geometry this path exists to protect
+    E = int(min(_EVENT_CHUNK, (1 << 27) // (M * 2 * H * 2)))
+    E = max(8, (E // 8) * 8)
     pad = (-N) % E
     if pad:
         windows = jnp.pad(windows, ((0, 0), (0, pad), (0, 0)))

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from eventclip_tpu.ops.attention import (
     _reference_attention,
+    fused_qkv_attention,
     multi_head_attention,
 )
 
@@ -135,3 +136,40 @@ def test_masked_gradients_match_reference(rng):
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_mask_cotangent_matches_reference(rng):
+    """A differentiable additive mask (e.g. a trainable attention bias)
+    must receive the TRUE gradient through the Pallas custom_vjp paths —
+    an earlier version silently returned zeros, so a learnable bias would
+    never train on the kernel path while training fine on the einsum path."""
+    B, H, S, D = 2, 2, 9, 16
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(S, S)).astype(np.float32))
+
+    gp = jax.grad(
+        lambda mm: (multi_head_attention(q, k, v, mm,
+                                         use_pallas=True) ** 2).sum()
+    )(m)
+    gr = jax.grad(
+        lambda mm: (_reference_attention(q, k, v, mm, D ** -0.5) ** 2).sum()
+    )(m)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=1e-4, rtol=1e-4)
+    assert float(jnp.abs(gp).max()) > 0  # the zero-cotangent regression
+
+    # fused-qkv layout too
+    heads = H
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * H * D)).astype(np.float32))
+    gp2 = jax.grad(
+        lambda mm: (fused_qkv_attention(qkv, heads, mm,
+                                        use_pallas=True) ** 2).sum()
+    )(m)
+    gr2 = jax.grad(
+        lambda mm: (fused_qkv_attention(qkv, heads, mm,
+                                        use_pallas=False) ** 2).sum()
+    )(m)
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(gr2),
+                               atol=1e-4, rtol=1e-4)
