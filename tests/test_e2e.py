@@ -312,6 +312,23 @@ def test_serve_predictor_with_trained_checkpoint(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_zs_only_overrides_rejected_for_trainable_models(tree, ckpt_base):
+    """--arch/--prompt are zero-shot-only overrides (reference test.py
+    asserts, :116-124): using them with a trained FSCLIP checkpoint must
+    fail loudly, not silently evaluate a different tower."""
+    mdir = os.path.join(ckpt_base, "fsclip_tiny_params", "models")
+    if not os.path.exists(os.path.join(mdir, "best.npz")):
+        pytest.skip("train cycle has not produced a checkpoint")
+    r = run([
+        "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu",
+        "--weight", os.path.join(mdir, "best.npz"), "--arch", "ViT-B/32",
+    ])
+    assert r.returncode != 0
+    assert "zero-shot" in (r.stderr + r.stdout)
+
+
+@pytest.mark.e2e
 def test_cli_overrides_rename_experiment(tree, tmp_path):
     """--N (thousands of events/window) and --num_shots must mutate the
     config AND suffix the experiment dir the reference way
