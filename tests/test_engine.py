@@ -288,3 +288,28 @@ def test_resume_restores_mesh_placement(tmp_path, rng):
     # and the sharded step accepts the restored state
     placed, metrics = step(placed, shard_batch(make_batch(rng), mesh))
     assert np.isfinite(float(metrics["ce_loss"]))
+
+
+def test_distributed_single_process_degrades(rng):
+    """parallel/distributed.py: the single-process paths every local run
+    takes — initialize is a no-op, shard info is (0, 1), and
+    make_global_batch places the batch sharded over the mesh data axis."""
+    from jax.sharding import NamedSharding
+
+    from eventclip_tpu.parallel.distributed import (
+        host_shard_info,
+        initialize_distributed,
+        make_global_batch,
+    )
+
+    initialize_distributed()  # no coordinator -> must not raise
+    assert host_shard_info() == (0, 1)
+    mesh = make_mesh(n_data=8, n_model=1)
+    batch = {"x": rng.normal(size=(16, 3)).astype(np.float32),
+             "label": np.arange(16, dtype=np.int32)}
+    out = make_global_batch(batch, mesh)
+    assert out["x"].shape == (16, 3)
+    for v in out.values():
+        assert isinstance(v.sharding, NamedSharding)
+        assert v.sharding.spec[0] == "data"  # batch dim over the data axis
+    np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
