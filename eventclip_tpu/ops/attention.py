@@ -204,19 +204,12 @@ def _attention_bwd_xla(scale, res, g):
 
 
 def _mask_cotangent(q, k, v, mask, g, scale):
-    """dL/dmask for the Pallas backward paths: an XLA recompute of dscores
-    summed over (batch, head). Only runs when a mask is present — the text
-    tower, S <= context_length — where the [B, H, S, S] intermediate is
-    tiny; the masked-free ViT path never pays for it."""
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-    ) + mask.astype(jnp.float32)
-    attn = jax.nn.softmax(scores, axis=-1)
-    dattn = jnp.einsum("bhqd,bhkd->bhqk", g.astype(jnp.float32),
-                       v.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-    dscores = attn * (dattn - (dattn * attn).sum(-1, keepdims=True))
-    return dscores.sum(axis=(0, 1)).astype(mask.dtype)
+    """dL/dmask for the Pallas backward paths. Delegates to the XLA
+    recompute backward (one copy of the softmax-VJP math); under jit the
+    unused dq/dk/dv are dead-code-eliminated. Only runs when a mask is
+    present — the text tower, S <= context_length — where the [B, H, S, S]
+    intermediate is tiny; the mask-free ViT path never pays for it."""
+    return _attention_bwd_xla(scale, (q, k, v, mask), g)[3]
 
 
 def _bwd_pallas_call(args, mask, grid, in_spec_fns, out_shape, out_spec_fn,
