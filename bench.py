@@ -204,6 +204,22 @@ def main():
     bench.record("mxu_ceiling_tflops", mxu_tflops, "TFLOP/s",
                  "8x chained 4096^3 bf16 matmul (achievable, not paper peak)")
 
+    mi = jnp.asarray(rng.integers(-127, 127, size=(mk, mk)), dtype=jnp.int8)
+
+    def _chain_i8(a):
+        x = a
+        for _ in range(8):
+            y = jax.lax.dot_general(x, a, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            x = jnp.clip(y >> 8, -127, 127).astype(jnp.int8)
+        return x
+
+    chain_i8 = jax.jit(_chain_i8)
+    dt = bench.run(lambda: chain_i8(mi), lambda x: _sync(x.astype(jnp.int32)),
+                   iters)
+    bench.record("mxu_int8_ceiling_tops", 8 * 2 * mk**3 / dt / 1e12, "TOP/s",
+                 "8x chained 4096^3 int8 matmul (the --int8 path's ceiling)")
+
     # --- stage 3: CLIP encode (bf16 forward) --------------------------------
     eB = int(os.environ.get("BENCH_ENC_BATCH", "64"))
     imgs = jnp.asarray(rng.normal(size=(
