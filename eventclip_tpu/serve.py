@@ -193,6 +193,13 @@ class Predictor:
         """
         import jax.numpy as jnp
 
+        if not len(event_streams):
+            n_cls = len(self.class_names)
+            return {
+                "label": np.zeros((0,), np.int64), "names": [],
+                "probs": np.zeros((0, n_cls), np.float32),
+                "topk": np.zeros((0, min(top_k, n_cls)), np.int64),
+            }
         wins, valids = zip(*[self._windows(e) for e in event_streams])
         wins = np.stack(wins)      # [B, V, N, 3] int16
         valids = np.stack(valids)  # [B, V]

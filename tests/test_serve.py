@@ -150,6 +150,9 @@ def test_rejects_malformed_streams(predictor):
     # must fail with a clear message, not a numpy reduction error
     with pytest.raises(ValueError, match="empty event stream"):
         predictor.predict([np.zeros((0, 4))])
+    # an empty REQUEST is fine: empty, well-shaped result
+    out = predictor.predict([])
+    assert out["probs"].shape == (0, 3) and out["names"] == []
 
 
 def test_matches_dataset_window_path(predictor, tmp_path):
