@@ -5,8 +5,10 @@ by torch.load of the released .pt archives, reference train.py:26) either as
 torch tensors or numpy arrays, and emits the layer-stacked pytree consumed by
 eventclip_tpu.models.clip.model.
 
-Only ViT checkpoints are supported so far (the reference's default and
-best-performing towers); ResNet towers raise with a clear message.
+Both tower families are supported: ViT checkpoints (the reference's default
+and best-performing towers) and the five ModifiedResNet checkpoints
+(RN50..RN50x64, BatchNorms folded into affine pairs at conversion —
+`_infer_resnet_config` / `_convert_resnet_visual` below).
 """
 
 from __future__ import annotations

@@ -73,6 +73,17 @@ class Predictor:
         self.class_names = list(class_names)
         self.batch_size = int(batch_size)
 
+        # trainable models served without a checkpoint would silently
+        # classify with random adapter/LoRA/prompt weights and return
+        # plausible-looking garbage — the same contract test.py enforces
+        # ("non-ZS evaluation needs --weight", test.py)
+        if params.model != "ZSCLIP" and not weight:
+            raise ValueError(
+                f"{params.model} has trainable weights; pass weight=<ckpt> "
+                "(serving it untrained would return random-adapter garbage). "
+                "Only ZSCLIP may be served without a checkpoint."
+            )
+
         # sensor geometry + view budget from the config's dataset stats
         # (no dataset tree needed); eval view budget is the reference's
         # forced max_imgs=10 (datasets/__init__.py:23); the parsing rules
@@ -200,7 +211,17 @@ class Predictor:
                 "probs": np.zeros((0, n_cls), np.float32),
                 "topk": np.zeros((0, min(top_k, n_cls)), np.int64),
             }
-        wins, valids = zip(*[self._windows(e) for e in event_streams])
+        # validate per-stream up front so batch callers learn WHICH input
+        # was bad, not just that one was
+        pairs = []
+        for i, e in enumerate(event_streams):
+            try:
+                pairs.append(self._windows(e))
+            except (ValueError, AssertionError) as err:
+                raise ValueError(
+                    f"event_streams[{i}]: {err}"
+                ) from None
+        wins, valids = zip(*pairs)
         wins = np.stack(wins)      # [B, V, N, 3] int16
         valids = np.stack(valids)  # [B, V]
 

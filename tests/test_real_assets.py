@@ -33,9 +33,15 @@ def _bpe_path():
     return None
 
 
-@pytest.mark.skipif(not _HAS_CKPT, reason="set CLIP_CKPT=/path/to/*.pt")
-def test_real_checkpoint_tower_parity(rng):
-    """Our converter + towers vs the torch oracle on the REAL state dict."""
+def check_state_dict_tower_parity(sd, rng, tol=2e-3):
+    """Converter + JAX towers vs the torch oracles for ONE state dict.
+
+    Dispatches on the checkpoint's tower family (ViT vs ModifiedResNet) the
+    way `infer_config_from_state_dict` does, so the same body validates any
+    of the 8 sweep arches (reference scripts/test_all_arch.sh:6). Called by
+    the conditional real-asset test below AND by an always-on synthetic
+    test, so the dispatch itself cannot rot while assets are absent.
+    """
     import torch
 
     import jax.numpy as jnp
@@ -45,11 +51,12 @@ def test_real_checkpoint_tower_parity(rng):
         infer_config_from_state_dict,
     )
     from eventclip_tpu.models.clip.model import encode_image, encode_text
+    from eventclip_tpu.models.clip.resnet import (
+        ResNetVisionConfig,
+        encode_image_resnet,
+    )
     from .torch_oracle import encode_image_torch, encode_text_torch
 
-    obj = torch.load(CKPT, map_location="cpu", weights_only=False)
-    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    sd = {k: v.float() for k, v in sd.items()}
     cfg = infer_config_from_state_dict(sd)
     params = convert_clip_state_dict(sd)
 
@@ -57,18 +64,79 @@ def test_real_checkpoint_tower_parity(rng):
     imgs = rng.normal(size=(2, 3, v.image_size, v.image_size)).astype(
         np.float32
     )
-    ours = np.asarray(encode_image(params["visual"], v, jnp.asarray(imgs)))
-    ref = encode_image_torch(sd, imgs, v.heads, v.layers)
-    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+    if isinstance(v, ResNetVisionConfig):
+        # RN50..RN50x64 checkpoints: drive the real state dict through the
+        # torch ModifiedResNet oracle (tests/test_resnet.py — same module
+        # the small-scale converter test uses) and through our folded-BN
+        # JAX tower
+        from .test_resnet import ModifiedResNetOracle
 
+        oracle = ModifiedResNetOracle(
+            layers=v.layers, width=v.width, image_size=v.image_size,
+            heads=v.heads, output_dim=v.output_dim,
+        ).eval()
+        oracle.load_state_dict(
+            {k[len("visual."):]: t for k, t in sd.items()
+             if k.startswith("visual.")}
+        )
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(imgs)).numpy()
+        ours = np.asarray(
+            encode_image_resnet(params["visual"], v, jnp.asarray(imgs))
+        )
+        # the int8 path must refuse RN towers loudly, not garble them
+        with pytest.raises(ValueError, match="ViT"):
+            from eventclip_tpu.ops.quant import quantize_classifier_params
+
+            quantize_classifier_params({"clip": dict(params)})
+    else:
+        ours = np.asarray(encode_image(params["visual"], v, jnp.asarray(imgs)))
+        ref = encode_image_torch(sd, imgs, v.heads, v.layers)
+    np.testing.assert_allclose(ours, ref, rtol=tol, atol=tol)
+
+    vocab = sd["token_embedding.weight"].shape[0]
+    sot, eot = vocab - 2, vocab - 1  # CLIP convention: last two BPE ids
     toks = np.zeros((2, cfg.text.context_length), dtype=np.int32)
-    toks[:, 0] = 49406  # <|startoftext|>
-    toks[0, 1:4] = [320, 2368, 49407]  # "a cat" + EOT
-    toks[1, 1:3] = [1929, 49407]  # "dog" + EOT
+    toks[:, 0] = sot
+    toks[0, 1:4] = [320 % vocab, 2368 % vocab, eot]  # "a cat" + EOT (real vocab)
+    toks[1, 1:3] = [1929 % vocab, eot]  # "dog" + EOT
     ours_t = np.asarray(encode_text(params["text"], cfg.text,
                                     jnp.asarray(toks)))
     ref_t = encode_text_torch(sd, toks, cfg.text.heads, cfg.text.layers)
-    np.testing.assert_allclose(ours_t, ref_t, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(ours_t, ref_t, rtol=tol, atol=tol)
+
+
+@pytest.mark.skipif(not _HAS_CKPT, reason="set CLIP_CKPT=/path/to/*.pt")
+def test_real_checkpoint_tower_parity(rng):
+    """Our converter + towers vs the torch oracle on the REAL state dict."""
+    import torch
+
+    obj = torch.load(CKPT, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    sd = {k: v.float() for k, v in sd.items()}
+    check_state_dict_tower_parity(sd, rng)
+
+
+def test_tower_parity_dispatch_resnet_synthetic(rng):
+    """The RN branch of the parity checker, on a tiny synthetic RN ckpt.
+
+    Keeps the ResNet dispatch (oracle construction + load_state_dict
+    round-trip + int8 rejection) green in asset-free environments so
+    `CLIP_CKPT=RN50.pt` is guaranteed to run, not break, on arrival.
+    """
+    import torch
+
+    from .test_resnet import ModifiedResNetOracle, oracle_state_dict
+
+    torch.manual_seed(0)
+    m = ModifiedResNetOracle(layers=(1, 1, 1, 1), width=16, image_size=64,
+                             heads=4, output_dim=32).eval()
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0.0, 0.2)
+                mod.running_var.uniform_(0.5, 1.5)
+    check_state_dict_tower_parity(oracle_state_dict(m), rng, tol=2e-4)
 
 
 @pytest.mark.skipif(_bpe_path() is None,

@@ -144,15 +144,33 @@ def test_zero_one_polarity_matches_pm_one(predictor):
 
 
 def test_rejects_malformed_streams(predictor):
-    with pytest.raises(AssertionError):
+    # bad inputs must identify WHICH stream in the request was bad, so
+    # batch callers know what to drop
+    with pytest.raises(ValueError, match=r"event_streams\[0\]"):
         predictor.predict([np.zeros((10, 3))])
     # an empty stream (idle sensor window) has no defined prediction; it
     # must fail with a clear message, not a numpy reduction error
-    with pytest.raises(ValueError, match="empty event stream"):
-        predictor.predict([np.zeros((0, 4))])
+    rng = np.random.default_rng(11)
+    good = _streams(rng, n=1)[0]
+    with pytest.raises(ValueError,
+                       match=r"event_streams\[1\].*empty event stream"):
+        predictor.predict([good, np.zeros((0, 4))])
     # an empty REQUEST is fine: empty, well-shaped result
     out = predictor.predict([])
     assert out["probs"].shape == (0, 3) and out["names"] == []
+
+
+def test_trainable_model_requires_weight():
+    """FSCLIP/FTCLIP served without a checkpoint would return random-adapter
+    garbage; the constructor must refuse (test.py enforces the same)."""
+
+    class _TinyFS(_TinyZS):
+        model = "FSCLIP"
+        adapter_dict = dict(adapter_type="trans", d_model=16, num_layers=1,
+                            num_heads=2, ffn_dim=32, residual=0.8)
+
+    with pytest.raises(ValueError, match="trainable weights"):
+        Predictor(_TinyFS(), class_names=["a", "b", "c"], smoke=True)
 
 
 def test_matches_dataset_window_path(predictor, tmp_path):
