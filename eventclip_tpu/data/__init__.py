@@ -20,7 +20,7 @@ from .datasets import (
     build_n_imagenet_mini_dataset,
 )
 from .event_windows import EventWindowDataset
-from .loader import PrefetchLoader, collate
+from .loader import PrefetchLoader, collate, device_prefetch
 
 __all__ = [
     "center_events",
@@ -43,4 +43,5 @@ __all__ = [
     "EventWindowDataset",
     "PrefetchLoader",
     "collate",
+    "device_prefetch",
 ]

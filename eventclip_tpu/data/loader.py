@@ -21,6 +21,34 @@ from typing import Any, Dict, Iterator, List
 import numpy as np
 
 
+def device_prefetch(host_batches, place, depth: int = 2):
+    """Double-buffer host->device placement behind device compute.
+
+    `place` maps a host batch to device arrays (device_put / a sharded
+    make_global_batch). `depth` batches are placed eagerly before the first
+    yield; afterwards each placement happens right after the consumer
+    dispatched its (asynchronous) step on the previous batch, so the H2D
+    copy for step k+1 rides under the device compute of step k instead of
+    serializing with it. The reference gets this overlap from torch
+    DataLoader worker processes + CUDA async copies (event2img.py's loader);
+    a synchronous `place` per step would forfeit it on any link where the
+    transfer is non-trivial (measured 600 ms/step for the N-ImageNet
+    geometry through the axon relay vs a 130 ms train step).
+
+    depth=2 is one batch in flight — more buys nothing once placement is
+    fully hidden and each queued batch holds HBM.
+    """
+    from collections import deque
+
+    buf = deque()
+    for batch in host_batches:
+        buf.append(place(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def collate(items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k in items[0]:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import PrefetchLoader
+from ..data import PrefetchLoader, device_prefetch
 from ..models.classifier import (
     DEFAULT_PROMPT,
     ClassifierConfig,
@@ -390,16 +390,18 @@ class EventCLIPTrainer:
             # metrics stay on-device until epoch end: a float() per step would
             # force a host sync every step and serialize the input pipeline
             metric_hist = []
-            for batch in self.train_loader.epoch(epoch):
+            # device-side double buffering: batch k+1's H2D copy overlaps
+            # batch k's (async-dispatched) step instead of serializing
+            for dev_batch in device_prefetch(
+                self.train_loader.epoch(epoch), self._device_batch
+            ):
                 if self.profile_steps and epoch == 0 \
                         and n_batches == profile_warmup:
                     jax.profiler.start_trace(
                         os.path.join(self.ckpt_dir, "profile")
                     )
                     profiling = True
-                self.state, metrics = self.train_step(
-                    self.state, self._device_batch(batch)
-                )
+                self.state, metrics = self.train_step(self.state, dev_batch)
                 metric_hist.append(metrics)
                 n_batches += 1
                 if profiling and n_batches >= profile_warmup + self.profile_steps:
@@ -447,13 +449,15 @@ class EventCLIPTrainer:
 
     def evaluate(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         # keep per-batch counters on-device; one host sync at the end
+        import itertools
+
         results = []
-        for i, batch in enumerate(self.val_loader):
-            if max_steps is not None and i >= max_steps:
-                break
-            results.append(
-                self.eval_step(self.state.params, self._device_batch(batch))
-            )
+        host_iter = (
+            itertools.islice(self.val_loader, max_steps)
+            if max_steps is not None else self.val_loader
+        )
+        for dev_batch in device_prefetch(host_iter, self._device_batch):
+            results.append(self.eval_step(self.state.params, dev_batch))
         sums: Dict[str, float] = {}
         for res in jax.device_get(results):
             for k, v in res.items():

@@ -327,3 +327,33 @@ def test_loader_pads_empty_trailing_shard():
     with pytest.raises(ValueError, match="got 0 of"):
         list(PrefetchLoader(Tiny(), batch_size=8, shard_index=1,
                             num_shards=2))
+
+
+def test_device_prefetch_overlaps_one_batch_ahead():
+    """device_prefetch must (a) preserve order, (b) place every batch
+    exactly once, and (c) run at most `depth` placements ahead of the
+    consumer — the double-buffering contract trainer.fit relies on to hide
+    the H2D copy behind the dispatched step."""
+    from eventclip_tpu.data import device_prefetch
+
+    placed, yielded = [], []
+
+    def place(b):
+        placed.append(b)
+        return b * 10
+
+    gen = device_prefetch(iter(range(6)), place, depth=2)
+    first = next(gen)
+    yielded.append(first)
+    # two placements happened before the first yield (the eager fill)...
+    assert placed == [0, 1] and first == 0
+    for b in gen:
+        # ...and afterwards placement never runs more than depth ahead
+        assert len(placed) <= len(yielded) + 2
+        yielded.append(b)
+    assert yielded == [0, 10, 20, 30, 40, 50]
+    assert placed == list(range(6))
+
+    # short iterators (fewer batches than depth) still drain completely
+    assert list(device_prefetch(iter([7]), place, depth=2)) == [70]
+    assert list(device_prefetch(iter([]), place, depth=2)) == []
