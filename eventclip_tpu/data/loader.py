@@ -49,6 +49,52 @@ def device_prefetch(host_batches, place, depth: int = 2):
         yield buf.popleft()
 
 
+def view_pack_buckets(total_views: int, align: int = 8) -> List[int]:
+    """Static view-count buckets for packed eval (quarters of the budget).
+
+    A batch's packed view count K is rounded UP to the smallest bucket, so
+    at most four encoder programs ever compile; `align` keeps K divisible
+    by the data-mesh axis (sharding) and batch-friendly.
+    """
+    align = max(int(align), 1)
+    out = []
+    for frac in (0.25, 0.5, 0.75, 1.0):
+        k = int(np.ceil(total_views * frac / align)) * align
+        out.append(min(max(k, align), total_views))
+    return sorted(set(out))
+
+
+def pack_view_batch(batch: Dict[str, np.ndarray],
+                    buckets: List[int]) -> Dict[str, np.ndarray]:
+    """Compact a padded-view eval batch so only REAL views get encoded.
+
+    In: 'windows' [B, T, N, ...] + 'valid_mask' [B, T] (plus labels etc.).
+    Out: the same dict with 'windows' [K, N, ...] holding the valid views
+    packed across the batch and 'view_src' [K] int32 flat [B*T] slot ids
+    (sentinel B*T = packing padding). K is the smallest bucket that fits;
+    a batch needing more views than max(buckets) is returned unpacked
+    (the padded forward is always correct). Consumed by
+    models.classifier.classifier_forward_packed.
+    """
+    valid = np.asarray(batch["valid_mask"], dtype=bool)
+    B, T = valid.shape
+    idx = np.flatnonzero(valid.reshape(-1)).astype(np.int32)
+    fitting = [k for k in buckets if k >= max(len(idx), 1)]
+    if not fitting:
+        return batch
+    K = fitting[0]
+    windows = np.asarray(batch["windows"])
+    flat = windows.reshape((B * T,) + windows.shape[2:])
+    packed = np.zeros((K,) + flat.shape[1:], dtype=flat.dtype)
+    packed[: len(idx)] = flat[idx]
+    src = np.full((K,), B * T, dtype=np.int32)
+    src[: len(idx)] = idx
+    out = dict(batch)
+    out["windows"] = packed
+    out["view_src"] = src
+    return out
+
+
 def collate(items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k in items[0]:

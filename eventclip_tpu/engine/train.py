@@ -142,10 +142,24 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh,
     del mesh
 
     def step_fn(params, batch):
-        imgs = _batch_images(batch, pipeline)
-        out = classifier_forward(
-            params, cfg, imgs, batch["valid_mask"], train=False, tp=tp
-        )
+        if "view_src" in batch:
+            # view-packed batch (data.loader.pack_view_batch): only the
+            # real views get rasterized + encoded; each bucket size K is
+            # its own compiled program
+            from ..models.classifier import classifier_forward_packed
+            from ..ops.rasterize import rasterize_for_clip
+
+            spec, pp = pipeline
+            imgs = rasterize_for_clip(spec, pp, batch["windows"])
+            out = classifier_forward_packed(
+                params, cfg, imgs, batch["view_src"], batch["valid_mask"],
+                tp=tp,
+            )
+        else:
+            imgs = _batch_images(batch, pipeline)
+            out = classifier_forward(
+                params, cfg, imgs, batch["valid_mask"], train=False, tp=tp
+            )
         m = batch["sample_mask"].astype(jnp.float32)
         label = batch["label"]
         res = {

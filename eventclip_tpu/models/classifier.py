@@ -249,17 +249,25 @@ def classifier_forward(
     """
     B, T = valid.shape
     flat = imgs.reshape((B * T,) + imgs.shape[2:])
+    img_feats = _encode_views(params, cfg, flat, train=train, tp=tp)
+    feats = img_feats.reshape(B, T, -1)
+    return _aggregate_head(params, cfg, feats, valid, train=train, rng=rng)
+
+
+def _encode_views(params, cfg, flat_imgs, *, train: bool, tp=None):
+    """[V, 3, S, S] -> [V, C] raw (un-normalized) encoder features."""
     lora = params.get("lora")
     from .clip.resnet import ResNetVisionConfig, encode_image_resnet
 
     if isinstance(cfg.clip.vision, ResNetVisionConfig):
         assert lora is None, "LoRA targets the ViT attention (lora.py:385)"
         img_feats = encode_image_resnet(
-            params["clip"]["visual"], cfg.clip.vision, flat, dtype=cfg.dtype
+            params["clip"]["visual"], cfg.clip.vision, flat_imgs,
+            dtype=cfg.dtype
         ).astype(jnp.float32)
     else:
         img_feats = encode_image(
-            params["clip"]["visual"], cfg.clip.vision, flat,
+            params["clip"]["visual"], cfg.clip.vision, flat_imgs,
             dtype=cfg.dtype, lora=lora,
             remat=cfg.remat and cfg.model == "FTCLIP" and train,
             tp=tp,
@@ -267,8 +275,46 @@ def classifier_forward(
         ).astype(jnp.float32)
     if cfg.model != "FTCLIP":
         img_feats = jax.lax.stop_gradient(img_feats)
-    feats = img_feats.reshape(B, T, -1)
+    return img_feats
 
+
+def classifier_forward_packed(
+    params: Params,
+    cfg: ClassifierConfig,
+    imgs: jnp.ndarray,
+    view_src: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    tp=None,
+) -> Dict[str, jnp.ndarray]:
+    """Eval forward over view-PACKED images (only valid views encoded).
+
+    imgs [K, 3, S, S] holds the batch's valid views compacted across
+    samples; view_src [K] maps each row to its flat slot in [B*T] (the
+    sentinel B*T marks packing padding). At the forced eval view budget of
+    10 (reference datasets/__init__.py:23) most samples carry fewer real
+    windows, and the padded forward pays a full encode per empty slot; the
+    reference never does (it gathers valid views, clip_cls.py:139). Packing
+    restores that economy with static shapes: the host picks K from a small
+    bucket list, so at most len(buckets) programs ever compile.
+    Aggregation consumes the same [B, T, C] tensor as the padded forward,
+    so outputs are identical up to encode batching.
+    """
+    B, T = valid.shape
+    feats_k = _encode_views(params, cfg, imgs, train=False, tp=tp)
+    C = feats_k.shape[-1]
+    # scatter to flat view slots; sentinel rows land in the spare slot B*T
+    flat = jnp.zeros((B * T + 1, C), feats_k.dtype)
+    flat = flat.at[view_src].set(feats_k)
+    feats = flat[: B * T].reshape(B, T, C)
+    return _aggregate_head(params, cfg, feats, valid, train=False, rng=None)
+
+
+def _aggregate_head(params, cfg, feats, valid, *, train: bool, rng):
+    """Shared post-encoder half: adapter/normalize/text/aggregations.
+
+    feats: [B, T, C] raw encoder features (padded slots may hold zeros).
+    """
     if cfg.model == "FSCLIP":
         feats = apply_adapter(
             params.get("adapter"), cfg.adapter, feats, valid,

@@ -126,9 +126,18 @@ def build_eval_context(params, args):
         val_set, bs, pad_last=True,
         num_workers=params.get("num_workers", 8),
     )
+    # packed eval (data/loader.py::pack_view_batch): encode only the real
+    # views of each batch — the sweep workhorse never pays for padded slots
+    import math
+
+    from eventclip_tpu.data.loader import view_pack_buckets
+
+    buckets = (view_pack_buckets(bs * val_set.max_imgs,
+                                 align=math.lcm(8, n_data))
+               if not os.environ.get("EVENTCLIP_NO_PACK_EVAL") else None)
     return {
         "template": template, "mesh": mesh, "eval_step": eval_step,
-        "loader": loader, "top5": top5,
+        "loader": loader, "top5": top5, "pack_buckets": buckets,
     }
 
 
@@ -162,6 +171,8 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
     model_params = shard_params(model_params, mesh)
     eval_step, top5 = ctx["eval_step"], ctx["top5"]
 
+    from eventclip_tpu.data.loader import pack_view_batch
+
     results = []
     for batch in ctx["loader"]:
         dev = {
@@ -169,6 +180,8 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
             if k in ("windows", "valid_mask", "sample_mask")
         }
         dev["label"] = batch["label"].astype("int32")
+        if ctx.get("pack_buckets") and "windows" in dev:
+            dev = pack_view_batch(dev, ctx["pack_buckets"])
         results.append(eval_step(model_params, shard_batch(dev, mesh)))
     sums = {}
     for res in jax.device_get(results):

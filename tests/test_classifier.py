@@ -163,3 +163,46 @@ def test_config_parsing_matrix():
         clip_dict = dict(FT.clip_dict, lora=-1, only_bias=True)
 
     assert build_classifier_config(FTBias(), TINY).ft_mode == "bias"
+
+
+@pytest.mark.parametrize("model", ["ZSCLIP", "FSCLIP", "FTCLIP"])
+def test_packed_forward_matches_padded(rng, model):
+    """classifier_forward_packed (only valid views encoded, scattered back)
+    must reproduce classifier_forward's logits/probs for every model family
+    — the packed path skips exactly the encodes the mask would zero out
+    (reference economy: clip_cls.py:139 gathers valid views)."""
+    from eventclip_tpu.models.classifier import classifier_forward_packed
+
+    kwargs = {}
+    if model == "FSCLIP":
+        kwargs["adapter"] = AdapterConfig(
+            adapter_type="trans", in_dim=TINY.embed_dim, d_model=16,
+            num_heads=2, ffn_dim=32, num_layers=1, residual=0.8,
+        )
+    if model == "FTCLIP":
+        kwargs["ft_mode"] = "full"
+    cfg = ClassifierConfig(model=model, clip=TINY, **kwargs)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                    n_classes=N_CLS)
+    B, T = 3, 4
+    S = TINY.vision.image_size
+    imgs = rng.normal(size=(B, T, 3, S, S)).astype(np.float32)
+    valid = np.array([
+        [True, True, False, False],
+        [True, False, False, False],
+        [True, True, True, True],
+    ])
+    ref = classifier_forward(params, cfg, jnp.asarray(imgs),
+                             jnp.asarray(valid))
+
+    idx = np.flatnonzero(valid.reshape(-1)).astype(np.int32)
+    K = 8  # bucket > n_valid (7): one padded packing slot
+    packed = np.zeros((K, 3, S, S), np.float32)
+    packed[: len(idx)] = imgs.reshape(B * T, 3, S, S)[idx]
+    src = np.full((K,), B * T, np.int32)
+    src[: len(idx)] = idx
+    got = classifier_forward_packed(params, cfg, jnp.asarray(packed),
+                                    jnp.asarray(src), jnp.asarray(valid))
+    for k in ("logits", "probs"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)

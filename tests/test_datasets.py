@@ -357,3 +357,36 @@ def test_device_prefetch_overlaps_one_batch_ahead():
     # short iterators (fewer batches than depth) still drain completely
     assert list(device_prefetch(iter([7]), place, depth=2)) == [70]
     assert list(device_prefetch(iter([]), place, depth=2)) == []
+
+
+def test_view_pack_buckets_and_pack_view_batch():
+    from eventclip_tpu.data.loader import pack_view_batch, view_pack_buckets
+
+    buckets = view_pack_buckets(80, align=8)
+    assert buckets == [24, 40, 64, 80]
+    assert all(k % 8 == 0 for k in buckets)
+
+    B, T, N = 4, 5, 16
+    rng = np.random.default_rng(3)
+    windows = rng.integers(-50, 50, size=(B, T, N, 3)).astype(np.int16)
+    valid = np.zeros((B, T), dtype=bool)
+    valid[0, :2] = valid[1, :1] = valid[2, :5] = valid[3, :3] = True  # 11
+    batch = {"windows": windows, "valid_mask": valid,
+             "label": np.arange(B, dtype=np.int32)}
+    buckets = view_pack_buckets(B * T, align=4)  # [8, 12, 16, 20]
+    out = pack_view_batch(batch, buckets)
+    # 11 valid views -> smallest fitting bucket is 12
+    assert out["windows"].shape == (12, N, 3)
+    assert out["view_src"].shape == (12,)
+    idx = np.flatnonzero(valid.reshape(-1))
+    np.testing.assert_array_equal(out["view_src"][:11], idx)
+    assert (out["view_src"][11:] == B * T).all()  # sentinel padding
+    flat = windows.reshape(B * T, N, 3)
+    np.testing.assert_array_equal(out["windows"][:11], flat[idx])
+    assert (out["windows"][11:] == 0).all()
+    # untouched keys pass through; original batch not mutated
+    np.testing.assert_array_equal(out["label"], batch["label"])
+    assert "view_src" not in batch
+    # a batch that exceeds every bucket stays unpacked (padded path correct)
+    full = {"windows": windows, "valid_mask": np.ones((B, T), bool)}
+    assert "view_src" not in pack_view_batch(full, [8, 12])

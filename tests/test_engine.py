@@ -372,3 +372,50 @@ def test_distributed_single_process_degrades(rng):
         assert isinstance(v.sharding, NamedSharding)
         assert v.sharding.spec[0] == "data"  # batch dim over the data axis
     np.testing.assert_array_equal(np.asarray(out["label"]), batch["label"])
+
+
+def test_packed_eval_step_matches_padded_on_mesh(rng):
+    """The view-packed eval step (windows pipeline + pack_view_batch) must
+    reproduce the padded step's counters exactly on the 8-device mesh —
+    packing only skips encodes the valid mask already zeroes out."""
+    from eventclip_tpu.data.loader import pack_view_batch, view_pack_buckets
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec
+
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = shard_params(
+        init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS),
+        mesh,
+    )
+    H, W, N = 48, 64, 128
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=32)
+    ev = make_eval_step(cfg, mesh, pipeline=(spec, pp))
+
+    B, T = 8, 4
+    windows = np.stack([
+        rng.integers(0, W, size=(B, T, N)),
+        rng.integers(0, H, size=(B, T, N)),
+        rng.choice([-1, 1], size=(B, T, N)),
+    ], axis=-1).astype(np.int16)
+    valid = np.zeros((B, T), dtype=bool)
+    for b in range(B):
+        valid[b, : 1 + b % T] = True  # ragged: 1..4 views per sample
+    batch = {
+        "windows": windows, "valid_mask": valid,
+        "label": rng.integers(0, N_CLS, size=(B,)).astype(np.int32),
+        "sample_mask": np.ones(B, bool),
+    }
+    plain = {k: float(v)
+             for k, v in ev(params, shard_batch(batch, mesh)).items()}
+    buckets = view_pack_buckets(B * T, align=8)
+    packed_batch = pack_view_batch(batch, buckets)
+    assert "view_src" in packed_batch  # 20 valid of 32 -> bucket 24
+    assert packed_batch["windows"].shape[0] < B * T
+    packed = {k: float(v)
+              for k, v in ev(params, shard_batch(packed_batch, mesh)).items()}
+    for k in plain:
+        assert np.isclose(packed[k], plain[k], rtol=1e-4, atol=1e-5), (
+            k, packed[k], plain[k]
+        )
