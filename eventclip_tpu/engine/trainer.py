@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import PrefetchLoader, device_prefetch
+from ..data.loader import pack_view_batch, view_pack_buckets
 from ..models.classifier import (
     DEFAULT_PROMPT,
     ClassifierConfig,
@@ -255,6 +256,9 @@ class EventCLIPTrainer:
         from ..parallel.distributed import host_shard_info
 
         shard_index, num_shards = host_shard_info()
+        print(f"mesh: devices={n_devices} "
+              f"data={self.n_data} model={n_model} "
+              f"host_shard={shard_index}/{num_shards}")
         self.train_loader = PrefetchLoader(
             train_set, self.global_batch, shuffle=True, drop_last=True,
             num_workers=params.get("num_workers", 8), seed=seed,
@@ -267,6 +271,22 @@ class EventCLIPTrainer:
             val_set, val_bs, shuffle=False, pad_last=True,
             num_workers=params.get("num_workers", 8),
             shard_index=shard_index, num_shards=num_shards,
+        )
+        # packed eval: at the forced view budget of 10 most val samples
+        # carry fewer real windows; packing encodes only real views
+        # (reference economy, clip_cls.py:139) with bucketed static shapes.
+        # Single-process only: the bucket choice is per-batch and two hosts
+        # could pick different K for the same global batch.
+        import math
+
+        self._eval_buckets = (
+            view_pack_buckets(
+                (val_bs // num_shards) * val_set.max_imgs,
+                align=math.lcm(8, self.n_data),
+            )
+            if num_shards == 1
+            and not os.environ.get("EVENTCLIP_NO_PACK_EVAL")
+            else None
         )
 
         # optimizer
@@ -308,26 +328,39 @@ class EventCLIPTrainer:
             pipeline=self.pipeline,
         )
 
+        # multi-process: every process runs the identical compute (the
+        # sharded steps contain collectives, so no rank may skip them) but
+        # only process 0 touches shared files — checkpoints, resume state,
+        # metrics JSONL, run_id, profiler traces. The reference gates the
+        # same way (rank-0-only wandb/ckpt via nerv, reference
+        # method.py:103-105); without it two processes race .npz writes in
+        # one ckpt_dir and double-append every metrics line.
+        self.is_main = jax.process_index() == 0
         self.ckpt = CheckpointManager(ckpt_dir, self.cls_cfg)
         self.ckpt_dir = ckpt_dir
-        self.run_id = self._resolve_run_id(ckpt_dir)
+        self.run_id = self._resolve_run_id(ckpt_dir, write=self.is_main)
+        if not self.is_main:
+            self.log_file = None  # _log_jsonl no-ops on workers
         self.epoch = 0
         # observability knobs (absent in the reference beyond wandb):
         # profile_steps > 0 captures a jax.profiler trace of those steps
-        self.profile_steps = int(params.get("profile_steps", 0))
+        self.profile_steps = int(params.get("profile_steps", 0)) \
+            if self.is_main else 0
         self.visualize = bool(params.get("visualize", True))
 
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _resolve_run_id(ckpt_dir: str) -> str:
+    def _resolve_run_id(ckpt_dir: str, write: bool = True) -> str:
         """Stable experiment identity that survives preemption/resume.
 
         The reference keeps one wandb curve per experiment across Slurm
         requeues via `id=f'{exp_name}-{SLURM_JOB_ID}'` + find_old_slurm_id
         (reference train.py:57-82). Here the id is minted once per ckpt_dir
         and persisted next to the metrics, so a resumed job appends to the
-        same curve and downstream tools can group records by run.
+        same curve and downstream tools can group records by run. Worker
+        processes pass write=False: they never log, and a pid-fallback id
+        written from two processes would race with divergent content.
         """
         rid_path = os.path.join(ckpt_dir, "run_id.txt")
         if os.path.exists(rid_path):
@@ -340,10 +373,11 @@ class EventCLIPTrainer:
                or os.environ.get("JOB_ID")
                or f"{os.getpid()}-{int(time.time())}")
         rid = f"{exp}-{job}"
-        tmp = rid_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(rid + "\n")
-        os.replace(tmp, rid_path)
+        if write:
+            tmp = rid_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(rid + "\n")
+            os.replace(tmp, rid_path)
         return rid
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
@@ -351,7 +385,8 @@ class EventCLIPTrainer:
 
         keep = {
             k: v for k, v in batch.items()
-            if k in ("windows", "img", "valid_mask", "label", "sample_mask")
+            if k in ("windows", "img", "valid_mask", "label", "sample_mask",
+                     "view_src")
         }
         keep["label"] = keep["label"].astype(np.int32)
         return make_global_batch(keep, self.mesh)
@@ -428,16 +463,20 @@ class EventCLIPTrainer:
                 sec_per_epoch=round(dt, 2),
                 samples_per_sec=round(self.global_batch * max(n_batches, 1) / dt, 2),
             )
-            print(f"[train] {stats}")
+            if self.is_main:
+                print(f"[train] {stats}")
             _log_jsonl(self.log_file,
                        {"run_id": self.run_id, "split": "train", **stats})
 
             val_stats = None
             if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
                 val_stats = self.evaluate()
-            if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
+            if ((epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs) \
+                    and self.is_main:
                 # fetch only trainable leaves (the frozen CLIP tower is GBs
-                # and never changes; fetching it per save dominates epochs)
+                # and never changes; fetching it per save dominates epochs);
+                # process 0 only — replicated leaves are host-fetchable
+                # without collectives, so workers may skip this entirely
                 from ..models.partition import trainable_mask, trainable_subtree
 
                 host_trainable = jax.device_get(trainable_subtree(
@@ -456,7 +495,13 @@ class EventCLIPTrainer:
             itertools.islice(self.val_loader, max_steps)
             if max_steps is not None else self.val_loader
         )
-        for dev_batch in device_prefetch(host_iter, self._device_batch):
+
+        def prep(batch):
+            if self._eval_buckets and "windows" in batch:
+                batch = pack_view_batch(batch, self._eval_buckets)
+            return self._device_batch(batch)
+
+        for dev_batch in device_prefetch(host_iter, prep):
             results.append(self.eval_step(self.state.params, dev_batch))
         sums: Dict[str, float] = {}
         for res in jax.device_get(results):
@@ -471,10 +516,15 @@ class EventCLIPTrainer:
         for k, v in sums.items():
             stats[k.replace("_correct5", "_acc5")] = v / n
         stats["n"] = n
-        print(f"[val]   epoch {self.epoch}: {stats}")
+        if self.is_main:
+            print(f"[val]   epoch {self.epoch}: {stats}")
         _log_jsonl(self.log_file, {"run_id": self.run_id, "split": "val",
                                    "epoch": self.epoch, **stats})
-        if self.visualize and max_steps is None:
+        if self.visualize and max_steps is None and self.is_main \
+                and jax.process_count() == 1:
+            # viz runs UN-jitted model math on one rank only; with global
+            # sharded arrays that would require all processes (collectives),
+            # so multi-process runs skip it (the metrics/ckpts carry the run)
             try:
                 self._sample_events()
             except Exception as e:  # viz must never kill training
