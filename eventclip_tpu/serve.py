@@ -225,21 +225,40 @@ class Predictor:
         wins = np.stack(wins)      # [B, V, N, 3] int16
         valids = np.stack(valids)  # [B, V]
 
-        probs_out = []
         bs = self.batch_size
-        for i in range(0, len(wins), bs):
-            w, v = wins[i:i + bs], valids[i:i + bs]
-            pad = bs - len(w)
-            if pad:  # fixed compiled batch; padded rows sliced off below
-                w = np.concatenate([w, np.zeros((pad,) + w.shape[1:], w.dtype)])
-                v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], bool)])
+
+        def chunks():
+            for i in range(0, len(wins), bs):
+                w, v = wins[i:i + bs], valids[i:i + bs]
+                pad = bs - len(w)
+                if pad:  # fixed compiled batch; padded rows sliced off below
+                    w = np.concatenate(
+                        [w, np.zeros((pad,) + w.shape[1:], w.dtype)])
+                    v = np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], bool)])
+                yield w, v, pad
+
+        def place(chunk):
+            w, v, pad = chunk
             w, v = jnp.asarray(w), jnp.asarray(v)
             if self._shard_batch is not None:
                 sb = self._shard_batch(w, v)
                 w, v = sb["w"], sb["v"]
+            return w, v, pad
+
+        # double-buffered like trainer.fit: chunk k+1's H2D copy overlaps
+        # chunk k's dispatched forward (multi-chunk requests only)
+        from .data.loader import device_prefetch
+
+        probs_out = []
+        for w, v, pad in device_prefetch(chunks(), place):
             p = self._step(self._params, w, v)
-            probs_out.append(np.asarray(p)[:bs - pad])
-        probs = np.concatenate(probs_out)[: len(event_streams)]
+            probs_out.append(p[: bs - pad])  # device array; sync below
+        # one host fetch at the end — a per-chunk np.asarray would sync
+        # before the next placement and forfeit the overlap
+        probs = np.concatenate(
+            [np.asarray(p) for p in probs_out]
+        )[: len(event_streams)]
 
         label = probs.argmax(-1)
         k = min(top_k, probs.shape[-1])
