@@ -234,6 +234,30 @@ def test_train_test_cycle(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+def test_cli_tensor_parallel_train_and_eval(tree, ckpt_base):
+    """--n_model 2 through the CLIs: a 4x2 ('data','model') mesh trains and
+    the produced checkpoint evaluates under the same TP layout (the
+    flag existed but no test ever drove TP through train.py/test.py)."""
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base + "-tp",
+        "--max_epochs", "1", "--san_check_val_step", "0", "--n_model", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "data=4 model=2" in r.stdout
+    mdir = os.path.join(ckpt_base + "-tp", "fsclip_tiny_params", "models")
+    assert os.path.exists(os.path.join(mdir, "best.npz"))
+
+    r = run([
+        "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--n_model", "2",
+        "--weight", os.path.join(mdir, "best.npz"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Probs-based accuracy@1" in r.stdout
+
+
+@pytest.mark.e2e
 def test_train_shots_sweep_averages_dups(tree, ckpt_base):
     """--train_shots discovers `<cfg>[-dupX]-<K>shot/models` checkpoint dirs,
     averages accuracies over the dups, and prints the LaTeX-ready row

@@ -30,7 +30,7 @@ from .test_e2e import REPO, make_tree
 CFG = "configs/debug/fsclip_tiny_params.py"
 
 
-def _launch(rank, port, tree, ckpt_base):
+def _launch(rank, port, tree, ckpt_base, max_epochs=2):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # --cpu pins the platform in-process
     # 2 local devices per process -> a 4-device global data mesh
@@ -42,7 +42,8 @@ def _launch(rank, port, tree, ckpt_base):
     env["JAX_PROCESS_ID"] = str(rank)
     return subprocess.Popen(
         [sys.executable, "train.py", "--params", CFG, "--data_root", tree,
-         "--cpu", "--smoke", "--max_epochs", "2", "--ckpt_base", ckpt_base],
+         "--cpu", "--smoke", "--max_epochs", str(max_epochs),
+         "--ckpt_base", ckpt_base],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,
     )
@@ -89,3 +90,31 @@ def test_two_process_distributed_training(tmp_path):
     assert os.path.exists(os.path.join(exp_dir, "run_id.txt"))
     models = os.listdir(os.path.join(exp_dir, "models"))
     assert any(m.startswith("best") for m in models), models
+
+    # preemption resume under TWO processes: relaunch with max_epochs=3 —
+    # both processes must restore the full state rank 0 saved
+    # (restore_placement's multi-process re-placement branch) and train
+    # exactly the one remaining epoch under the SAME run id
+    with open(os.path.join(exp_dir, "run_id.txt")) as f:
+        rid_before = f.read().strip()
+    procs = [_launch(r, port + 7, tree, ckpt_base, max_epochs=3)
+             for r in (0, 1)]
+    outs2 = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs2.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (rc, out, err) in enumerate(outs2):
+        assert rc == 0, f"resume rank {rank} failed:\n{out[-2000:]}\n{err[-3000:]}"
+    out0 = outs2[0][1]
+    assert "Resumed full state from epoch 2" in out0
+    resumed = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
+               for l in out0.splitlines() if l.startswith("[train]")]
+    assert len(resumed) == 1 and resumed[0]["epoch"] == 2, resumed
+    assert resumed[0]["steps"] == 12  # 8 restored + 4 new
+    with open(os.path.join(exp_dir, "run_id.txt")) as f:
+        assert f.read().strip() == rid_before  # same metric curve identity
