@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Dict, Iterator, List
+from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -53,15 +53,35 @@ def view_pack_buckets(total_views: int, align: int = 8) -> List[int]:
     """Static view-count buckets for packed eval (quarters of the budget).
 
     A batch's packed view count K is rounded UP to the smallest bucket, so
-    at most four encoder programs ever compile; `align` keeps K divisible
-    by the data-mesh axis (sharding) and batch-friendly.
+    at most four encoder programs ever compile. Every bucket is a multiple
+    of `align` (the data-mesh axis must divide K for sharding), so the top
+    bucket may exceed total_views by up to align-1 blank slots — cheaper
+    than an unshardable K.
     """
     align = max(int(align), 1)
     out = []
     for frac in (0.25, 0.5, 0.75, 1.0):
         k = int(np.ceil(total_views * frac / align)) * align
-        out.append(min(max(k, align), total_views))
+        out.append(max(k, align))
     return sorted(set(out))
+
+
+def eval_pack_buckets(batch_size: int, max_imgs: int, n_data: int,
+                      num_shards: int = 1) -> Optional[List[int]]:
+    """The ONE policy for when/how eval view-packing applies.
+
+    Used by both trainer.evaluate and the test.py CLI so they can never
+    diverge. Returns None (padded eval) when EVENTCLIP_NO_PACK_EVAL is set
+    or the run is multi-process — the bucket choice is per-batch and two
+    hosts could pick different K for the same global batch.
+    """
+    import math
+    import os
+
+    if num_shards != 1 or os.environ.get("EVENTCLIP_NO_PACK_EVAL"):
+        return None
+    return view_pack_buckets(batch_size * max_imgs,
+                             align=math.lcm(8, max(n_data, 1)))
 
 
 def pack_view_batch(batch: Dict[str, np.ndarray],

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import PrefetchLoader, device_prefetch
-from ..data.loader import pack_view_batch, view_pack_buckets
+from ..data.loader import eval_pack_buckets, pack_view_batch
 from ..models.classifier import (
     DEFAULT_PROMPT,
     ClassifierConfig,
@@ -275,18 +275,9 @@ class EventCLIPTrainer:
         # packed eval: at the forced view budget of 10 most val samples
         # carry fewer real windows; packing encodes only real views
         # (reference economy, clip_cls.py:139) with bucketed static shapes.
-        # Single-process only: the bucket choice is per-batch and two hosts
-        # could pick different K for the same global batch.
-        import math
-
-        self._eval_buckets = (
-            view_pack_buckets(
-                (val_bs // num_shards) * val_set.max_imgs,
-                align=math.lcm(8, self.n_data),
-            )
-            if num_shards == 1
-            and not os.environ.get("EVENTCLIP_NO_PACK_EVAL")
-            else None
+        # eval_pack_buckets is the one shared policy (also used by test.py).
+        self._eval_buckets = eval_pack_buckets(
+            val_bs, val_set.max_imgs, self.n_data, num_shards
         )
 
         # optimizer

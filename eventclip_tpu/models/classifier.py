@@ -303,9 +303,12 @@ def classifier_forward_packed(
     B, T = valid.shape
     feats_k = _encode_views(params, cfg, imgs, train=False, tp=tp)
     C = feats_k.shape[-1]
-    # scatter to flat view slots; sentinel rows land in the spare slot B*T
-    flat = jnp.zeros((B * T + 1, C), feats_k.dtype)
-    flat = flat.at[view_src].set(feats_k)
+    # restore per-slot features as a one-hot matmul (scatter-as-matmul is
+    # the TPU idiom — same rule as the rasterizer histogram); sentinel rows
+    # accumulate into the discarded spare slot B*T
+    onehot = jax.nn.one_hot(view_src, B * T + 1, dtype=feats_k.dtype)
+    flat = jnp.einsum("kv,kc->vc", onehot, feats_k,
+                      preferred_element_type=jnp.float32)
     feats = flat[: B * T].reshape(B, T, C)
     return _aggregate_head(params, cfg, feats, valid, train=False, rng=None)
 

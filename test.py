@@ -128,13 +128,9 @@ def build_eval_context(params, args):
     )
     # packed eval (data/loader.py::pack_view_batch): encode only the real
     # views of each batch — the sweep workhorse never pays for padded slots
-    import math
+    from eventclip_tpu.data.loader import eval_pack_buckets
 
-    from eventclip_tpu.data.loader import view_pack_buckets
-
-    buckets = (view_pack_buckets(bs * val_set.max_imgs,
-                                 align=math.lcm(8, n_data))
-               if not os.environ.get("EVENTCLIP_NO_PACK_EVAL") else None)
+    buckets = eval_pack_buckets(bs, val_set.max_imgs, n_data)
     return {
         "template": template, "mesh": mesh, "eval_step": eval_step,
         "loader": loader, "top5": top5, "pack_buckets": buckets,

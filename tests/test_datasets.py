@@ -365,6 +365,9 @@ def test_view_pack_buckets_and_pack_view_batch():
     buckets = view_pack_buckets(80, align=8)
     assert buckets == [24, 40, 64, 80]
     assert all(k % 8 == 0 for k in buckets)
+    # a non-align-divisible budget rounds the top bucket UP (every bucket
+    # must stay shardable over the data axis; a few blank slots are cheap)
+    assert view_pack_buckets(20, align=8) == [8, 16, 24]
 
     B, T, N = 4, 5, 16
     rng = np.random.default_rng(3)

@@ -20,6 +20,7 @@ asserts the multi-process-only code actually ran:
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
@@ -28,6 +29,14 @@ import pytest
 from .test_e2e import REPO, make_tree
 
 CFG = "configs/debug/fsclip_tiny_params.py"
+
+
+def _free_port() -> int:
+    # let the OS pick a free port (a fixed/pid-derived one can collide
+    # with concurrent test sessions and hang the rendezvous to timeout)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def _launch(rank, port, tree, ckpt_base, max_epochs=2):
@@ -53,7 +62,7 @@ def _launch(rank, port, tree, ckpt_base, max_epochs=2):
 def test_two_process_distributed_training(tmp_path):
     tree = make_tree(str(tmp_path / "tree"))
     ckpt_base = str(tmp_path / "ckpt")
-    port = 23400 + os.getpid() % 1000
+    port = _free_port()
     procs = [_launch(r, port, tree, ckpt_base) for r in (0, 1)]
     outs = []
     try:
@@ -97,7 +106,8 @@ def test_two_process_distributed_training(tmp_path):
     # exactly the one remaining epoch under the SAME run id
     with open(os.path.join(exp_dir, "run_id.txt")) as f:
         rid_before = f.read().strip()
-    procs = [_launch(r, port + 7, tree, ckpt_base, max_epochs=3)
+    port2 = _free_port()
+    procs = [_launch(r, port2, tree, ckpt_base, max_epochs=3)
              for r in (0, 1)]
     outs2 = []
     try:
