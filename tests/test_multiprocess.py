@@ -39,7 +39,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(rank, port, tree, ckpt_base, max_epochs=2):
+def _launch(rank, port, tree, ckpt_base, max_epochs=2, extra=()):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # --cpu pins the platform in-process
     # 2 local devices per process -> a 4-device global data mesh
@@ -52,18 +52,13 @@ def _launch(rank, port, tree, ckpt_base, max_epochs=2):
     return subprocess.Popen(
         [sys.executable, "train.py", "--params", CFG, "--data_root", tree,
          "--cpu", "--smoke", "--max_epochs", str(max_epochs),
-         "--ckpt_base", ckpt_base],
+         "--ckpt_base", ckpt_base, *extra],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True,
     )
 
 
-@pytest.mark.e2e
-def test_two_process_distributed_training(tmp_path):
-    tree = make_tree(str(tmp_path / "tree"))
-    ckpt_base = str(tmp_path / "ckpt")
-    port = _free_port()
-    procs = [_launch(r, port, tree, ckpt_base) for r in (0, 1)]
+def _communicate(procs, what):
     outs = []
     try:
         for p in procs:
@@ -74,8 +69,19 @@ def test_two_process_distributed_training(tmp_path):
             if p.poll() is None:
                 p.kill()
     for rank, (rc, out, err) in enumerate(outs):
-        assert rc == 0, f"rank {rank} failed:\n{out[-2000:]}\n{err[-3000:]}"
+        assert rc == 0, (
+            f"{what} rank {rank} failed:\n{out[-2000:]}\n{err[-3000:]}"
+        )
+    return outs
 
+
+@pytest.mark.e2e
+def test_two_process_distributed_training(tmp_path):
+    tree = make_tree(str(tmp_path / "tree"))
+    ckpt_base = str(tmp_path / "ckpt")
+    port = _free_port()
+    procs = [_launch(r, port, tree, ckpt_base) for r in (0, 1)]
+    outs = _communicate(procs, "train")
     out0, out1 = outs[0][1], outs[1][1]
     # both processes saw the 4-device global mesh and their own host shard
     assert "devices=4 data=4 model=1 host_shard=0/2" in out0
@@ -109,17 +115,7 @@ def test_two_process_distributed_training(tmp_path):
     port2 = _free_port()
     procs = [_launch(r, port2, tree, ckpt_base, max_epochs=3)
              for r in (0, 1)]
-    outs2 = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=900)
-            outs2.append((p.returncode, out, err))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for rank, (rc, out, err) in enumerate(outs2):
-        assert rc == 0, f"resume rank {rank} failed:\n{out[-2000:]}\n{err[-3000:]}"
+    outs2 = _communicate(procs, "resume")
     out0 = outs2[0][1]
     assert "Resumed full state from epoch 2" in out0
     resumed = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
@@ -128,3 +124,40 @@ def test_two_process_distributed_training(tmp_path):
     assert resumed[0]["steps"] == 12  # 8 restored + 4 new
     with open(os.path.join(exp_dir, "run_id.txt")) as f:
         assert f.read().strip() == rid_before  # same metric curve identity
+
+    # a checkpoint trained by TWO processes must evaluate in a plain
+    # single-process test.py (host-count-independent checkpoints)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    r = subprocess.run(
+        [sys.executable, "test.py", "--params", CFG, "--data_root", tree,
+         "--cpu", "--smoke",
+         "--weight", os.path.join(exp_dir, "models", "best.npz")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Probs-based accuracy@1" in r.stdout
+
+
+@pytest.mark.e2e
+def test_two_process_tensor_parallel(tmp_path):
+    """DP x TP across processes: 2 hosts x 2 devices with --n_model 2 — the
+    ('data','model') = (2,2) mesh splits the model axis WITHIN each host
+    (make_mesh's adjacent-device layout) while the data axis spans hosts,
+    so cross-process collectives carry gradient psums and the model-axis
+    reduces stay host-local, exactly the layout a TPU pod would use."""
+    tree = make_tree(str(tmp_path / "tree"))
+    ckpt_base = str(tmp_path / "ckpt")
+    port = _free_port()
+    procs = [_launch(r, port, tree, ckpt_base, max_epochs=1,
+                     extra=("--n_model", "2", "--san_check_val_step", "0"))
+             for r in (0, 1)]
+    outs = _communicate(procs, "tp-train")
+    out0 = outs[0][1]
+    assert "devices=4 data=2 model=2 host_shard=0/2" in out0
+    stats = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
+             for l in out0.splitlines() if l.startswith("[train]")]
+    assert stats and stats[-1]["steps"] == 4, stats
+    exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
+    assert os.path.exists(os.path.join(exp_dir, "models", "best.npz"))
