@@ -565,7 +565,11 @@ def _feed_overlap(bench):
     from eventclip_tpu.ops.rasterize import RasterSpec
     from eventclip_tpu.parallel import make_mesh
 
-    H, W, N = 480, 640, 70000
+    # N-IN geometry + ViT-L/14 by default; env-overridable so the stage is
+    # smoke-testable on CPU with a tiny tower (tests/test_bench_stages.py)
+    H = int(os.environ.get("BENCH_OVERLAP_H", "480"))
+    W = int(os.environ.get("BENCH_OVERLAP_W", "640"))
+    N = int(os.environ.get("BENCH_OVERLAP_N", "70000"))
     # B=16 matches the recorded LoRA step row (BENCH_TRAIN_BATCH); B=32
     # (the reference's per-chip batch) OOMs the non-remat LoRA backward on
     # this chip's HBM and wedges the relay — don't raise it casually
@@ -573,8 +577,10 @@ def _feed_overlap(bench):
     T = 2
     iters = int(os.environ.get("BENCH_OVERLAP_ITERS", "4"))
     spec = RasterSpec(height=H, width=W, window=N)
-    pp = ClipPreprocess(in_height=H, in_width=W, image_size=224)
-    clip_cfg = clip_arch_config("ViT-L/14")
+    clip_cfg = clip_arch_config(os.environ.get("BENCH_OVERLAP_ARCH",
+                                               "ViT-L/14"))
+    pp = ClipPreprocess(in_height=H, in_width=W,
+                        image_size=clip_cfg.vision.image_size)
     cfg = ClassifierConfig(model="FTCLIP", clip=clip_cfg, dtype=jnp.bfloat16,
                            lora="qkv-16", ft_mode="lora", prompt_tuning=True,
                            remat=False)

@@ -1,0 +1,62 @@
+"""Smoke-execute bench.py's composite stages on CPU (tiny geometry).
+
+bench.py runs unattended at round end on the real chip; a crash there
+loses the whole artifact. These tests drive the two composite stages
+(feed/compute overlap, packed-vs-padded eval) end to end with a tiny
+tower so any API drift in the stage code surfaces in CI, not on the TPU.
+The numbers produced here are meaningless — only execution is asserted.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import bench
+
+
+def test_feed_overlap_stage_smoke(monkeypatch):
+    monkeypatch.setenv("BENCH_OVERLAP_ARCH", "ViT-T/8@32")
+    monkeypatch.setenv("BENCH_OVERLAP_H", "48")
+    monkeypatch.setenv("BENCH_OVERLAP_W", "64")
+    monkeypatch.setenv("BENCH_OVERLAP_N", "256")
+    monkeypatch.setenv("BENCH_OVERLAP_BATCH", "4")
+    monkeypatch.setenv("BENCH_OVERLAP_ITERS", "2")
+    b = bench.Bench(repeats=1)
+    bench._feed_overlap(b)
+    metrics = {r["metric"] for r in b.records}
+    assert {
+        "nin_lora_feed_ms", "nin_lora_step_ms",
+        "nin_lora_loop_serialized_ms", "nin_lora_loop_prefetch_ms",
+    } <= metrics
+    assert all(np.isfinite(r["value"]) and r["value"] > 0
+               for r in b.records)
+
+
+def test_packed_eval_stage_smoke(monkeypatch):
+    from eventclip_tpu.models.classifier import (
+        ClassifierConfig,
+        init_classifier_params,
+    )
+    from eventclip_tpu.models.clip.config import clip_arch_config
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec
+
+    monkeypatch.setenv("BENCH_EVAL_BATCH", "4")
+    monkeypatch.setenv("BENCH_EVAL_ITERS", "2")
+    clip_cfg = clip_arch_config("ViT-T/8@32")
+    cfg = ClassifierConfig(model="ZSCLIP", clip=clip_cfg,
+                           dtype=jnp.float32)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=5)
+    H, W, N = 48, 64, 256
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W,
+                        image_size=clip_cfg.vision.image_size)
+    b = bench.Bench(repeats=1)
+    bench._packed_eval(b, cfg, params, spec, pp, N)
+    metrics = {r["metric"] for r in b.records}
+    assert {"eval_ragged_padded_samples_per_sec",
+            "eval_ragged_packed_samples_per_sec"} <= metrics
+    assert all(np.isfinite(r["value"]) and r["value"] > 0
+               for r in b.records)

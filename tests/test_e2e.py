@@ -232,6 +232,21 @@ def test_train_test_cycle(tree, ckpt_base):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Probs-based accuracy@1" in r.stdout
 
+    # warm-start training from a checkpoint (reference
+    # method.fit(resume_from=args.weight), train.py:94): fresh exp dir,
+    # weights seeded from the previous run's best
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base + "-warm",
+        "--max_epochs", "1", "--san_check_val_step", "0",
+        "--weight", os.path.join(mdir, "best.npz"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"Loaded weights from {os.path.join(mdir, 'best.npz')}" in r.stdout
+    assert os.path.exists(os.path.join(ckpt_base + "-warm",
+                                       "fsclip_tiny_params", "models",
+                                       "best.npz"))
+
 
 @pytest.mark.e2e
 def test_cli_tensor_parallel_train_and_eval(tree, ckpt_base):
