@@ -7,9 +7,11 @@ aggregation, exactly the path `test.py` drives; reference semantics
 datasets/event2img.py + models/clip_cls.py) behind a `Predictor` object
 for production use:
 
-- params/weights are resolved and placed once; every call reuses one
-  compiled program (fixed [B, V, N, 3] window shapes — arbitrary request
-  sizes are chunked/padded to the compiled batch, so no retraces);
+- params/weights are resolved and placed once; every call reuses a small
+  fixed set of compiled programs (fixed [B, V, N, 3] window shapes —
+  arbitrary request sizes are chunked/padded to the compiled batch, and
+  chunks with idle view slots run a view-PACKED variant at one of 4
+  bucketed K, so short streams never pay for empty encodes; no retraces);
 - input is a list of raw event arrays ([n, 4] float x/y/t/p, the layout
   every supported sensor dump decodes to), not a dataset tree;
 - opt-in W8A8 int8 tower (`int8=True`, ~1.3x encode), token pruning
@@ -44,6 +46,7 @@ class Predictor:
         prune_tokens: int = 0,
         batch_size: int = 32,
         data_parallel: bool = False,
+        pack_views: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -148,9 +151,34 @@ class Predictor:
 
         self._step = step
         self._shard_batch = (
-            (lambda w, v: shard_batch({"w": w, "v": v}, self._mesh))
+            (lambda b: shard_batch(b, self._mesh))
             if self._mesh is not None else None
         )
+
+        # view packing (same economy as eval, data/loader.py): streams
+        # shorter than the view budget leave padded slots, and the padded
+        # step encodes them anyway; packed chunks encode only real views
+        # at one of 4 bucketed static K (at most 4 extra compiled programs)
+        from .data.loader import view_pack_buckets
+        from .models.classifier import classifier_forward_packed
+
+        import math
+
+        n_data = self._mesh.shape["data"] if self._mesh is not None else 1
+        self._buckets = (
+            view_pack_buckets(self.batch_size * self.views,
+                              align=math.lcm(8, n_data))
+            if pack_views else None
+        )
+
+        @jax.jit
+        def step_packed(p, windows, view_src, valid):
+            x = rasterize_for_clip(self._spec, pp, windows)
+            return classifier_forward_packed(
+                p, self._cfg, x, view_src, valid
+            )["probs"]
+
+        self._step_packed = step_packed
 
     # -- host half -----------------------------------------------------------
 
@@ -238,21 +266,29 @@ class Predictor:
                         [v, np.zeros((pad,) + v.shape[1:], bool)])
                 yield w, v, pad
 
+        from .data.loader import device_prefetch, pack_view_batch
+
         def place(chunk):
             w, v, pad = chunk
-            w, v = jnp.asarray(w), jnp.asarray(v)
+            batch = {"windows": w, "valid_mask": v}
+            if self._buckets:
+                batch = pack_view_batch(batch, self._buckets)
+            batch = {k: jnp.asarray(x) for k, x in batch.items()}
             if self._shard_batch is not None:
-                sb = self._shard_batch(w, v)
-                w, v = sb["w"], sb["v"]
-            return w, v, pad
+                batch = self._shard_batch(batch)
+            return batch, pad
 
         # double-buffered like trainer.fit: chunk k+1's H2D copy overlaps
         # chunk k's dispatched forward (multi-chunk requests only)
-        from .data.loader import device_prefetch
-
         probs_out = []
-        for w, v, pad in device_prefetch(chunks(), place):
-            p = self._step(self._params, w, v)
+        for batch, pad in device_prefetch(chunks(), place):
+            if "view_src" in batch:
+                p = self._step_packed(self._params, batch["windows"],
+                                      batch["view_src"],
+                                      batch["valid_mask"])
+            else:
+                p = self._step(self._params, batch["windows"],
+                               batch["valid_mask"])
             probs_out.append(p[: bs - pad])  # device array; sync below
         # one host fetch at the end — a per-chunk np.asarray would sync
         # before the next placement and forfeit the overlap

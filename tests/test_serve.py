@@ -200,3 +200,18 @@ def test_matches_dataset_window_path(predictor, tmp_path):
     raw = [np.load(str(ds.event_dataset.labeled_files[i])) for i in idxs]
     probs_serve = predictor.predict(raw)["probs"]
     np.testing.assert_allclose(probs_serve, probs_ds, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_serving_matches_unpacked(predictor):
+    """View packing (default) must not change any prediction: short streams
+    (fewer windows than the view budget) run the packed program, and its
+    probs must equal the pack_views=False padded program's."""
+    plain = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                      smoke=True, batch_size=4, pack_views=False)
+    assert predictor._buckets and not plain._buckets
+    rng = np.random.default_rng(21)
+    streams = _streams(rng, n=5)  # ~3-4 windows each of a 10-view budget
+    np.testing.assert_allclose(
+        predictor.predict(streams)["probs"],
+        plain.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
+    )
