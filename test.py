@@ -167,10 +167,9 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
     model_params = shard_params(model_params, mesh)
     eval_step, top5 = ctx["eval_step"], ctx["top5"]
 
-    from eventclip_tpu.data.loader import pack_view_batch
+    from eventclip_tpu.data.loader import device_prefetch, pack_view_batch
 
-    results = []
-    for batch in ctx["loader"]:
+    def prep(batch):
         dev = {
             k: v for k, v in batch.items()
             if k in ("windows", "valid_mask", "sample_mask")
@@ -178,7 +177,13 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
         dev["label"] = batch["label"].astype("int32")
         if ctx.get("pack_buckets") and "windows" in dev:
             dev = pack_view_batch(dev, ctx["pack_buckets"])
-        results.append(eval_step(model_params, shard_batch(dev, mesh)))
+        return shard_batch(dev, mesh)
+
+    # H2D for batch k+1 overlaps batch k's dispatched eval step (the same
+    # double buffering as trainer.evaluate)
+    results = []
+    for dev in device_prefetch(ctx["loader"], prep):
+        results.append(eval_step(model_params, dev))
     sums = {}
     for res in jax.device_get(results):
         for k, v in res.items():
