@@ -315,13 +315,22 @@ def main():
     bench.record("host_pipeline_events_per_sec", baseline, "events/s",
                  "reference DataLoader-worker pipeline, 1 worker")
 
-    # non-default invocations (other arch / quick level) write a suffixed
-    # artifact so they never clobber the canonical full-run stage record
+    # non-default invocations (other arch / quick level / any overridden
+    # stage geometry) write a suffixed artifact so they never clobber the
+    # canonical full-run stage record under the canonical metric names
     path = STAGES_PATH
-    if arch != "ViT-L/14" or level != "full":
-        path = STAGES_PATH.replace(
-            ".json", f"-{arch.replace('/', '')}-{level}.json"
-        )
+    custom = any(
+        os.environ.get(k)
+        for k in ("BENCH_OVERLAP_ARCH", "BENCH_OVERLAP_H", "BENCH_OVERLAP_W",
+                  "BENCH_OVERLAP_N", "BENCH_OVERLAP_BATCH",
+                  "BENCH_EVAL_BATCH", "BENCH_NIN_BATCH",
+                  "BENCH_TRAIN_BATCH", "BENCH_BATCH", "BENCH_VIEWS")
+    )
+    if arch != "ViT-L/14" or level != "full" or custom:
+        suffix = f"-{arch.replace('/', '')}-{level}"
+        if custom:
+            suffix += "-custom"
+        path = STAGES_PATH.replace(".json", suffix + ".json")
     with open(path, "w") as f:
         for rec in bench.records:
             f.write(json.dumps(rec) + "\n")

@@ -155,30 +155,30 @@ class Predictor:
             if self._mesh is not None else None
         )
 
-        # view packing (same economy as eval, data/loader.py): streams
-        # shorter than the view budget leave padded slots, and the padded
-        # step encodes them anyway; packed chunks encode only real views
-        # at one of 4 bucketed static K (at most 4 extra compiled programs)
-        from .data.loader import view_pack_buckets
-        from .models.classifier import classifier_forward_packed
+        # view packing (same economy as eval): streams shorter than the
+        # view budget leave padded slots, and the padded step encodes them
+        # anyway; packed chunks encode only real views at one of 4
+        # bucketed static K. eval_pack_buckets is the ONE bucket policy
+        # (shared with trainer.evaluate and test.py, incl. the
+        # EVENTCLIP_NO_PACK_EVAL escape hatch).
+        self._step_packed = None
+        self._buckets = None
+        if pack_views:
+            from .data.loader import eval_pack_buckets
+            from .models.classifier import classifier_forward_packed
 
-        import math
+            n_data = self._mesh.shape["data"] if self._mesh is not None else 1
+            self._buckets = eval_pack_buckets(self.batch_size, self.views,
+                                              n_data)
 
-        n_data = self._mesh.shape["data"] if self._mesh is not None else 1
-        self._buckets = (
-            view_pack_buckets(self.batch_size * self.views,
-                              align=math.lcm(8, n_data))
-            if pack_views else None
-        )
+            @jax.jit
+            def step_packed(p, windows, view_src, valid):
+                x = rasterize_for_clip(self._spec, pp, windows)
+                return classifier_forward_packed(
+                    p, self._cfg, x, view_src, valid
+                )["probs"]
 
-        @jax.jit
-        def step_packed(p, windows, view_src, valid):
-            x = rasterize_for_clip(self._spec, pp, windows)
-            return classifier_forward_packed(
-                p, self._cfg, x, view_src, valid
-            )["probs"]
-
-        self._step_packed = step_packed
+            self._step_packed = step_packed
 
     # -- host half -----------------------------------------------------------
 
