@@ -179,11 +179,32 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
             dev = pack_view_batch(dev, ctx["pack_buckets"])
         return shard_batch(dev, mesh)
 
-    # H2D for batch k+1 overlaps batch k's dispatched eval step (the same
-    # double buffering as trainer.evaluate)
+    # --train_shots sweeps evaluate dozens of checkpoints against the SAME
+    # val batches; keep them resident on device across checkpoints when
+    # they fit (the host gather + H2D per checkpoint otherwise repeats —
+    # through this machine's relay that re-upload dominates the sweep).
+    # EVENTCLIP_SWEEP_CACHE_MB=0 disables; default 2 GB.
+    cap = float(os.environ.get("EVENTCLIP_SWEEP_CACHE_MB", "2048")) * 1e6
+    cached = ctx.get("_dev_batches")
     results = []
-    for dev in device_prefetch(ctx["loader"], prep):
-        results.append(eval_step(model_params, dev))
+    if cached is not None:
+        for dev in cached:
+            results.append(eval_step(model_params, dev))
+    else:
+        keep, total, fits = [], 0, cap > 0
+        # H2D for batch k+1 overlaps batch k's dispatched eval step (the
+        # same double buffering as trainer.evaluate)
+        for dev in device_prefetch(ctx["loader"], prep):
+            results.append(eval_step(model_params, dev))
+            if fits:
+                total += sum(x.nbytes for x in
+                             jax.tree_util.tree_leaves(dev))
+                if total <= cap:
+                    keep.append(dev)
+                else:
+                    fits, keep = False, []
+        if fits:
+            ctx["_dev_batches"] = keep
     sums = {}
     for res in jax.device_get(results):
         for k, v in res.items():
