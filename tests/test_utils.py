@@ -63,3 +63,53 @@ def test_path_str_key_and_index_entries():
         for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
     ]
     assert keys == ["a/b/0", "a/b/1"]
+
+
+def test_train_cli_override_rules(tmp_path):
+    """train.py::load_and_override — the reference's CLI mutation contract
+    (reference train.py:98-149): --N suffixes the exp dir and scales to
+    thousands, --num_shots suffixes and shrinks tiny-dataset batches,
+    --fp32 drops to f32."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from train import load_and_override
+
+    class A:
+        params = "configs/debug/fsclip_tiny_params.py"
+        N = 5
+        num_shots = -1
+        data_root = ""
+        max_epochs = -1
+        profile = 0
+        fp32 = True
+
+    params, exp = load_and_override(A())
+    assert params.quantize_args["N"] == 5000  # thousands (train.py:121-123)
+    assert exp == "fsclip_tiny_params-N_5"
+    assert params.bf16 is False  # --fp32
+
+    class B(A):
+        N = -1
+        num_shots = 10
+        fp32 = False
+
+    params, exp = load_and_override(B())
+    assert exp == "fsclip_tiny_params-10shot"
+    assert params.train_batch_size == 4  # n_caltech: no shrink
+
+    # N-Cars 1-shot: batch shrinks to 2*shots (reference train.py:129-139)
+    src = open("configs/debug/fsclip_tiny_params.py").read()
+    p = str(tmp_path / "cars_params.py")
+    open(p, "w").write(src.replace("dataset = 'n_caltech'",
+                                   "dataset = 'n_cars'"))
+
+    class C(B):
+        params = p
+        num_shots = 1
+
+    params, exp = load_and_override(C())
+    assert exp == "cars_params-1shot"
+    assert params.train_batch_size == 2  # min(1*2, 4)
