@@ -235,17 +235,13 @@ def find_weight(weight_dir: str) -> str:
     return os.path.join(weight_dir, weights[-1])
 
 
-def main():
-    args = parse_args()
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    from eventclip_tpu.utils.jax_setup import setup_jax
-
-    setup_jax()
+def load_and_override(args):
+    """Apply the eval CLI's param mutations (reference test.py:96-124):
+    --N (thousands of events/window), --arch and --prompt are zero-shot-only
+    — a trained checkpoint is bound to the geometry/arch/prompt it was
+    trained with; --bs and --data_root apply everywhere; --subset requires
+    N-ImageNet. Returns (params, cfg_base)."""
     from eventclip_tpu.utils.config import load_params
-    from eventclip_tpu.utils.meters import AverageMeter
 
     cfg_base = os.path.basename(
         args.params[:-3] if args.params.endswith(".py") else args.params
@@ -270,6 +266,21 @@ def main():
         assert params.dataset == "n_imagenet", "only N-ImageNet has subsets"
     if args.data_root:
         params.data_root = args.data_root
+    return params, cfg_base
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from eventclip_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    from eventclip_tpu.utils.meters import AverageMeter
+
+    params, cfg_base = load_and_override(args)
 
     if args.train_shots[0] <= 0:
         evaluate(params, args, weight=args.weight)

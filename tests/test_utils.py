@@ -113,3 +113,60 @@ def test_train_cli_override_rules(tmp_path):
     params, exp = load_and_override(C())
     assert exp == "cars_params-1shot"
     assert params.train_batch_size == 2  # min(1*2, 4)
+
+
+def test_test_cli_override_rules():
+    """test.py::load_and_override — the eval CLI's mutation contract
+    (reference test.py:96-124): --N/--arch/--prompt are zero-shot-only
+    (a trained checkpoint is bound to its training geometry/arch/prompt),
+    --bs/--data_root apply everywhere, --subset requires N-ImageNet."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from test import load_and_override
+
+    class ZS:
+        params = "configs/zsclip/zsclip_ncaltech_params.py"
+        fp32 = False
+        N = 30
+        arch = "ViT-B/32"
+        prompt = "a sketch image of a {}"
+        bs = 8
+        subset = -1
+        data_root = "/tmp/somewhere"
+
+    params, cfg_base = load_and_override(ZS())
+    assert cfg_base == "zsclip_ncaltech_params"
+    assert params.quantize_args["N"] == 30000  # thousands
+    assert params.clip_dict["arch"] == "ViT-B/32"
+    assert params.clip_dict["prompt"] == "a sketch image of a {}"
+    assert params.val_batch_size == 8
+    assert params.data_root == "/tmp/somewhere"
+
+    class ZSDefaults(ZS):
+        N, arch, prompt, bs, data_root = -1, "", "", -1, ""
+        fp32 = True
+
+    params, _ = load_and_override(ZSDefaults())
+    assert params.quantize_args["N"] == 20000  # config value untouched
+    assert params.clip_dict["arch"] == "ViT-L/14"
+    assert params.bf16 is False  # --fp32
+
+    class FS(ZSDefaults):
+        params = "configs/debug/fsclip_tiny_params.py"
+        fp32 = False
+
+    params, _ = load_and_override(FS())  # no ZS-only flag: fine
+    assert params.model == "FSCLIP"
+    for flag, val in [("N", 20), ("arch", "ViT-B/32"), ("prompt", "p {}")]:
+        bad = type("Bad", (FS,), {flag: val})
+        with pytest.raises(AssertionError):
+            load_and_override(bad())
+
+    class BadSubset(ZSDefaults):
+        subset = 3  # n_caltech config: only N-ImageNet has subsets
+
+    with pytest.raises(AssertionError):
+        load_and_override(BadSubset())
