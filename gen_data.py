@@ -68,7 +68,8 @@ def main(params, args):
     import jax
     import jax.numpy as jnp
 
-    from eventclip_tpu.data import PrefetchLoader, build_dataset
+    from eventclip_tpu.data import PrefetchLoader, build_dataset, \
+        device_prefetch
     from eventclip_tpu.data.datasets import load_split_asset
     from eventclip_tpu.engine.checkpoint import load_checkpoint
     from eventclip_tpu.engine.trainer import (
@@ -185,14 +186,9 @@ def main(params, args):
     pred_path2cls = {}
     conf_thresh, topk = args.conf_thresh, args.topk
 
-    for batch in loader:
-        probs = np.asarray(probs_step(
-            model_params,
-            jnp.asarray(batch["windows"]),
-            jnp.asarray(batch["valid_mask"]),
-        ))  # [B, n_cls] or [B, 4, n_cls]
-        labels = batch["label"]
-        mask = batch["sample_mask"]
+    def consume(probs, labels, mask, data_idx):
+        """Host-side filtering/accounting for one batch's [B(,4), n_cls]."""
+        nonlocal n_correct, n_total
         if tta:
             tta_probs = probs  # [B, 4, n_cls]
             tta_mask = np.ones(len(labels), dtype=bool)
@@ -214,7 +210,7 @@ def main(params, args):
         for i in range(len(labels)):
             if not mask[i]:
                 continue
-            ev_path = str(ev_dst.labeled_files[batch["data_idx"][i]])
+            ev_path = str(ev_dst.labeled_files[data_idx[i]])
             if class_relpath(ev_path) in gt_data_paths:
                 continue
             pred_cls_name = class_names[pred_labels[i]]
@@ -228,6 +224,24 @@ def main(params, args):
                     }
                 else:
                     pred_path2cls[ev_path] = pred_cls_name
+
+    # same feed/compute overlap as trainer.fit / test.py: batch k+1's H2D
+    # placement rides under batch k's dispatched forward, and the host-side
+    # filtering runs one batch BEHIND the dispatch so the [B, n_cls] fetch
+    # never syncs on the step it just launched
+    def place(batch):
+        dev = (jnp.asarray(batch["windows"]), jnp.asarray(batch["valid_mask"]))
+        host = (batch["label"], batch["sample_mask"], batch["data_idx"])
+        return dev, host
+
+    pending = None
+    for (windows, valid), host in device_prefetch(loader, place):
+        probs_dev = probs_step(model_params, windows, valid)
+        if pending is not None:
+            consume(np.asarray(pending[0]), *pending[1])
+        pending = (probs_dev, host)
+    if pending is not None:
+        consume(np.asarray(pending[0]), *pending[1])
 
     report_selection(args, class_names, gt_class_cnt, sel_class_cnt,
                      sel_correct_class_cnt)
