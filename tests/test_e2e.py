@@ -544,3 +544,87 @@ class EventCLIPParams(Params):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Using pseudo" not in r.stderr  # no crash; dataset detected via root
+
+@pytest.mark.e2e
+def test_gen_data_few_shot_teacher_merges_gt(tmp_path):
+    """The self-training loop's few-shot-teacher half (reference
+    gen_data.py:99-118 + docs/benchmark.md:112-128): train a 1-shot teacher,
+    pseudo-label with `--weight ... --gt_shots 1`, and check the GT merge —
+    every shipped-split sample lands in the pseudo tree under its ORIGINAL
+    folder (first-match rename inversion: face -> Faces, so Faces_easy's GT
+    file moves into Faces/ and no Faces_easy/ dir exists), with no
+    missing-GT warning because the tree holds all 101 split files."""
+    from eventclip_tpu.data.datasets import load_split_asset
+
+    split = load_split_asset("NCaltech101", 1, True) \
+        or load_split_asset("NCaltech101", 1, False)
+    assert split and len(split) == 101
+
+    # 101-class tree containing each split file (so the shipped split and
+    # the GT merge both resolve) plus one extra train + one test file
+    tree = str(tmp_path / "nc101")
+    rng = np.random.default_rng(3)
+
+    def write_events(path):
+        n = 1200 + int(rng.integers(0, 300))
+        ev = np.stack(
+            [
+                rng.integers(0, 240, n),
+                rng.integers(0, 180, n),
+                np.sort(rng.uniform(0, 0.3, n)),
+                rng.choice([-1.0, 1.0], n),
+            ],
+            axis=1,
+        )
+        np.save(path, ev)
+
+    gt_names = {}
+    for rel in split:
+        cls, fn = rel.replace("\\", "/").split("/")[-2:]
+        gt_names[cls] = fn
+        d = os.path.join(tree, "training", cls)
+        os.makedirs(d, exist_ok=True)
+        write_events(os.path.join(d, fn))
+        write_events(os.path.join(d, f"{cls}_x0.npy"))
+        td = os.path.join(tree, "testing", cls)
+        os.makedirs(td, exist_ok=True)
+        write_events(os.path.join(td, f"{cls}_t0.npy"))
+
+    # 1-shot teacher: exp dir gains the -1shot suffix the weight/save-path
+    # consistency asserts key on (reference gen_data.py:106-112)
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--num_shots", "1",
+        "--ckpt_base", str(tmp_path / "ck"),
+        "--max_epochs", "1", "--san_check_val_step", "0",
+    ], single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    weight = str(tmp_path / "ck" / "fsclip_tiny_params-1shot" / "models"
+                 / "best.npz")
+    assert os.path.exists(weight)
+
+    pseudo = str(tmp_path / "pseudo_nc_1shot")
+    r = run([
+        "gen_data.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--weight", weight, "--gt_shots", "1",
+        "--conf_thresh", "0.999", "--save_path", pseudo,
+    ], single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Loading weight" in r.stdout
+    assert "not found" not in r.stdout  # every GT split file resolved
+
+    train_dir = os.path.join(pseudo, "training")
+    dirs = set(os.listdir(train_dir))
+    # 'face' inverts to the rename table's FIRST match 'Faces' (a folder the
+    # dataset doesn't even have — N-Caltech ships Faces_easy only), so the
+    # pseudo tree holds Faces/ instead of Faces_easy/, like reference trees
+    src_dirs = {rel.replace("\\", "/").split("/")[-2] for rel in split}
+    assert dirs == (src_dirs - {"Faces_easy"}) | {"Faces"}
+    # every GT sample was merged (the protocol guarantee), symlinked to the
+    # real file under its inverted folder
+    gt_cls_of = {"Faces_easy": "Faces"}
+    for cls, fn in gt_names.items():
+        link = os.path.join(train_dir, gt_cls_of.get(cls, cls), fn)
+        assert os.path.islink(link), f"GT {cls}/{fn} missing from pseudo tree"
+        assert os.path.realpath(link) == os.path.realpath(
+            os.path.join(tree, "training", cls, fn))
