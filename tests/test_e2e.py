@@ -628,3 +628,69 @@ def test_gen_data_few_shot_teacher_merges_gt(tmp_path):
         assert os.path.islink(link), f"GT {cls}/{fn} missing from pseudo tree"
         assert os.path.realpath(link) == os.path.realpath(
             os.path.join(tree, "training", cls, fn))
+
+@pytest.mark.e2e
+def test_hard_kill_mid_training_resumes_cleanly(tree, tmp_path):
+    """Real preemption: SIGKILL the trainer MID-RUN (no grace, the Slurm
+    timeout contract the watchdog resubmits after), then relaunch into the
+    same ckpt dir. The atomic resume.pkl (os.replace) from the last
+    completed epoch must restore; the relaunch trains only the remainder,
+    keeps one run_id, and every epoch is covered. Also tolerates the torn
+    final metrics line a KILL can leave behind."""
+    import re
+    import signal
+    import time
+
+    ckpt_base = str(tmp_path / "ck")
+    args = [
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", ckpt_base,
+        "--max_epochs", "12", "--san_check_val_step", "0",
+    ]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1-device CPU: fast epochs, wide kill window
+    metrics = os.path.join(ckpt_base, "fsclip_tiny_params", "metrics.jsonl")
+
+    def read_recs():
+        try:
+            with open(metrics) as f:
+                lines = f.readlines()
+        except FileNotFoundError:
+            return []
+        recs = []
+        for ln in lines:  # lenient: a SIGKILL can tear the last line
+            try:
+                recs.append(json.loads(ln))
+            except json.JSONDecodeError:
+                pass
+        return recs
+
+    proc = subprocess.Popen(
+        [sys.executable] + args, cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if any(r.get("split") == "val" and r.get("epoch", 0) >= 1
+                   for r in read_recs()):
+                break
+            assert proc.poll() is None, "trainer exited before the kill window"
+            time.sleep(0.05)
+        else:
+            pytest.fail("never saw epoch-1 val metrics")
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+
+    r = run(args, single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = re.search(r"Resumed full state from epoch (\d+)", r.stdout)
+    assert m and 1 <= int(m.group(1)) < 12, r.stdout[-2000:]
+    recs = read_recs()
+    train_epochs = [rec["epoch"] for rec in recs if rec["split"] == "train"]
+    assert set(train_epochs) == set(range(12))  # nothing lost, rest trained
+    assert len({rec["run_id"] for rec in recs if "run_id" in rec}) == 1
+    assert os.path.exists(os.path.join(ckpt_base, "fsclip_tiny_params",
+                                       "models", "best.npz"))
