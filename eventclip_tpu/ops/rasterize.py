@@ -37,6 +37,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # pallas is TPU-oriented; keep CPU-only installs working
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pl = None
+    pltpu = None
+
 from .preprocess import preprocess_frames_chw
 from .randaugment import randaugment
 
@@ -68,6 +75,117 @@ class RasterSpec:
 
 _EVENT_CHUNK = 2048  # one-hot tile: [2H, E] + [E, W] bf16, ~2.5 MB at 180x240
 _PARTIALS_LIMIT = 1 << 29  # batch-axis strategy cap on [M*K, 2H, W] partials
+_PALLAS_VMEM_BUDGET = 10 << 20  # of ~16 MB/core; leave room for pipelining
+
+
+def _hist_kernel(row_ref, col_ref, out_ref):
+    """One (window, event-chunk) grid step of the fused histogram.
+
+    The event chunk arrives as a [1, 1, E/128, 128] int32 block (the 4D
+    layout exists only to satisfy the (8, 128) block-shape rule; it is
+    flattened back to one [1, E] lane vector here). row holds y + H for
+    negative polarity, -1 for padding / out-of-bounds / zero polarity; col
+    holds x. The one-hot tiles are built IN VMEM and consumed by the MXU
+    in the same step, so - unlike the XLA formulation below, which
+    materializes them in HBM and is bandwidth-bound - the only HBM traffic
+    is the events themselves and one [2H, W] accumulator per window. Both
+    one-hots are laid out contraction-on-lanes ([2H, E] and [W, E]) so the
+    dot needs no relayout of either tile.
+    """
+    k = pl.program_id(1)
+    H2, W = out_ref.shape[1], out_ref.shape[2]
+    E = row_ref.shape[2] * row_ref.shape[3]
+    row = row_ref[0, 0].reshape(1, E)
+    col = col_ref[0, 0].reshape(1, E)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H2, E), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (W, E), 0)
+    a = (row_ids == row).astype(jnp.int8)  # [2H, E]
+    bt = (col_ids == col).astype(jnp.int8)  # [W, E]
+    part = jax.lax.dot_general(
+        a, bt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [2H, W]; int8 0/1 MACs in int32: exact counts at 2x bf16 MXU peak
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0, :, :] = part
+
+    @pl.when(k != 0)
+    def _accum():
+        out_ref[0, :, :] = out_ref[0, :, :] + part
+
+
+def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
+                       *, interpret: bool = False) -> jnp.ndarray:
+    """[M, N, 4|3] event windows -> [M, 2, H, W] float32 count histograms.
+
+    Same contract (and bit-exact results) as the XLA strategies below; used
+    on TPU where it removes the HBM round-trip of the one-hot operands.
+    """
+    H, W = spec.height, spec.width
+    M, N, ch = windows.shape
+    x = windows[..., 0].astype(jnp.int32)
+    y = windows[..., 1].astype(jnp.int32)
+    p = windows[..., ch - 1]
+    live = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (p != 0)
+    # dead events get row/col -1: they match no iota row, so the one-hot
+    # column is all-zero - masking costs nothing extra in the kernel
+    row = jnp.where(live, y + H * (p < 0).astype(jnp.int32), -1)
+    col = jnp.where(live, x, -1)
+
+    E = min(_EVENT_CHUNK, max(-(-N // 128) * 128, 128))
+    while E > 128 and (2 * H + W) * E * 2 + 2 * H * W * 4 > _PALLAS_VMEM_BUDGET:
+        E //= 2
+    pad = (-N) % E
+    if pad:
+        row = jnp.pad(row, ((0, 0), (0, pad)), constant_values=-1)
+        col = jnp.pad(col, ((0, 0), (0, pad)), constant_values=-1)
+    K = row.shape[1] // E
+
+    Es = E // 128
+    row = row.reshape(M, K, Es, 128)
+    col = col.reshape(M, K, Es, 128)
+
+    hist = pl.pallas_call(
+        _hist_kernel,
+        grid=(M, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, Es, 128), lambda m, k: (m, k, 0, 0),
+                         memory_space=_vmem(interpret)),
+            pl.BlockSpec((1, 1, Es, 128), lambda m, k: (m, k, 0, 0),
+                         memory_space=_vmem(interpret)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * H, W), lambda m, k: (m, 0, 0),
+                               memory_space=_vmem(interpret)),
+        out_shape=jax.ShapeDtypeStruct((M, 2 * H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # windows are independent; the k revisits of one accumulator
+            # block must stay sequential
+            dimension_semantics=("parallel", "arbitrary"),
+        ) if not interpret else None,
+        interpret=interpret,
+    )(row, col)
+    return hist.astype(jnp.float32).reshape(M, 2, H, W)
+
+
+def _vmem(interpret: bool):
+    return pltpu.VMEM if not interpret else None
+
+
+def _use_pallas_histograms() -> bool:
+    import os
+
+    # Single-device only: the train/eval steps run under jit with GSPMD
+    # propagating batch shardings, and a Mosaic kernel there is an opaque
+    # custom call that GSPMD cannot partition along the sharded window
+    # axis — on a pod it would force a replicating all-gather. Multi-chip
+    # meshes take the XLA one-hot-matmul formulation below, which GSPMD
+    # splits cleanly; single chip (the serving/bench geometry) gets the
+    # fused kernel.
+    return (pl is not None
+            and jax.default_backend() == "tpu"
+            and len(jax.devices()) == 1
+            and not os.environ.get("EVENTCLIP_NO_PALLAS_RASTER"))
 
 
 def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
@@ -81,6 +199,9 @@ def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
     batched matmul (partials summed afterwards) — loop-free, so the TPU
     compile stays fast and the MXU sees a single large einsum.
     """
+    if _use_pallas_histograms():
+        return _pallas_histograms(spec, windows)
+
     H, W = spec.height, spec.width
     M, N, ch = windows.shape
 

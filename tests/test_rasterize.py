@@ -163,6 +163,50 @@ def test_packed_int16_windows_match_float(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_histograms_match_xla(rng):
+    """The fused Pallas histogram kernel (TPU hot path) must be bit-exact
+    vs the XLA batch-axis strategy — both window layouts, with padding,
+    out-of-bounds events, and a multi-chunk (K>1) accumulation."""
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data.host_ops import gather_event_windows
+    from eventclip_tpu.ops import rasterize as RZ
+
+    if RZ.pl is None:
+        pytest.skip("pallas unavailable")
+
+    spec = RasterSpec(height=20, width=24, window=300)
+    ev = synth_events(rng, 1900, 20, 24)
+    ev[::7, 0] = 10_000  # out-of-bounds x must be dropped identically
+    for packed in (False, True):
+        wins, _ = gather_event_windows(ev, 300, 6, rng=None, packed=packed)
+        w = jnp.asarray(wins)
+        xla = np.asarray(RZ._batched_histograms(spec, w))
+        orig = RZ._EVENT_CHUNK
+        RZ._EVENT_CHUNK = 128  # force K > 1 accumulation steps
+        try:
+            fused = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
+        finally:
+            RZ._EVENT_CHUNK = orig
+        np.testing.assert_array_equal(xla, fused)
+
+
+def test_pallas_vmem_budget_shrinks_chunk():
+    """Huge frames must shrink the event chunk to fit the VMEM budget
+    rather than blow past it (N-ImageNet 480x640 geometry)."""
+    import jax.numpy as jnp
+
+    from eventclip_tpu.ops import rasterize as RZ
+
+    if RZ.pl is None:
+        pytest.skip("pallas unavailable")
+
+    spec = RasterSpec(height=480, width=640, window=256)
+    w = jnp.zeros((1, 256, 3), jnp.int16)
+    out = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
+    assert out.shape == (1, 2, 480, 640) and out.sum() == 0
+
+
 def test_scan_path_matches_batched_path(rng):
     """The scan-accumulated histogram (large-frame memory strategy) must be
     exactly equal to the batch-axis strategy, for both window layouts."""
