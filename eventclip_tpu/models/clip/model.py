@@ -35,14 +35,24 @@ from .config import CLIPConfig, TextConfig, VisionConfig
 Params = Dict[str, Any]
 
 
-def _use_pallas_attention() -> bool:
+def _use_pallas_attention(sharded: bool = False) -> bool:
     """Pallas VMEM attention on TPU; XLA einsum path elsewhere / when
-    EVENTCLIP_NO_PALLAS is set (escape hatch)."""
+    EVENTCLIP_NO_PALLAS is set (escape hatch).
+
+    sharded=True marks the one call site that already runs the kernel
+    per-device inside shard_map (the TP path). Everywhere else a Mosaic
+    kernel under a multi-device GSPMD jit is an opaque custom call the
+    partitioner cannot split along the sharded batch axis, so DP-only
+    multi-chip processes take the XLA einsum attention instead, which
+    GSPMD shards cleanly (see the matching gate in ops/rasterize.py).
+    """
     import os
 
     if os.environ.get("EVENTCLIP_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    return sharded or len(jax.devices()) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +144,8 @@ def attention(
         if lora is not None:
             qkv = qkv + lora_deltas(lambda ds: jnp.stack(ds, axis=-2))
         o = tp_fused_qkv_attention(qkv, heads, tp,
-                                   use_pallas=_use_pallas_attention())
+                                   use_pallas=_use_pallas_attention(
+                                       sharded=True))
     else:
         # replicated weights: collapse to the single fused matmul (the
         # reshape is free; the [B, T, 3, D]-producing einsum measures ~25%

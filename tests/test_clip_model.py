@@ -136,3 +136,37 @@ class TestLora:
             sd[key] = sd[key] + torch.cat(deltas, dim=0)
         want = encode_image_torch(sd, np.asarray(images), cfg.vision.heads, cfg.vision.layers)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+class TestPallasGates:
+    """The Mosaic kernels must stay off the multi-device GSPMD jit path:
+    a bare pallas_call there is an opaque custom call the partitioner
+    cannot split along the sharded batch axis (pods take the XLA
+    formulations; shard_map'd TP keeps the kernel per-shard)."""
+
+    def _fake(self, monkeypatch, mod, n_devices):
+        monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(mod.jax, "devices",
+                            lambda *a: [object()] * n_devices)
+
+    def test_attention_gate(self, monkeypatch):
+        from eventclip_tpu.models.clip import model as M
+
+        self._fake(monkeypatch, M, 1)
+        assert M._use_pallas_attention()
+        self._fake(monkeypatch, M, 8)
+        assert not M._use_pallas_attention()
+        assert M._use_pallas_attention(sharded=True)  # TP shard_map path
+        monkeypatch.setenv("EVENTCLIP_NO_PALLAS", "1")
+        assert not M._use_pallas_attention(sharded=True)
+
+    def test_rasterize_gate(self, monkeypatch):
+        from eventclip_tpu.ops import rasterize as RZ
+
+        self._fake(monkeypatch, RZ, 1)
+        assert RZ._use_pallas_histograms()
+        self._fake(monkeypatch, RZ, 8)
+        assert not RZ._use_pallas_histograms()
+        self._fake(monkeypatch, RZ, 1)
+        monkeypatch.setenv("EVENTCLIP_NO_PALLAS_RASTER", "1")
+        assert not RZ._use_pallas_histograms()
