@@ -44,15 +44,11 @@ def _use_pallas_attention(sharded: bool = False) -> bool:
     kernel under a multi-device GSPMD jit is an opaque custom call the
     partitioner cannot split along the sharded batch axis, so DP-only
     multi-chip processes take the XLA einsum attention instead, which
-    GSPMD shards cleanly (see the matching gate in ops/rasterize.py).
+    GSPMD shards cleanly (shared policy: ops/pallas_gate.py).
     """
-    import os
+    from ...ops.pallas_gate import pallas_ok
 
-    if os.environ.get("EVENTCLIP_NO_PALLAS"):
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    return sharded or len(jax.devices()) == 1
+    return pallas_ok(sharded=sharded)
 
 
 # ---------------------------------------------------------------------------

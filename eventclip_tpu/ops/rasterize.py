@@ -104,7 +104,12 @@ def _hist_kernel(row_ref, col_ref, out_ref):
     part = jax.lax.dot_general(
         a, bt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # [2H, W]; int8 0/1 MACs in int32: exact counts at 2x bf16 MXU peak
+    ).astype(jnp.float32)
+    # int8 0/1 MACs in int32: exact counts at 2x bf16 MXU peak. The f32
+    # conversion happens here in VMEM so the kernel emits the dtype the
+    # finish stage consumes — an astype on the [M, 2H, W] result would
+    # materialize a second full-size HBM buffer (counts <= N < 2^24 stay
+    # exact in f32).
 
     @pl.when(k == 0)
     def _init():
@@ -135,7 +140,7 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
 
     E = min(_EVENT_CHUNK, max(-(-N // 128) * 128, 128))
     while E > 128 and (2 * H + W) * E * 2 + 2 * H * W * 4 > _PALLAS_VMEM_BUDGET:
-        E //= 2
+        E = max(128, (E // 2) // 128 * 128)  # keep the 128-lane alignment
     pad = (-N) % E
     if pad:
         row = jnp.pad(row, ((0, 0), (0, pad)), constant_values=-1)
@@ -157,7 +162,7 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, 2 * H, W), lambda m, k: (m, 0, 0),
                                memory_space=_vmem(interpret)),
-        out_shape=jax.ShapeDtypeStruct((M, 2 * H, W), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((M, 2 * H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # windows are independent; the k revisits of one accumulator
             # block must stay sequential
@@ -165,7 +170,7 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
         ) if not interpret else None,
         interpret=interpret,
     )(row, col)
-    return hist.astype(jnp.float32).reshape(M, 2, H, W)
+    return hist.reshape(M, 2, H, W)
 
 
 def _vmem(interpret: bool):
@@ -173,19 +178,14 @@ def _vmem(interpret: bool):
 
 
 def _use_pallas_histograms() -> bool:
-    import os
+    # Single-device processes only (see ops/pallas_gate.py): the
+    # train/eval steps run under jit with GSPMD propagating batch
+    # shardings, and a Mosaic kernel there cannot be partitioned along
+    # the sharded window axis. Multi-chip meshes take the XLA
+    # one-hot-matmul formulation below, which GSPMD splits cleanly.
+    from .pallas_gate import pallas_ok
 
-    # Single-device only: the train/eval steps run under jit with GSPMD
-    # propagating batch shardings, and a Mosaic kernel there is an opaque
-    # custom call that GSPMD cannot partition along the sharded window
-    # axis — on a pod it would force a replicating all-gather. Multi-chip
-    # meshes take the XLA one-hot-matmul formulation below, which GSPMD
-    # splits cleanly; single chip (the serving/bench geometry) gets the
-    # fused kernel.
-    return (pl is not None
-            and jax.default_backend() == "tpu"
-            and len(jax.devices()) == 1
-            and not os.environ.get("EVENTCLIP_NO_PALLAS_RASTER"))
+    return pl is not None and pallas_ok(extra_env="EVENTCLIP_NO_PALLAS_RASTER")
 
 
 def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:

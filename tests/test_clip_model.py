@@ -144,17 +144,19 @@ class TestPallasGates:
     cannot split along the sharded batch axis (pods take the XLA
     formulations; shard_map'd TP keeps the kernel per-shard)."""
 
-    def _fake(self, monkeypatch, mod, n_devices):
-        monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(mod.jax, "devices",
+    def _fake(self, monkeypatch, n_devices):
+        from eventclip_tpu.ops import pallas_gate as G
+
+        monkeypatch.setattr(G.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(G.jax, "devices",
                             lambda *a: [object()] * n_devices)
 
     def test_attention_gate(self, monkeypatch):
         from eventclip_tpu.models.clip import model as M
 
-        self._fake(monkeypatch, M, 1)
+        self._fake(monkeypatch, 1)
         assert M._use_pallas_attention()
-        self._fake(monkeypatch, M, 8)
+        self._fake(monkeypatch, 8)
         assert not M._use_pallas_attention()
         assert M._use_pallas_attention(sharded=True)  # TP shard_map path
         monkeypatch.setenv("EVENTCLIP_NO_PALLAS", "1")
@@ -163,10 +165,30 @@ class TestPallasGates:
     def test_rasterize_gate(self, monkeypatch):
         from eventclip_tpu.ops import rasterize as RZ
 
-        self._fake(monkeypatch, RZ, 1)
+        self._fake(monkeypatch, 1)
         assert RZ._use_pallas_histograms()
-        self._fake(monkeypatch, RZ, 8)
+        self._fake(monkeypatch, 8)
         assert not RZ._use_pallas_histograms()
-        self._fake(monkeypatch, RZ, 1)
+        self._fake(monkeypatch, 1)
         monkeypatch.setenv("EVENTCLIP_NO_PALLAS_RASTER", "1")
         assert not RZ._use_pallas_histograms()
+
+    def test_shared_overrides(self, monkeypatch):
+        from eventclip_tpu.models.clip import model as M
+        from eventclip_tpu.ops import rasterize as RZ
+
+        # the broad kill switch disables BOTH kernels
+        self._fake(monkeypatch, 1)
+        monkeypatch.setenv("EVENTCLIP_NO_PALLAS", "1")
+        assert not M._use_pallas_attention()
+        assert not RZ._use_pallas_histograms()
+        monkeypatch.delenv("EVENTCLIP_NO_PALLAS")
+        # force: multi-device host running a single-device workload
+        self._fake(monkeypatch, 8)
+        monkeypatch.setenv("EVENTCLIP_PALLAS", "force")
+        assert M._use_pallas_attention()
+        assert RZ._use_pallas_histograms()
+        monkeypatch.setenv("EVENTCLIP_PALLAS", "off")
+        self._fake(monkeypatch, 1)
+        assert not M._use_pallas_attention()
+        assert M._use_pallas_attention(sharded=True)  # off spares shard_map

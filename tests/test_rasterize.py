@@ -191,9 +191,11 @@ def test_pallas_histograms_match_xla(rng):
         np.testing.assert_array_equal(xla, fused)
 
 
-def test_pallas_vmem_budget_shrinks_chunk():
-    """Huge frames must shrink the event chunk to fit the VMEM budget
-    rather than blow past it (N-ImageNet 480x640 geometry)."""
+def test_pallas_vmem_budget_shrinks_chunk(rng):
+    """Huge frames must shrink the event chunk to fit the VMEM budget —
+    and the shrink must keep E a multiple of 128. 720p with N=1900 makes
+    the initial E=1920 a non-power-of-two multiple of 128, so a naive
+    E //= 2 would break the [.., Es, 128] reshape (regression guard)."""
     import jax.numpy as jnp
 
     from eventclip_tpu.ops import rasterize as RZ
@@ -201,10 +203,15 @@ def test_pallas_vmem_budget_shrinks_chunk():
     if RZ.pl is None:
         pytest.skip("pallas unavailable")
 
-    spec = RasterSpec(height=480, width=640, window=256)
-    w = jnp.zeros((1, 256, 3), jnp.int16)
-    out = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
-    assert out.shape == (1, 2, 480, 640) and out.sum() == 0
+    H, W, N = 720, 1280, 1900
+    assert (2 * H + W) * 1920 * 2 + 2 * H * W * 4 > RZ._PALLAS_VMEM_BUDGET
+    spec = RasterSpec(height=H, width=W, window=N)
+    x = rng.integers(0, W, (1, N)); y = rng.integers(0, H, (1, N))
+    p = rng.choice([-1, 1], (1, N))
+    w = jnp.asarray(np.stack([x, y, p], -1).astype(np.int16))
+    fused = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
+    xla = np.asarray(RZ._batched_histograms(spec, w))
+    np.testing.assert_array_equal(xla, fused)
 
 
 def test_scan_path_matches_batched_path(rng):
