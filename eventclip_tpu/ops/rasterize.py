@@ -104,12 +104,11 @@ def _hist_kernel(row_ref, col_ref, out_ref):
     part = jax.lax.dot_general(
         a, bt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    # int8 0/1 MACs in int32: exact counts at 2x bf16 MXU peak. The f32
-    # conversion happens here in VMEM so the kernel emits the dtype the
-    # finish stage consumes — an astype on the [M, 2H, W] result would
-    # materialize a second full-size HBM buffer (counts <= N < 2^24 stay
-    # exact in f32).
+    )  # [2H, W]; int8 0/1 MACs in int32: exact counts at 2x bf16 MXU peak.
+    # The accumulator stays int32 (the MXU's native accumulate dtype);
+    # the f32 the finish stage wants comes from an external astype, which
+    # XLA fuses into that stage's reductions rather than materializing a
+    # second [M, 2H, W] buffer.
 
     @pl.when(k == 0)
     def _init():
@@ -162,7 +161,7 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, 2 * H, W), lambda m, k: (m, 0, 0),
                                memory_space=_vmem(interpret)),
-        out_shape=jax.ShapeDtypeStruct((M, 2 * H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, 2 * H, W), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             # windows are independent; the k revisits of one accumulator
             # block must stay sequential
@@ -170,7 +169,7 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
         ) if not interpret else None,
         interpret=interpret,
     )(row, col)
-    return hist.reshape(M, 2, H, W)
+    return hist.astype(jnp.float32).reshape(M, 2, H, W)
 
 
 def _vmem(interpret: bool):
