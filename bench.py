@@ -308,6 +308,7 @@ def main():
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
         _nin_input_feed(bench, rng)
         _feed_overlap(bench)
+        _serve_latency(bench, rng, arch)
 
     baseline = host_baseline_events_per_sec(
         rng, H, W, N, clip_cfg.vision.image_size
@@ -324,7 +325,9 @@ def main():
         for k in ("BENCH_OVERLAP_ARCH", "BENCH_OVERLAP_H", "BENCH_OVERLAP_W",
                   "BENCH_OVERLAP_N", "BENCH_OVERLAP_BATCH",
                   "BENCH_EVAL_BATCH", "BENCH_NIN_BATCH",
-                  "BENCH_TRAIN_BATCH", "BENCH_BATCH", "BENCH_VIEWS")
+                  "BENCH_TRAIN_BATCH", "BENCH_BATCH", "BENCH_VIEWS",
+                  "BENCH_SERVE_CONFIG", "BENCH_SERVE_EVENTS",
+                  "BENCH_SERVE_BATCH")
     )
     if arch != "ViT-L/14" or level != "full" or custom:
         suffix = f"-{arch.replace('/', '')}-{level}"
@@ -666,6 +669,72 @@ def _feed_overlap(bench):
         f"{max(dt_feed, dt_step) * 1e3:,.1f} ms, feed+step="
         f"{(dt_feed + dt_step) * 1e3:,.1f} ms",
     )
+
+
+def _serve_latency(bench, rng, arch):
+    """Serving API request latency + throughput (serve.py::Predictor).
+
+    Two configurations of the same zero-shot N-Caltech predictor (smoke
+    weights — latency is weight-independent):
+      - batch_size=1: the latency-optimal deployment; p50/p95 of a
+        single-stream predict() call, raw events in -> label out
+        (host windowing + H2D + rasterize + encode + aggregation + D2H).
+      - batch_size=32: request throughput on a 32-stream call.
+    The reference has no serving surface (its deployment story is re-running
+    test.py over a dataset tree), so these rows have no baseline column.
+    """
+    from eventclip_tpu.serve import Predictor
+    from eventclip_tpu.utils.config import load_params
+
+    cfg_path = os.environ.get("BENCH_SERVE_CONFIG") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs/zsclip/zsclip_ncaltech_params.py")
+    params = load_params(cfg_path)
+    # latency is head-independent; the zero-shot head needs no checkpoint
+    params.model = "ZSCLIP"
+    params.clip_dict["arch"] = arch
+    n_ev = int(os.environ.get("BENCH_SERVE_EVENTS", "40000"))  # 2 windows
+    reps = int(os.environ.get("BENCH_SERVE_ITERS", "20"))
+    req_bs = int(os.environ.get("BENCH_SERVE_BATCH", "32"))
+    from eventclip_tpu.data.datasets import DATASET_CLASSES
+
+    H, W = DATASET_CLASSES[params.dataset].resolution
+    names = [f"class_{i}" for i in range(101)]
+
+    def streams(n):
+        out = []
+        for _ in range(n):
+            ev = np.stack([
+                rng.integers(0, W, n_ev), rng.integers(0, H, n_ev),
+                np.sort(rng.random(n_ev)), rng.choice([-1.0, 1.0], n_ev),
+            ], axis=1).astype(np.float32)
+            out.append(ev)
+        return out
+
+    lat = Predictor(params, names, smoke=True, batch_size=1)
+    one = streams(1)
+    lat.predict(one)  # compile + warm
+    times = []
+    for _ in range(reps):
+        t = time.time()
+        lat.predict(one)
+        times.append((time.time() - t) * 1e3)
+    times.sort()
+    bench.record("serve_latency_p50_ms", times[len(times) // 2], "ms",
+                 f"single stream, batch_size=1, {arch}; p95="
+                 f"{times[min(int(len(times) * 0.95), len(times) - 1)]:,.1f}"
+                 " ms")
+
+    thr = Predictor(params, names, smoke=True, batch_size=req_bs)
+    req = streams(req_bs)
+    thr.predict(req)  # compile + warm
+    t = time.time()
+    for _ in range(max(reps // 4, 1)):
+        thr.predict(req)
+    dt = (time.time() - t) / max(reps // 4, 1)
+    bench.record("serve_throughput_streams_per_sec", len(req) / dt,
+                 "streams/s",
+                 f"{req_bs}-stream request, batch_size={req_bs}, {arch}")
 
 
 if __name__ == "__main__":

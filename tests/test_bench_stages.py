@@ -60,3 +60,19 @@ def test_packed_eval_stage_smoke(monkeypatch):
             "eval_ragged_packed_samples_per_sec"} <= metrics
     assert all(np.isfinite(r["value"]) and r["value"] > 0
                for r in b.records)
+
+
+def test_serve_latency_stage_smoke(monkeypatch):
+    monkeypatch.setenv("BENCH_SERVE_CONFIG",
+                       "configs/debug/fsclip_tiny_params.py")
+    monkeypatch.setenv("BENCH_SERVE_EVENTS", "2000")
+    monkeypatch.setenv("BENCH_SERVE_ITERS", "2")
+    monkeypatch.setenv("BENCH_SERVE_BATCH", "4")
+    b = bench.Bench(repeats=1)
+    rng = np.random.default_rng(0)
+    bench._serve_latency(b, rng, "ViT-T/8@32")
+    metrics = {r["metric"] for r in b.records}
+    assert {"serve_latency_p50_ms",
+            "serve_throughput_streams_per_sec"} <= metrics
+    assert all(np.isfinite(r["value"]) and r["value"] > 0
+               for r in b.records)
