@@ -711,7 +711,12 @@ def _serve_latency(bench, rng, arch):
             out.append(ev)
         return out
 
-    lat = Predictor(params, names, smoke=True, batch_size=1)
+    import contextlib
+
+    # the smoke-mode warnings print to stdout (CLI UX) — bench.py's stdout
+    # contract is ONE JSON line, so route them to stderr here
+    with contextlib.redirect_stdout(sys.stderr):
+        lat = Predictor(params, names, smoke=True, batch_size=1)
     one = streams(1)
     lat.predict(one)  # compile + warm
     times = []
@@ -725,7 +730,8 @@ def _serve_latency(bench, rng, arch):
                  f"{times[min(int(len(times) * 0.95), len(times) - 1)]:,.1f}"
                  " ms")
 
-    thr = Predictor(params, names, smoke=True, batch_size=req_bs)
+    with contextlib.redirect_stdout(sys.stderr):
+        thr = Predictor(params, names, smoke=True, batch_size=req_bs)
     req = streams(req_bs)
     thr.predict(req)  # compile + warm
     t = time.time()
