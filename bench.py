@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import sys
 import time
@@ -327,7 +328,8 @@ def main():
                   "BENCH_EVAL_BATCH", "BENCH_NIN_BATCH",
                   "BENCH_TRAIN_BATCH", "BENCH_BATCH", "BENCH_VIEWS",
                   "BENCH_SERVE_CONFIG", "BENCH_SERVE_EVENTS",
-                  "BENCH_SERVE_BATCH")
+                  "BENCH_SERVE_BATCH", "BENCH_ENC_BATCH", "BENCH_PRUNE",
+                  "BENCH_FS_B32", "BENCH_FT_FULL")
     )
     if arch != "ViT-L/14" or level != "full" or custom:
         suffix = f"-{arch.replace('/', '')}-{level}"
@@ -725,10 +727,11 @@ def _serve_latency(bench, rng, arch):
         lat.predict(one)
         times.append((time.time() - t) * 1e3)
     times.sort()
+    # nearest-rank p95: ceil(0.95*n)-1 (int(n*0.95) would index the max
+    # sample at n=20, mislabeling the worst-case outlier as p95)
+    p95 = times[max(math.ceil(len(times) * 0.95) - 1, 0)]
     bench.record("serve_latency_p50_ms", times[len(times) // 2], "ms",
-                 f"single stream, batch_size=1, {arch}; p95="
-                 f"{times[min(int(len(times) * 0.95), len(times) - 1)]:,.1f}"
-                 " ms")
+                 f"single stream, batch_size=1, {arch}; p95={p95:,.1f} ms")
 
     with contextlib.redirect_stdout(sys.stderr):
         thr = Predictor(params, names, smoke=True, batch_size=req_bs)

@@ -130,7 +130,11 @@ def build_eval_context(params, args):
     # views of each batch — the sweep workhorse never pays for padded slots
     from eventclip_tpu.data.loader import eval_pack_buckets
 
-    buckets = eval_pack_buckets(bs, val_set.max_imgs, n_data)
+    # pass the real process count: the policy disables packing multi-process
+    # (per-batch bucket choice could diverge across hosts), and test.py must
+    # not hardcode the single-process assumption the policy exists to check
+    buckets = eval_pack_buckets(bs, val_set.max_imgs, n_data,
+                                num_shards=jax.process_count())
     return {
         "template": template, "mesh": mesh, "eval_step": eval_step,
         "loader": loader, "top5": top5, "pack_buckets": buckets,
