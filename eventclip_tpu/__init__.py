@@ -13,6 +13,6 @@ with a TPU-first design:
   PyTorch DDP + nerv trainer)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in sync with pyproject.toml
 
 from . import ops  # noqa: F401

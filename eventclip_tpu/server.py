@@ -1,0 +1,281 @@
+"""HTTP serving endpoint: `python -m eventclip_tpu.server`.
+
+The reference has no deployment surface at all (serving = re-running its
+test.py over a dataset directory); `serve.Predictor` already packages the
+eval pipeline as a compiled-once batch API, and this module puts a
+production endpoint in front of it using only the standard library (the
+container ships no web framework, and none is needed — the handler is a
+thin request decoder around one Predictor call).
+
+Routes:
+
+- ``GET /healthz``  -> ``{"status": "ok", model, arch, n_classes, batch_size}``
+- ``GET /classes``  -> ``{"classes": [...]}``
+- ``POST /predict`` -> classification. Two request encodings:
+
+  * ``application/json`` (default): ``{"streams": [[[x, y, t, p], ...],
+    ...], "top_k": 1, "return_probs": false}``
+  * ``application/x-npz``: an ``np.savez`` archive whose arrays (any key
+    names; request order = sorted keys) are the ``[n, 4]`` float streams —
+    ~10x smaller on the wire than JSON for real sensor dumps.
+    ``top_k`` / ``return_probs`` ride the query string.
+
+  Response: ``{"label": [B], "names": [B], "topk": [B, k]}`` (+ ``"probs"``
+  [B, C] when requested), rows aligned with the request order.
+
+Bad inputs return 400 with the offending stream index in the message
+(Predictor validates per-stream); oversized bodies return 413. Requests are
+serialized through one lock — the Predictor holds a small fixed set of
+compiled programs and devices process one batch at a time anyway, so a
+queue in front of the chip is the throughput-optimal shape (batch multiple
+streams into ONE request to use it well; see serve.py's chunking).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_MAX_BODY = 512 * 1024 * 1024  # 512 MiB
+
+
+def resolve_class_names(params, classes_file: str = "",
+                        data_root: str = "") -> List[str]:
+    """Class names for the prompt head, without requiring a dataset tree.
+
+    Priority: an explicit one-name-per-line text file, else the class list
+    of the config's dataset rooted at ``data_root`` (same derivation as the
+    eval CLI: folder listing + rename tables, reference datasets/caltech.py
+    NEW_CNAMES / imagenet.py folder2name).
+    """
+    if classes_file:
+        with open(classes_file) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        if not names:
+            raise ValueError(f"no class names in {classes_file}")
+        return names
+    if data_root:
+        from .data.datasets import build_dataset
+
+        params.data_root = data_root
+        return list(build_dataset(params, val_only=True).classes)
+    raise ValueError("pass --classes <file> or --data_root <dataset dir> "
+                     "to define the label space")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set per-server via make_server (class attributes on a subclass)
+    predictor = None
+    lock: threading.Lock = None
+    max_body: int = DEFAULT_MAX_BODY
+    quiet: bool = True
+
+    # -- plumbing ------------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # pragma: no cover - log control
+        if not self.quiet:
+            super().log_message(fmt, *args)
+
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        self._send_json(code, {"error": message})
+
+    def _read_body(self) -> Optional[bytes]:
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._error(400, "bad Content-Length")
+            return None
+        if n <= 0:
+            self._error(400, "empty request body")
+            return None
+        if n > self.max_body:
+            self._error(413, f"body {n} bytes exceeds limit {self.max_body}")
+            return None
+        return self.rfile.read(n)
+
+    # -- request decoding ----------------------------------------------------
+
+    def _decode_predict(self, body: bytes):
+        """-> (streams, top_k, return_probs) or None (response already sent)."""
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        top_k = int(q.get("top_k", ["1"])[0])
+        return_probs = q.get("return_probs", ["0"])[0] not in ("0", "false", "")
+
+        ctype = (self.headers.get("Content-Type") or "application/json")
+        ctype = ctype.split(";")[0].strip().lower()
+        if ctype == "application/x-npz":
+            try:
+                with np.load(io.BytesIO(body)) as z:
+                    streams = [np.asarray(z[k], dtype=np.float32)
+                               for k in sorted(z.files)]
+            except Exception as err:
+                self._error(400, f"bad npz body: {err}")
+                return None
+            return streams, top_k, return_probs
+
+        try:
+            req = json.loads(body)
+        except json.JSONDecodeError as err:
+            self._error(400, f"bad JSON body: {err}")
+            return None
+        if not isinstance(req, dict) or "streams" not in req:
+            self._error(400, 'JSON body must be {"streams": [[[x,y,t,p],'
+                             '...], ...], "top_k": 1}')
+            return None
+        try:
+            streams = [np.asarray(s, dtype=np.float32)
+                       for s in req["streams"]]
+        except (TypeError, ValueError) as err:
+            self._error(400, f"streams must be numeric [n, 4] arrays: {err}")
+            return None
+        top_k = int(req.get("top_k", top_k))
+        return_probs = bool(req.get("return_probs", return_probs))
+        return streams, top_k, return_probs
+
+    # -- routes ----------------------------------------------------------------
+
+    def do_GET(self):
+        from urllib.parse import urlparse
+
+        route = urlparse(self.path).path
+        if route == "/healthz":
+            p = self.predictor
+            self._send_json(200, {
+                "status": "ok",
+                "model": p._cfg.model,
+                "arch": p._cfg.clip.name,
+                "n_classes": len(p.class_names),
+                "batch_size": p.batch_size,
+            })
+        elif route == "/classes":
+            self._send_json(200, {"classes": self.predictor.class_names})
+        else:
+            self._error(404, f"no route {route} (GET /healthz, GET /classes, "
+                             "POST /predict)")
+
+    def do_POST(self):
+        from urllib.parse import urlparse
+
+        route = urlparse(self.path).path
+        if route != "/predict":
+            self._error(404, f"no route {route} (POST /predict)")
+            return
+        body = self._read_body()
+        if body is None:
+            return
+        decoded = self._decode_predict(body)
+        if decoded is None:
+            return
+        streams, top_k, return_probs = decoded
+        try:
+            with self.lock:
+                out = self.predictor.predict(streams, top_k=top_k)
+        except ValueError as err:
+            # Predictor prefixes the offending index ("event_streams[i]: ...")
+            self._error(400, str(err))
+            return
+        resp = {
+            "label": out["label"].tolist(),
+            "names": out["names"],
+            "topk": out["topk"].tolist(),
+        }
+        if return_probs:
+            resp["probs"] = out["probs"].tolist()
+        self._send_json(200, resp)
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
+                max_body: int = DEFAULT_MAX_BODY,
+                quiet: bool = True) -> ThreadingHTTPServer:
+    """Bind an HTTP server around a built Predictor (port 0 = ephemeral)."""
+    handler = type("Handler", (_Handler,), {
+        "predictor": predictor,
+        "lock": threading.Lock(),
+        "max_body": max_body,
+        "quiet": quiet,
+    })
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    from .serve import Predictor
+    from .utils.config import load_params
+
+    ap = argparse.ArgumentParser(
+        description="EventCLIP-TPU HTTP serving endpoint")
+    ap.add_argument("--params", required=True,
+                    help="experiment config (same file the CLIs take)")
+    ap.add_argument("--weight", default="",
+                    help="checkpoint (.npz); required for trainable models")
+    ap.add_argument("--classes", default="",
+                    help="text file with one class name per line")
+    ap.add_argument("--data_root", default="",
+                    help="dataset root to derive class names from "
+                         "(alternative to --classes)")
+    ap.add_argument("--clip_ckpt", default="",
+                    help="OpenAI CLIP .pt checkpoint to convert/load")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch_size", type=int, default=32,
+                    help="compiled batch; requests are chunked/padded to it")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 tower (~1.3x encode)")
+    ap.add_argument("--prune_tokens", type=int, default=0,
+                    help="keep K highest-variance ViT tokens (stacks w/ int8)")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each compiled batch over all local devices")
+    ap.add_argument("--smoke", action="store_true",
+                    help="random CLIP weights (pipeline demo, no accuracy)")
+    ap.add_argument("--max_body_mb", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    params = load_params(args.params)
+    names = resolve_class_names(params, args.classes, args.data_root)
+    predictor = Predictor(
+        params, names, weight=args.weight,
+        clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
+        int8=args.int8, prune_tokens=args.prune_tokens,
+        batch_size=args.batch_size, data_parallel=args.data_parallel,
+    )
+    # compile before accepting traffic so the first request isn't a 30-500 s
+    # cold start: one warm-up predict through both compiled variants
+    h, w = predictor.resolution
+    warm = np.stack([
+        np.random.default_rng(0).integers(0, w, 4096).astype(np.float32),
+        np.random.default_rng(1).integers(0, h, 4096).astype(np.float32),
+        np.sort(np.random.default_rng(2).random(4096)).astype(np.float32),
+        np.where(np.random.default_rng(3).random(4096) < 0.5, -1.0, 1.0)
+        .astype(np.float32),
+    ], axis=1)
+    predictor.predict([warm])
+
+    server = make_server(predictor, args.host, args.port,
+                         max_body=args.max_body_mb * 1024 * 1024, quiet=False)
+    print(f"serving {params.model} ({params.clip_dict['arch']}) on "
+          f"http://{args.host}:{server.server_address[1]}  "
+          f"[{len(names)} classes, batch_size={predictor.batch_size}]",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover - interactive exit
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""HTTP serving endpoint (eventclip_tpu/server.py): route contracts and
+response/Predictor agreement. The reference has no serving surface; the
+library-level pipeline parity is covered by tests/test_serve.py — here we
+only verify the HTTP layer decodes/encodes faithfully."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from eventclip_tpu.serve import Predictor
+from eventclip_tpu.server import make_server, resolve_class_names
+from eventclip_tpu.utils.config import Params
+
+
+class _TinyZS(Params):
+    gpus = 1
+    dataset = "n_caltech"
+    data_root = "/nonexistent"  # serving never touches it
+    train_batch_size = 4
+    val_batch_size = 8
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method="event_count",
+        convert_method="event_histogram", grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = "ZSCLIP"
+    clip_dict = dict(arch="ViT-T/8@32",
+                     prompt="a point cloud image of a {}",
+                     agg_func="mean")
+    bf16 = False
+
+
+NAMES = ["airplanes", "ant", "brain"]
+
+
+def _streams(rng, n):
+    out = []
+    for _ in range(n):
+        k = 2500 + int(rng.integers(0, 2000))
+        out.append(np.stack([
+            rng.integers(0, 240, k),
+            rng.integers(0, 180, k),
+            np.sort(rng.uniform(0, 0.3, k)),
+            rng.choice([-1.0, 1.0], k),
+        ], axis=1).astype(np.float32))
+    return out
+
+
+@pytest.fixture(scope="module")
+def served():
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield pred, url
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body, ctype="application/json"):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_err(url, body, ctype="application/json"):
+    try:
+        _post(url, body, ctype)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+    raise AssertionError("expected an HTTP error")
+
+
+def test_healthz_and_classes(served):
+    _, url = served
+    code, h = _get(url + "/healthz")
+    assert code == 200
+    assert h["status"] == "ok" and h["model"] == "ZSCLIP"
+    assert h["arch"] == "ViT-T/8@32" and h["n_classes"] == 3
+    code, c = _get(url + "/classes")
+    assert code == 200 and c["classes"] == NAMES
+
+
+def test_predict_json_matches_predictor(served):
+    pred, url = served
+    streams = _streams(np.random.default_rng(3), 5)  # forces a padded chunk
+    body = json.dumps({
+        "streams": [s.tolist() for s in streams],
+        "top_k": 2, "return_probs": True,
+    }).encode()
+    code, resp = _post(url + "/predict", body)
+    assert code == 200
+    direct = pred.predict(streams, top_k=2)
+    assert resp["label"] == direct["label"].tolist()
+    assert resp["names"] == direct["names"]
+    assert resp["topk"] == direct["topk"].tolist()
+    np.testing.assert_allclose(np.asarray(resp["probs"]), direct["probs"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_predict_npz_matches_json(served):
+    pred, url = served
+    streams = _streams(np.random.default_rng(7), 3)
+    buf = io.BytesIO()
+    np.savez(buf, **{f"s{i}": s for i, s in enumerate(streams)})
+    code, resp = _post(url + "/predict?top_k=2", buf.getvalue(),
+                       ctype="application/x-npz")
+    assert code == 200
+    direct = pred.predict(streams, top_k=2)
+    assert resp["label"] == direct["label"].tolist()
+    assert resp["topk"] == direct["topk"].tolist()
+    assert "probs" not in resp  # not requested
+
+
+def test_probs_omitted_by_default(served):
+    _, url = served
+    streams = _streams(np.random.default_rng(9), 1)
+    body = json.dumps({"streams": [s.tolist() for s in streams]}).encode()
+    code, resp = _post(url + "/predict", body)
+    assert code == 200 and "probs" not in resp
+    assert len(resp["label"]) == 1 and len(resp["topk"][0]) == 1
+
+
+def test_bad_requests(served):
+    _, url = served
+    # malformed JSON
+    code, e = _post_err(url + "/predict", b"{not json")
+    assert code == 400 and "JSON" in e["error"]
+    # missing key
+    code, e = _post_err(url + "/predict", json.dumps({"x": 1}).encode())
+    assert code == 400 and "streams" in e["error"]
+    # empty stream inside a batch: 400 names the offending index
+    good = _streams(np.random.default_rng(1), 1)[0]
+    body = json.dumps(
+        {"streams": [good.tolist(), []]}).encode()
+    code, e = _post_err(url + "/predict", body)
+    assert code == 400 and "event_streams[1]" in e["error"]
+    # bad npz
+    code, e = _post_err(url + "/predict", b"\x00\x01",
+                        ctype="application/x-npz")
+    assert code == 400 and "npz" in e["error"]
+    # unknown route
+    try:
+        _get(url + "/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as err:
+        assert err.code == 404
+    # empty body
+    code, e = _post_err(url + "/predict", b"")
+    assert code == 400
+
+
+def test_body_size_limit():
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, max_body=64)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        body = json.dumps({"streams": [[[0, 0, 0.0, 1]] * 100]}).encode()
+        code, e = _post_err(url + "/predict", body)
+        assert code == 413
+    finally:
+        server.shutdown()
+
+
+def test_resolve_class_names_file(tmp_path):
+    f = tmp_path / "names.txt"
+    f.write_text("airplanes\nant\n\nbrain\n")
+    assert resolve_class_names(_TinyZS(), classes_file=str(f)) == NAMES
+    (tmp_path / "empty.txt").write_text("\n")
+    with pytest.raises(ValueError, match="no class names"):
+        resolve_class_names(_TinyZS(),
+                            classes_file=str(tmp_path / "empty.txt"))
+    with pytest.raises(ValueError, match="--classes"):
+        resolve_class_names(_TinyZS())
+
+
+def test_resolve_class_names_data_root(tmp_path):
+    import eventclip_tpu.data.datasets as ds
+
+    root = tmp_path / "tree"
+    for split in ("training", "testing"):
+        for cls in ("ant", "brain"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            ev = np.stack([
+                np.random.default_rng(0).integers(0, 240, 50),
+                np.random.default_rng(1).integers(0, 180, 50),
+                np.sort(np.random.default_rng(2).uniform(0, 0.3, 50)),
+                np.random.default_rng(3).choice([-1.0, 1.0], 50),
+            ], axis=1).astype(np.float32)
+            np.save(d / "a.npy", ev)
+    params = _TinyZS()
+    names = resolve_class_names(params, data_root=str(root))
+    assert names == ["ant", "brain"]
+    assert params.data_root == str(root)
