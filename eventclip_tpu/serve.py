@@ -230,8 +230,6 @@ class Predictor:
         Returns {'label': [B] int, 'names': [B] str, 'probs': [B, C] f32,
         'topk': [B, top_k] int} with rows aligned to the input order.
         """
-        import jax.numpy as jnp
-
         if not len(event_streams):
             n_cls = len(self.class_names)
             return {
@@ -250,8 +248,19 @@ class Predictor:
                     f"event_streams[{i}]: {err}"
                 ) from None
         wins, valids = zip(*pairs)
-        wins = np.stack(wins)      # [B, V, N, 3] int16
-        valids = np.stack(valids)  # [B, V]
+        return self.predict_windows(np.stack(wins), np.stack(valids),
+                                    top_k=top_k)
+
+    def predict_windows(
+        self, wins: np.ndarray, valids: np.ndarray, top_k: int = 1
+    ) -> Dict[str, Any]:
+        """Device phase on pre-gathered windows (`_windows` output, stacked).
+
+        Split out from predict() so request fusers (server.py's
+        micro-batcher) can validate/window each request on its own thread
+        and run ONE fused device batch for all of them.
+        """
+        import jax.numpy as jnp
 
         bs = self.batch_size
 
@@ -294,7 +303,7 @@ class Predictor:
         # before the next placement and forfeit the overlap
         probs = np.concatenate(
             [np.asarray(p) for p in probs_out]
-        )[: len(event_streams)]
+        )[: len(wins)]
 
         label = probs.argmax(-1)
         k = min(top_k, probs.shape[-1])

@@ -24,11 +24,12 @@ Routes:
   [B, C] when requested), rows aligned with the request order.
 
 Bad inputs return 400 with the offending stream index in the message
-(Predictor validates per-stream); oversized bodies return 413. Requests are
-serialized through one lock — the Predictor holds a small fixed set of
-compiled programs and devices process one batch at a time anyway, so a
-queue in front of the chip is the throughput-optimal shape (batch multiple
-streams into ONE request to use it well; see serve.py's chunking).
+(Predictor validates per-stream); oversized bodies return 413. By default
+requests are serialized through one lock — the device processes one batch
+at a time anyway, so batch multiple streams into ONE request to use it
+well. Under concurrent single-stream load, start with ``--microbatch_ms``:
+requests arriving within the window fuse into one device batch
+(MicroBatcher below), turning N serialized forwards into one.
 """
 
 from __future__ import annotations
@@ -43,6 +44,122 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 DEFAULT_MAX_BODY = 512 * 1024 * 1024  # 512 MiB
+
+
+class MicroBatcher:
+    """Fuses concurrent predict requests into one device batch.
+
+    Without it, N concurrent single-stream requests serialize through the
+    handler lock at ~one forward each; fused, they ride the same
+    throughput path a single N-stream request does (the chip processes a
+    [batch_size, ...] batch either way — bench.py measures the two
+    regimes ~6x apart at batch 32). The host half (validation + window
+    gathering) stays on each request's own handler thread; only the
+    device phase is fused.
+
+    A worker thread collects requests that arrive within ``max_wait_ms``
+    of the first pending one (or until ``max_streams`` are queued), runs
+    ONE ``Predictor.predict_windows`` call, and slices the probabilities
+    back per request. Per-request ``top_k`` is honored by recomputing the
+    cheap argsort on the host.
+    """
+
+    def __init__(self, predictor, max_wait_ms: float = 2.0,
+                 max_streams: Optional[int] = None):
+        self._pred = predictor
+        self._wait = max(float(max_wait_ms), 0.0) / 1e3
+        self._max = int(max_streams or 8 * predictor.batch_size)
+        self._cond = threading.Condition()
+        self._pending: list = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._worker.join(timeout=30)
+
+    def submit(self, event_streams, top_k: int = 1):
+        """Blocking predict through the fuser; same contract as
+        Predictor.predict (including the indexed ValueError on bad
+        streams, raised here before anything is enqueued)."""
+        if not len(event_streams):
+            return self._pred.predict([], top_k=top_k)
+        pairs = []
+        for i, e in enumerate(event_streams):
+            try:
+                pairs.append(self._pred._windows(e))
+            except (ValueError, AssertionError) as err:
+                raise ValueError(f"event_streams[{i}]: {err}") from None
+        req = _Request(
+            wins=np.stack([w for w, _ in pairs]),
+            valids=np.stack([v for _, v in pairs]),
+            top_k=top_k,
+        )
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._pending.append(req)
+            self._cond.notify_all()
+        req.done.wait()
+        if req.err is not None:
+            raise req.err
+        return req.result
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            with self._cond:
+                while not self._pending and not self._closed:
+                    self._cond.wait()
+                if not self._pending:  # closed and drained
+                    return
+                deadline = time.monotonic() + self._wait
+                while not self._closed:
+                    if sum(len(r.wins) for r in self._pending) >= self._max:
+                        break
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cond.wait(left)
+                batch, self._pending = self._pending, []
+            try:
+                out = self._pred.predict_windows(
+                    np.concatenate([r.wins for r in batch]),
+                    np.concatenate([r.valids for r in batch]),
+                )
+            except Exception as err:  # fail every fused request loudly
+                for r in batch:
+                    r.err = err
+                    r.done.set()
+                continue
+            ofs = 0
+            for r in batch:
+                n = len(r.wins)
+                probs = out["probs"][ofs:ofs + n]
+                label = probs.argmax(-1)
+                k = min(r.top_k, probs.shape[-1])
+                r.result = {
+                    "label": label,
+                    "names": [self._pred.class_names[i] for i in label],
+                    "probs": probs,
+                    "topk": np.argsort(-probs, axis=-1)[:, :k],
+                }
+                ofs += n
+                r.done.set()
+
+
+class _Request:
+    __slots__ = ("wins", "valids", "top_k", "result", "err", "done")
+
+    def __init__(self, wins, valids, top_k):
+        self.wins, self.valids, self.top_k = wins, valids, top_k
+        self.result = None
+        self.err: Optional[Exception] = None
+        self.done = threading.Event()
 
 
 def resolve_class_names(params, classes_file: str = "",
@@ -72,6 +189,7 @@ def resolve_class_names(params, classes_file: str = "",
 class _Handler(BaseHTTPRequestHandler):
     # set per-server via make_server (class attributes on a subclass)
     predictor = None
+    batcher: Optional[MicroBatcher] = None
     lock: threading.Lock = None
     max_body: int = DEFAULT_MAX_BODY
     quiet: bool = True
@@ -184,8 +302,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         streams, top_k, return_probs = decoded
         try:
-            with self.lock:
-                out = self.predictor.predict(streams, top_k=top_k)
+            if self.batcher is not None:
+                # concurrent requests fuse into one device batch; the host
+                # half runs on this handler thread
+                out = self.batcher.submit(streams, top_k=top_k)
+            else:
+                with self.lock:
+                    out = self.predictor.predict(streams, top_k=top_k)
         except ValueError as err:
             # Predictor prefixes the offending index ("event_streams[i]: ...")
             self._error(400, str(err))
@@ -202,15 +325,34 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 max_body: int = DEFAULT_MAX_BODY,
-                quiet: bool = True) -> ThreadingHTTPServer:
-    """Bind an HTTP server around a built Predictor (port 0 = ephemeral)."""
+                quiet: bool = True,
+                microbatch_ms: float = 0.0) -> ThreadingHTTPServer:
+    """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
+
+    microbatch_ms > 0 fuses concurrent requests into one device batch
+    (MicroBatcher); the batcher is exposed as ``server.batcher`` and
+    closed automatically by ``server.shutdown``.
+    """
+    batcher = MicroBatcher(predictor, microbatch_ms) if microbatch_ms > 0 \
+        else None
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
+        "batcher": batcher,
         "lock": threading.Lock(),
         "max_body": max_body,
         "quiet": quiet,
     })
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher
+    if batcher is not None:
+        inner = server.shutdown
+
+        def shutdown():
+            inner()
+            batcher.close()
+
+        server.shutdown = shutdown
+    return server
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -242,6 +384,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="shard each compiled batch over all local devices")
     ap.add_argument("--smoke", action="store_true",
                     help="random CLIP weights (pipeline demo, no accuracy)")
+    ap.add_argument("--microbatch_ms", type=float, default=0.0,
+                    help="fuse requests arriving within this window into "
+                         "one device batch (0 = off; 2-5 ms is a good "
+                         "start under concurrent single-stream load)")
     ap.add_argument("--max_body_mb", type=int, default=512)
     args = ap.parse_args(argv)
 
@@ -266,7 +412,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     predictor.predict([warm])
 
     server = make_server(predictor, args.host, args.port,
-                         max_body=args.max_body_mb * 1024 * 1024, quiet=False)
+                         max_body=args.max_body_mb * 1024 * 1024,
+                         quiet=False, microbatch_ms=args.microbatch_ms)
     print(f"serving {params.model} ({params.clip_dict['arch']}) on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",

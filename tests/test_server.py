@@ -175,6 +175,102 @@ def test_body_size_limit():
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def batched_served():
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, microbatch_ms=25.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield pred, url, server
+    server.shutdown()
+
+
+def test_microbatch_fuses_and_matches_direct(batched_served):
+    pred, url, server = batched_served
+    streams = _streams(np.random.default_rng(11), 6)
+    direct = [pred.predict([s], top_k=2) for s in streams]
+
+    # count device-phase calls to prove fusion actually happens
+    calls = []
+    inner = pred.predict_windows
+    pred.predict_windows = lambda *a, **kw: (calls.append(1),
+                                             inner(*a, **kw))[1]
+    try:
+        results = [None] * len(streams)
+
+        def fire(i):
+            body = json.dumps({"streams": [streams[i].tolist()],
+                               "top_k": 2}).encode()
+            results[i] = _post(url + "/predict", body)
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(streams))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        pred.predict_windows = inner
+
+    for i, (code, resp) in enumerate(results):
+        assert code == 200
+        assert resp["label"] == direct[i]["label"].tolist()
+        assert resp["names"] == direct[i]["names"]
+        assert resp["topk"] == direct[i]["topk"].tolist()
+    # 6 concurrent requests within a 25 ms window must not take 6 forwards
+    assert len(calls) < len(streams)
+
+
+def test_microbatch_bad_stream_fails_only_its_request(batched_served):
+    _, url, _ = batched_served
+    good = _streams(np.random.default_rng(13), 1)[0]
+    ok = {}
+    bad = {}
+
+    def fire_ok():
+        body = json.dumps({"streams": [good.tolist()]}).encode()
+        ok["resp"] = _post(url + "/predict", body)
+
+    def fire_bad():
+        body = json.dumps({"streams": [[]]}).encode()
+        bad["resp"] = _post_err(url + "/predict", body)
+
+    threads = [threading.Thread(target=fire_ok),
+               threading.Thread(target=fire_bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert ok["resp"][0] == 200 and len(ok["resp"][1]["label"]) == 1
+    assert bad["resp"][0] == 400
+    assert "event_streams[0]" in bad["resp"][1]["error"]
+
+
+def test_microbatcher_direct_api():
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    mb = MicroBatcher(pred, max_wait_ms=5.0)
+    try:
+        streams = _streams(np.random.default_rng(17), 3)
+        out = mb.submit(streams, top_k=2)
+        direct = pred.predict(streams, top_k=2)
+        np.testing.assert_array_equal(out["label"], direct["label"])
+        np.testing.assert_allclose(out["probs"], direct["probs"],
+                                   rtol=1e-5, atol=1e-6)
+        assert out["topk"].shape == (3, 2)
+        # empty request short-circuits
+        empty = mb.submit([], top_k=1)
+        assert empty["probs"].shape == (0, 3)
+        with pytest.raises(ValueError, match=r"event_streams\[1\]"):
+            mb.submit([streams[0], np.zeros((0, 4), np.float32)])
+    finally:
+        mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(streams)
+
+
 def test_resolve_class_names_file(tmp_path):
     f = tmp_path / "names.txt"
     f.write_text("airplanes\nant\n\nbrain\n")
