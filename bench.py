@@ -745,6 +745,39 @@ def _serve_latency(bench, rng, arch):
                  "streams/s",
                  f"{req_bs}-stream request, batch_size={req_bs}, {arch}")
 
+    # microbatched concurrent load: req_bs threads each submit ONE stream;
+    # the fuser turns them into fused device batches instead of req_bs
+    # serialized forwards (~1/p50 each). Uses the same batch_size=req_bs
+    # predictor, so the headroom vs the row above is pure fusion overhead.
+    import threading
+
+    from eventclip_tpu.server import MicroBatcher
+
+    mb = MicroBatcher(thr, max_wait_ms=5.0)
+    try:
+        singles = [[s] for s in req]
+
+        def fire_all():
+            ts = [threading.Thread(target=mb.submit, args=(s,))
+                  for s in singles]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join()
+
+        fire_all()  # warm (packed-K variants may compile here)
+        t = time.time()
+        n_iters = max(reps // 4, 1)
+        for _ in range(n_iters):
+            fire_all()
+        dt = (time.time() - t) / n_iters
+        bench.record("serve_microbatch_streams_per_sec", len(req) / dt,
+                     "streams/s",
+                     f"{req_bs} concurrent 1-stream requests fused by "
+                     f"MicroBatcher(5 ms), batch_size={req_bs}, {arch}")
+    finally:
+        mb.close()
+
 
 if __name__ == "__main__":
     main()
