@@ -384,12 +384,20 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="shard each compiled batch over all local devices")
     ap.add_argument("--smoke", action="store_true",
                     help="random CLIP weights (pipeline demo, no accuracy)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="serve on CPU (debug; env vars alone cannot switch "
+                         "platforms once jax is imported)")
     ap.add_argument("--microbatch_ms", type=float, default=0.0,
                     help="fuse requests arriving within this window into "
                          "one device batch (0 = off; 2-5 ms is a good "
                          "start under concurrent single-stream load)")
     ap.add_argument("--max_body_mb", type=int, default=512)
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     params = load_params(args.params)
     names = resolve_class_names(params, args.classes, args.data_root)

@@ -694,3 +694,91 @@ def test_hard_kill_mid_training_resumes_cleanly(tree, tmp_path):
     assert len({rec["run_id"] for rec in recs if "run_id" in rec}) == 1
     assert os.path.exists(os.path.join(ckpt_base, "fsclip_tiny_params",
                                        "models", "best.npz"))
+
+
+ZS_SERVER_CONFIG = """
+from eventclip_tpu.utils.config import Params
+
+
+class EventCLIPParams(Params):
+    gpus = 1
+    dataset = 'n_caltech'
+    data_root = '/nonexistent'
+    train_batch_size = 4
+    val_batch_size = 8
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method='event_count',
+        convert_method='event_histogram', grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = 'ZSCLIP'
+    clip_dict = dict(arch='ViT-T/8@32',
+                     prompt='a point cloud image of a {}',
+                     agg_func='mean')
+    bf16 = False
+"""
+
+
+@pytest.mark.e2e
+def test_server_cli(tmp_path):
+    """`python -m eventclip_tpu.server`: the deployment entry point comes
+    up from a config file + class list, serves /healthz and /predict over
+    real HTTP with micro-batching on, and answers correctly-shaped JSON.
+    (The in-process HTTP layer is covered by tests/test_server.py; this
+    pins the argparse/warm-up/ready-line path a user actually runs.)"""
+    import time
+    import urllib.request
+
+    cfg = tmp_path / "zs_tiny_params.py"
+    cfg.write_text(ZS_SERVER_CONFIG)
+    names = tmp_path / "names.txt"
+    names.write_text("airplanes\nant\nbrain\n")
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1-device CPU
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "eventclip_tpu.server",
+         "--params", str(cfg), "--classes", str(names), "--smoke",
+         "--cpu", "--batch_size", "4", "--port", "0",
+         "--microbatch_ms", "5"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # the ready line prints AFTER the warm-up predict compiles
+        deadline = time.time() + 600
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving ZSCLIP" in line:
+                break
+            assert proc.poll() is None, "server exited before ready"
+        else:
+            pytest.fail("never saw the ready line")
+        port = int(line.split("http://127.0.0.1:")[1].split()[0])
+        url = f"http://127.0.0.1:{port}"
+
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["n_classes"] == 3
+
+        rng = np.random.default_rng(0)
+        k = 2500
+        stream = np.stack([
+            rng.integers(0, 240, k), rng.integers(0, 180, k),
+            np.sort(rng.uniform(0, 0.3, k)), rng.choice([-1.0, 1.0], k),
+        ], axis=1)
+        body = json.dumps({"streams": [stream.tolist()],
+                           "top_k": 2}).encode()
+        req = urllib.request.Request(
+            url + "/predict", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            resp = json.loads(r.read())
+        assert len(resp["label"]) == 1
+        assert resp["names"][0] in ("airplanes", "ant", "brain")
+        assert len(resp["topk"][0]) == 2
+    finally:
+        proc.kill()
+        proc.wait(timeout=60)
