@@ -313,6 +313,9 @@ class _Handler(BaseHTTPRequestHandler):
             # Predictor prefixes the offending index ("event_streams[i]: ...")
             self._error(400, str(err))
             return
+        except Exception as err:  # device/runtime failure: JSON 500, not a
+            self._error(500, f"{type(err).__name__}: {err}")  # dropped conn
+            return
         resp = {
             "label": out["label"].tolist(),
             "names": out["names"],

@@ -302,3 +302,23 @@ def test_resolve_class_names_data_root(tmp_path):
     names = resolve_class_names(params, data_root=str(root))
     assert names == ["ant", "brain"]
     assert params.data_root == str(root)
+
+
+def test_unexpected_predictor_error_returns_500(served):
+    pred, url = served
+    streams = _streams(np.random.default_rng(23), 1)
+    body = json.dumps({"streams": [s.tolist() for s in streams]}).encode()
+    inner = pred.predict
+
+    def boom(*a, **kw):
+        raise RuntimeError("device fell over")
+
+    pred.predict = boom
+    try:
+        code, e = _post_err(url + "/predict", body)
+    finally:
+        pred.predict = inner
+    assert code == 500 and "device fell over" in e["error"]
+    # server still alive afterwards
+    code, resp = _post(url + "/predict", body)
+    assert code == 200 and len(resp["label"]) == 1
