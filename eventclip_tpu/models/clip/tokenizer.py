@@ -13,8 +13,11 @@ assets/bpe_simple_vocab_16e6.txt.gz; tests exercise the algorithm with a
 synthetic merge table.
 
 Note: the reference additionally runs ftfy.fix_text; for the ASCII class
-names and prompt templates used by every dataset this is a no-op, so it is
-intentionally omitted (ftfy is not a dependency).
+names and prompt templates used by every dataset this is a no-op. Its one
+effect that can matter for user-supplied names — NFC unicode normalization
+— is applied in `_clean`; the remaining ftfy behavior (mojibake repair of
+already-corrupted text) is intentionally omitted (ftfy is not a
+dependency, and no dataset ships corrupted names).
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ import functools
 import gzip
 import html
 import os
+import unicodedata
 from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
@@ -66,6 +70,9 @@ def bytes_to_unicode() -> Dict[int, str]:
 
 
 def _clean(text: str) -> str:
+    # NFC first, like ftfy.fix_text's default normalization — composed and
+    # decomposed accents must map to the same BPE bytes
+    text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip()

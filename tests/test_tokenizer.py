@@ -81,3 +81,14 @@ def test_tokenize_truncation(tok):
     arr = tokenize([long], tok, context_length=8, truncate=True)
     assert arr.shape == (1, 8)
     assert arr[0, -1] == tok.encoder[EOT]
+
+
+def test_nfc_normalization(tok):
+    # composed (U+00E9) and decomposed (e + U+0301) spellings must encode
+    # identically — ftfy.fix_text in the reference applies NFC; _clean does
+    import unicodedata
+
+    composed = "caf\u00e9"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # really two spellings
+    assert tok.encode(composed) == tok.encode(decomposed)
