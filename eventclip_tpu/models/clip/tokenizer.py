@@ -70,10 +70,12 @@ def bytes_to_unicode() -> Dict[int, str]:
 
 
 def _clean(text: str) -> str:
-    # NFC first, like ftfy.fix_text's default normalization — composed and
-    # decomposed accents must map to the same BPE bytes
-    text = unicodedata.normalize("NFC", text)
+    # NFC AFTER unescaping (ftfy.fix_text's effective order): an
+    # HTML-entity combining mark ("cafe&#769;") only becomes composable
+    # once the entity expands, so normalizing first would leave it
+    # decomposed — the exact divergence NFC is here to prevent
     text = html.unescape(html.unescape(text))
+    text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip()
 

@@ -237,8 +237,15 @@ class Predictor:
                 "probs": np.zeros((0, n_cls), np.float32),
                 "topk": np.zeros((0, min(top_k, n_cls)), np.int64),
             }
-        # validate per-stream up front so batch callers learn WHICH input
-        # was bad, not just that one was
+        wins, valids = self.gather_windows(event_streams)
+        return self.predict_windows(wins, valids, top_k=top_k)
+
+    def gather_windows(self, event_streams) -> tuple:
+        """Host half: validate + window every stream -> stacked
+        ([B, V, N, 3] int16, [B, V] bool). Validates per-stream up front so
+        batch callers learn WHICH input was bad, not just that one was.
+        Shared by predict() and server.py's MicroBatcher (which runs this
+        on each request's own thread and fuses only the device phase)."""
         pairs = []
         for i, e in enumerate(event_streams):
             try:
@@ -248,8 +255,7 @@ class Predictor:
                     f"event_streams[{i}]: {err}"
                 ) from None
         wins, valids = zip(*pairs)
-        return self.predict_windows(np.stack(wins), np.stack(valids),
-                                    top_k=top_k)
+        return np.stack(wins), np.stack(valids)
 
     def predict_windows(
         self, wins: np.ndarray, valids: np.ndarray, top_k: int = 1

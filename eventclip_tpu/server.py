@@ -16,9 +16,10 @@ Routes:
   * ``application/json`` (default): ``{"streams": [[[x, y, t, p], ...],
     ...], "top_k": 1, "return_probs": false}``
   * ``application/x-npz``: an ``np.savez`` archive whose arrays (any key
-    names; request order = sorted keys) are the ``[n, 4]`` float streams —
-    ~10x smaller on the wire than JSON for real sensor dumps.
-    ``top_k`` / ``return_probs`` ride the query string.
+    names; request order = the order the arrays were saved in) are the
+    ``[n, 4]`` float streams — ~10x smaller on the wire than JSON for
+    real sensor dumps. ``top_k`` / ``return_probs`` ride the query
+    string.
 
   Response: ``{"label": [B], "names": [B], "topk": [B, k]}`` (+ ``"probs"``
   [B, C] when requested), rows aligned with the request order.
@@ -57,17 +58,25 @@ class MicroBatcher:
     gathering) stays on each request's own handler thread; only the
     device phase is fused.
 
-    A worker thread collects requests that arrive within ``max_wait_ms``
-    of the first pending one (or until ``max_streams`` are queued), runs
-    ONE ``Predictor.predict_windows`` call, and slices the probabilities
-    back per request. Per-request ``top_k`` is honored by recomputing the
-    cheap argsort on the host.
+    A worker thread collects pending requests adaptively: it keeps
+    waiting while new requests are still arriving (each quiet
+    ``idle_gap_ms`` with no arrival closes the batch) up to a hard
+    ``max_wait_ms`` cap or ``max_streams`` total, then runs ONE
+    ``Predictor.predict_windows`` call and slices the probabilities back
+    per request. A lone request therefore waits only ~idle_gap_ms, while
+    a burst whose arrivals straggle (host windowing runs on each
+    request's own thread) still fuses into one batch instead of
+    splitting at a fixed window. Per-request ``top_k`` is honored by
+    recomputing the cheap argsort on the host.
     """
 
     def __init__(self, predictor, max_wait_ms: float = 2.0,
-                 max_streams: Optional[int] = None):
+                 max_streams: Optional[int] = None,
+                 idle_gap_ms: Optional[float] = None):
         self._pred = predictor
         self._wait = max(float(max_wait_ms), 0.0) / 1e3
+        self._gap = (max(float(idle_gap_ms), 0.0) / 1e3
+                     if idle_gap_ms is not None else self._wait / 4)
         self._max = int(max_streams or 8 * predictor.batch_size)
         self._cond = threading.Condition()
         self._pending: list = []
@@ -87,17 +96,8 @@ class MicroBatcher:
         streams, raised here before anything is enqueued)."""
         if not len(event_streams):
             return self._pred.predict([], top_k=top_k)
-        pairs = []
-        for i, e in enumerate(event_streams):
-            try:
-                pairs.append(self._pred._windows(e))
-            except (ValueError, AssertionError) as err:
-                raise ValueError(f"event_streams[{i}]: {err}") from None
-        req = _Request(
-            wins=np.stack([w for w, _ in pairs]),
-            valids=np.stack([v for _, v in pairs]),
-            top_k=top_k,
-        )
+        wins, valids = self._pred.gather_windows(event_streams)
+        req = _Request(wins=wins, valids=valids, top_k=int(top_k))
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -118,13 +118,17 @@ class MicroBatcher:
                 if not self._pending:  # closed and drained
                     return
                 deadline = time.monotonic() + self._wait
-                while not self._closed:
-                    if sum(len(r.wins) for r in self._pending) >= self._max:
-                        break
+                seen = sum(len(r.wins) for r in self._pending)
+                while not self._closed and seen < self._max:
                     left = deadline - time.monotonic()
                     if left <= 0:
                         break
-                    self._cond.wait(left)
+                    self._cond.wait(min(left, self._gap) if self._gap > 0
+                                    else left)
+                    now = sum(len(r.wins) for r in self._pending)
+                    if now == seen:  # a full idle gap with no arrival
+                        break
+                    seen = now
                 batch, self._pending = self._pending, []
             try:
                 out = self._pred.predict_windows(
@@ -136,20 +140,27 @@ class MicroBatcher:
                     r.err = err
                     r.done.set()
                 continue
+            # per-request distribution: one bad request (exotic top_k etc.)
+            # must fail only itself, never kill the worker thread — a dead
+            # worker would hang every queued and future submit forever
             ofs = 0
             for r in batch:
                 n = len(r.wins)
-                probs = out["probs"][ofs:ofs + n]
-                label = probs.argmax(-1)
-                k = min(r.top_k, probs.shape[-1])
-                r.result = {
-                    "label": label,
-                    "names": [self._pred.class_names[i] for i in label],
-                    "probs": probs,
-                    "topk": np.argsort(-probs, axis=-1)[:, :k],
-                }
-                ofs += n
-                r.done.set()
+                try:
+                    probs = out["probs"][ofs:ofs + n]
+                    label = probs.argmax(-1)
+                    k = min(int(r.top_k), probs.shape[-1])
+                    r.result = {
+                        "label": label,
+                        "names": [self._pred.class_names[i] for i in label],
+                        "probs": probs,
+                        "topk": np.argsort(-probs, axis=-1)[:, :k],
+                    }
+                except Exception as err:
+                    r.err = err
+                finally:
+                    ofs += n
+                    r.done.set()
 
 
 class _Request:
@@ -232,16 +243,24 @@ class _Handler(BaseHTTPRequestHandler):
         from urllib.parse import parse_qs, urlparse
 
         q = parse_qs(urlparse(self.path).query)
-        top_k = int(q.get("top_k", ["1"])[0])
-        return_probs = q.get("return_probs", ["0"])[0] not in ("0", "false", "")
+        try:
+            top_k = int(q.get("top_k", ["1"])[0])
+        except (TypeError, ValueError):
+            self._error(400, "top_k must be an integer")
+            return None
+        return_probs = (q.get("return_probs", ["0"])[0].strip().lower()
+                        not in ("0", "false", ""))
 
         ctype = (self.headers.get("Content-Type") or "application/json")
         ctype = ctype.split(";")[0].strip().lower()
         if ctype == "application/x-npz":
             try:
                 with np.load(io.BytesIO(body)) as z:
+                    # archive insertion order IS the request order (np.savez
+                    # writes arrays in call order; sorting would scramble
+                    # arr_10 before arr_2 for positionally-saved streams)
                     streams = [np.asarray(z[k], dtype=np.float32)
-                               for k in sorted(z.files)]
+                               for k in z.files]
             except Exception as err:
                 self._error(400, f"bad npz body: {err}")
                 return None
@@ -262,7 +281,11 @@ class _Handler(BaseHTTPRequestHandler):
         except (TypeError, ValueError) as err:
             self._error(400, f"streams must be numeric [n, 4] arrays: {err}")
             return None
-        top_k = int(req.get("top_k", top_k))
+        try:
+            top_k = int(req.get("top_k", top_k))
+        except (TypeError, ValueError):
+            self._error(400, "top_k must be an integer")
+            return None
         return_probs = bool(req.get("return_probs", return_probs))
         return streams, top_k, return_probs
 
@@ -358,6 +381,37 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     return server
 
 
+def _warm_up(predictor) -> None:
+    """Compile every program a request can select BEFORE accepting traffic
+    (remote-TPU compiles take 30-500 s; an on-request compile looks like an
+    outage). With view packing on, the compiled set is exactly one
+    step_packed per bucket K — warm each by crafting a batch whose valid
+    view count hits that bucket. Without packing there is one padded step."""
+    rng = np.random.default_rng(0)
+    h, w = predictor.resolution
+
+    def stream(n_views: int) -> np.ndarray:
+        n = max(predictor.window * n_views, 1)
+        return np.stack([
+            rng.integers(0, w, n), rng.integers(0, h, n),
+            np.sort(rng.random(n)), np.where(rng.random(n) < 0.5, -1.0, 1.0),
+        ], axis=1).astype(np.float32)
+
+    budget = predictor.views
+    buckets = predictor._buckets or []
+    if not buckets:
+        predictor.predict([stream(budget)])  # the one padded program
+        return
+    total = predictor.batch_size * budget
+    for i, k in enumerate(buckets):
+        print(f"warm-up: compiling bucket {i + 1}/{len(buckets)} "
+              f"(K={k})...", flush=True)
+        want = min(k, total)  # top bucket may round up past B*T slots
+        full, rem = divmod(want, budget)
+        views = [budget] * full + ([rem] if rem else [])
+        predictor.predict([stream(v) for v in views[: predictor.batch_size]])
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     from .serve import Predictor
     from .utils.config import load_params
@@ -410,17 +464,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         int8=args.int8, prune_tokens=args.prune_tokens,
         batch_size=args.batch_size, data_parallel=args.data_parallel,
     )
-    # compile before accepting traffic so the first request isn't a 30-500 s
-    # cold start: one warm-up predict through both compiled variants
-    h, w = predictor.resolution
-    warm = np.stack([
-        np.random.default_rng(0).integers(0, w, 4096).astype(np.float32),
-        np.random.default_rng(1).integers(0, h, 4096).astype(np.float32),
-        np.sort(np.random.default_rng(2).random(4096)).astype(np.float32),
-        np.where(np.random.default_rng(3).random(4096) < 0.5, -1.0, 1.0)
-        .astype(np.float32),
-    ], axis=1)
-    predictor.predict([warm])
+    _warm_up(predictor)
 
     server = make_server(predictor, args.host, args.port,
                          max_body=args.max_body_mb * 1024 * 1024,

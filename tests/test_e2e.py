@@ -746,16 +746,29 @@ def test_server_cli(tmp_path):
         text=True,
     )
     try:
-        # the ready line prints AFTER the warm-up predict compiles
+        # the ready line prints AFTER the warm-up predict compiles; read on
+        # a helper thread so a wedged (silent, never-exiting) server still
+        # fails at the deadline instead of blocking readline() forever
+        import queue
+        import threading
+
+        lines = queue.Queue()
+
+        def _pump():
+            for ln in proc.stdout:
+                lines.put(ln)
+
+        threading.Thread(target=_pump, daemon=True).start()
         deadline = time.time() + 600
         line = ""
-        while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "serving ZSCLIP" in line:
-                break
+        while "serving ZSCLIP" not in line:
             assert proc.poll() is None, "server exited before ready"
-        else:
-            pytest.fail("never saw the ready line")
+            try:
+                line = lines.get(
+                    timeout=max(0.1, min(5.0, deadline - time.time())))
+            except queue.Empty:
+                if time.time() >= deadline:
+                    pytest.fail("never saw the ready line")
         port = int(line.split("http://127.0.0.1:")[1].split()[0])
         url = f"http://127.0.0.1:{port}"
 

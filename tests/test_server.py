@@ -322,3 +322,54 @@ def test_unexpected_predictor_error_returns_500(served):
     # server still alive afterwards
     code, resp = _post(url + "/predict", body)
     assert code == 200 and len(resp["label"]) == 1
+
+
+def test_microbatcher_adaptive_gap_lone_request_fast():
+    from eventclip_tpu.server import MicroBatcher
+
+    import time
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    s = _streams(np.random.default_rng(29), 1)
+    pred.predict(s)  # compile/warm the shared programs first
+    # cap is 30 s; the adaptive idle gap must close a lone request's batch
+    # after ~50 ms of quiet, never the cap
+    mb = MicroBatcher(pred, max_wait_ms=30_000.0, idle_gap_ms=50.0)
+    try:
+        t0 = time.monotonic()
+        out = mb.submit(s)
+        dt = time.monotonic() - t0
+        assert len(out["label"]) == 1
+        assert dt < 10.0, f"lone request waited {dt:.1f}s (cap leak)"
+    finally:
+        mb.close()
+
+
+def test_npz_positional_keys_preserve_request_order(served):
+    # np.savez(buf, *streams) names arrays arr_0..arr_11; sorted() would
+    # scramble arr_10 before arr_2 — the decode must use archive order
+    pred, url = served
+    streams = _streams(np.random.default_rng(31), 12)
+    buf = io.BytesIO()
+    np.savez(buf, *streams)
+    code, resp = _post(url + "/predict", buf.getvalue(),
+                       ctype="application/x-npz")
+    assert code == 200
+    direct = pred.predict(streams)
+    assert resp["label"] == direct["label"].tolist()
+
+
+def test_bad_top_k_returns_400(served):
+    _, url = served
+    s = _streams(np.random.default_rng(37), 1)[0]
+    code, e = _post_err(url + "/predict?top_k=abc",
+                        json.dumps({"streams": [s.tolist()]}).encode())
+    assert code == 400 and "top_k" in e["error"]
+    code, e = _post_err(
+        url + "/predict",
+        json.dumps({"streams": [s.tolist()], "top_k": None}).encode())
+    assert code == 400 and "top_k" in e["error"]
+    # str(False) query spelling must NOT enable probs
+    code, resp = _post(url + "/predict?return_probs=False",
+                       json.dumps({"streams": [s.tolist()]}).encode())
+    assert code == 200 and "probs" not in resp

@@ -92,3 +92,5 @@ def test_nfc_normalization(tok):
     decomposed = unicodedata.normalize("NFD", composed)
     assert composed != decomposed  # really two spellings
     assert tok.encode(composed) == tok.encode(decomposed)
+    # entity-encoded combining mark: must compose AFTER html.unescape
+    assert tok.encode(composed) == tok.encode("cafe&#769;")
