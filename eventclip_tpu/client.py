@@ -1,0 +1,89 @@
+"""Client for the eventclip_tpu HTTP serving endpoint (server.py).
+
+Stdlib-only, mirrors the server's request encodings so callers never
+hand-roll them: predictions travel as ``application/x-npz`` bodies (one
+array per stream, archive order = request order — ~10x smaller on the
+wire than JSON for real sensor dumps).
+
+Example:
+    from eventclip_tpu.client import ServingClient
+    c = ServingClient("http://tpu-host:8000")
+    c.health()                      # {'status': 'ok', ...}
+    out = c.predict(event_arrays)   # {'label', 'names', 'probs'?, 'topk'}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.error
+import urllib.request
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+
+class ServingError(RuntimeError):
+    """An HTTP error from the serving endpoint, with its decoded message."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+        self.message = message
+
+
+class ServingClient:
+    def __init__(self, base_url: str, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    # -- plumbing --------------------------------------------------------------
+
+    def _request(self, path: str, data: bytes = None,
+                 ctype: str = "") -> Dict[str, Any]:
+        req = urllib.request.Request(
+            self.base_url + path, data=data,
+            headers={"Content-Type": ctype} if ctype else {},
+            method="POST" if data is not None else "GET",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as err:
+            try:
+                message = json.loads(err.read()).get("error", str(err))
+            except Exception:
+                message = str(err)
+            raise ServingError(err.code, message) from None
+
+    # -- API -------------------------------------------------------------------
+
+    def health(self) -> Dict[str, Any]:
+        return self._request("/healthz")
+
+    def classes(self) -> List[str]:
+        return self._request("/classes")["classes"]
+
+    def predict(self, event_streams: Sequence[np.ndarray], top_k: int = 1,
+                return_probs: bool = False) -> Dict[str, Any]:
+        """Classify raw event streams ([n, 4] float x/y/t/p arrays).
+
+        Returns {'label': [B] int array, 'names': [B] str list,
+        'topk': [B, k] int array} (+ 'probs' [B, C] f32 when requested),
+        rows aligned with the input order — the same contract as
+        serve.Predictor.predict.
+        """
+        buf = io.BytesIO()
+        np.savez(buf, *[np.asarray(s, dtype=np.float32)
+                        for s in event_streams])
+        q = f"?top_k={int(top_k)}&return_probs={1 if return_probs else 0}"
+        resp = self._request("/predict" + q, data=buf.getvalue(),
+                             ctype="application/x-npz")
+        out = {
+            "label": np.asarray(resp["label"], dtype=np.int64),
+            "names": resp["names"],
+            "topk": np.asarray(resp["topk"], dtype=np.int64),
+        }
+        if return_probs:
+            out["probs"] = np.asarray(resp["probs"], dtype=np.float32)
+        return out

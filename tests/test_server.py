@@ -373,3 +373,25 @@ def test_bad_top_k_returns_400(served):
     code, resp = _post(url + "/predict?return_probs=False",
                        json.dumps({"streams": [s.tolist()]}).encode())
     assert code == 200 and "probs" not in resp
+
+
+def test_serving_client(served):
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred, url = served
+    c = ServingClient(url)
+    assert c.health()["status"] == "ok"
+    assert c.classes() == NAMES
+    streams = _streams(np.random.default_rng(41), 5)
+    out = c.predict(streams, top_k=2, return_probs=True)
+    direct = pred.predict(streams, top_k=2)
+    np.testing.assert_array_equal(out["label"], direct["label"])
+    assert out["names"] == direct["names"]
+    np.testing.assert_array_equal(out["topk"], direct["topk"])
+    np.testing.assert_allclose(out["probs"], direct["probs"],
+                               rtol=1e-5, atol=1e-6)
+    out = c.predict(streams[:1])
+    assert "probs" not in out and out["label"].shape == (1,)
+    # server-side validation surfaces as ServingError with the index
+    with pytest.raises(ServingError, match=r"event_streams\[1\]"):
+        c.predict([streams[0], np.zeros((0, 4), np.float32)])
