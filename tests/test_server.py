@@ -395,3 +395,25 @@ def test_serving_client(served):
     # server-side validation surfaces as ServingError with the index
     with pytest.raises(ServingError, match=r"event_streams\[1\]"):
         c.predict([streams[0], np.zeros((0, 4), np.float32)])
+
+
+def test_warm_up_exercises_every_bucket(monkeypatch):
+    import eventclip_tpu.data.loader as loader
+    from eventclip_tpu.server import _warm_up
+
+    # batch 16 x 2 views -> buckets {8, 16, 24, 32} (align 8)
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=16)
+    assert len(pred._buckets) > 1, "geometry must yield multiple buckets"
+    seen = []
+    orig = loader.pack_view_batch
+
+    def spy(batch, buckets):
+        out = orig(batch, buckets)
+        if "view_src" in out:
+            seen.append(int(out["windows"].shape[0]))
+        return out
+
+    monkeypatch.setattr(loader, "pack_view_batch", spy)
+    _warm_up(pred)
+    assert set(seen) == set(pred._buckets), (seen, pred._buckets)
