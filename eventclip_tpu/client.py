@@ -64,6 +64,10 @@ class ServingClient:
     def classes(self) -> List[str]:
         return self._request("/classes")["classes"]
 
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters + rolling latency percentiles (GET /statz)."""
+        return self._request("/statz")
+
     def predict(self, event_streams: Sequence[np.ndarray], top_k: int = 1,
                 return_probs: bool = False) -> Dict[str, Any]:
         """Classify raw event streams ([n, 4] float x/y/t/p arrays).

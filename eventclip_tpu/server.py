@@ -11,6 +11,7 @@ Routes:
 
 - ``GET /healthz``  -> ``{"status": "ok", model, arch, n_classes, batch_size}``
 - ``GET /classes``  -> ``{"classes": [...]}``
+- ``GET /statz``    -> serving counters + rolling latency percentiles
 - ``POST /predict`` -> classification. Two request encodings:
 
   * ``application/json`` (default): ``{"streams": [[[x, y, t, p], ...],
@@ -38,6 +39,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence
@@ -197,11 +199,56 @@ def resolve_class_names(params, classes_file: str = "",
                      "to define the label space")
 
 
+class _Stats:
+    """Serving counters + rolling latency window (GET /statz)."""
+
+    WINDOW = 256
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.streams = 0
+        self.errors = 0
+        self._lat_ms: list = []
+
+    def record(self, n_streams: int, ms: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.streams += n_streams
+            self._lat_ms.append(ms)
+            if len(self._lat_ms) > self.WINDOW:
+                del self._lat_ms[: -self.WINDOW]
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+            out = {
+                "predict_requests": self.requests,
+                "streams": self.streams,
+                "errors": self.errors,
+            }
+            if lat:
+                out["latency_ms"] = {
+                    "window": len(lat),
+                    "p50": round(lat[len(lat) // 2], 3),
+                    # nearest-rank p95 (same convention as bench.py)
+                    "p95": round(
+                        lat[max(math.ceil(len(lat) * 0.95) - 1, 0)], 3),
+                    "max": round(lat[-1], 3),
+                }
+            return out
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set per-server via make_server (class attributes on a subclass)
     predictor = None
     batcher: Optional[MicroBatcher] = None
     lock: threading.Lock = None
+    stats: _Stats = None
     max_body: int = DEFAULT_MAX_BODY
     quiet: bool = True
 
@@ -306,9 +353,11 @@ class _Handler(BaseHTTPRequestHandler):
             })
         elif route == "/classes":
             self._send_json(200, {"classes": self.predictor.class_names})
+        elif route == "/statz":
+            self._send_json(200, self.stats.snapshot())
         else:
             self._error(404, f"no route {route} (GET /healthz, GET /classes, "
-                             "POST /predict)")
+                             "GET /statz, POST /predict)")
 
     def do_POST(self):
         from urllib.parse import urlparse
@@ -324,6 +373,9 @@ class _Handler(BaseHTTPRequestHandler):
         if decoded is None:
             return
         streams, top_k, return_probs = decoded
+        import time
+
+        t0 = time.monotonic()
         try:
             if self.batcher is not None:
                 # concurrent requests fuse into one device batch; the host
@@ -334,11 +386,14 @@ class _Handler(BaseHTTPRequestHandler):
                     out = self.predictor.predict(streams, top_k=top_k)
         except ValueError as err:
             # Predictor prefixes the offending index ("event_streams[i]: ...")
+            self.stats.record_error()
             self._error(400, str(err))
             return
         except Exception as err:  # device/runtime failure: JSON 500, not a
+            self.stats.record_error()
             self._error(500, f"{type(err).__name__}: {err}")  # dropped conn
             return
+        self.stats.record(len(streams), (time.monotonic() - t0) * 1e3)
         resp = {
             "label": out["label"].tolist(),
             "names": out["names"],
@@ -365,6 +420,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
         "predictor": predictor,
         "batcher": batcher,
         "lock": threading.Lock(),
+        "stats": _Stats(),
         "max_body": max_body,
         "quiet": quiet,
     })

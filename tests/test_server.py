@@ -417,3 +417,21 @@ def test_warm_up_exercises_every_bucket(monkeypatch):
     monkeypatch.setattr(loader, "pack_view_batch", spy)
     _warm_up(pred)
     assert set(seen) == set(pred._buckets), (seen, pred._buckets)
+
+
+def test_statz_counters(served):
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    _, url = served
+    c = ServingClient(url)
+    before = c.stats()
+    streams = _streams(np.random.default_rng(43), 3)
+    c.predict(streams)
+    with pytest.raises(ServingError):
+        c.predict([np.zeros((0, 4), np.float32)])
+    after = c.stats()
+    assert after["predict_requests"] == before["predict_requests"] + 1
+    assert after["streams"] == before["streams"] + 3
+    assert after["errors"] == before["errors"] + 1
+    lat = after["latency_ms"]
+    assert lat["window"] >= 1 and lat["p50"] <= lat["p95"] <= lat["max"]
