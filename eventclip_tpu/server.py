@@ -529,10 +529,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",
           flush=True)
+
+    # graceful drain on SIGTERM (the signal schedulers/orchestrators send):
+    # stop accepting, finish in-flight requests, close the batcher, exit 0.
+    # shutdown() must not run on the signal frame (it joins serve_forever's
+    # own thread), so hand it to a helper thread.
+    import signal
+
+    def _term(signum, frame):  # pragma: no cover - exercised via e2e
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover - interactive exit
         server.shutdown()
+    print("server stopped", flush=True)
 
 
 if __name__ == "__main__":

@@ -792,6 +792,13 @@ def test_server_cli(tmp_path):
         assert len(resp["label"]) == 1
         assert resp["names"][0] in ("airplanes", "ant", "brain")
         assert len(resp["topk"][0]) == 2
+
+        # graceful drain: SIGTERM (the scheduler signal) must exit 0
+        import signal
+
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
     finally:
-        proc.kill()
+        if proc.poll() is None:
+            proc.kill()
         proc.wait(timeout=60)
