@@ -435,3 +435,35 @@ def test_statz_counters(served):
     assert after["errors"] == before["errors"] + 1
     lat = after["latency_ms"]
     assert lat["window"] >= 1 and lat["p50"] <= lat["p95"] <= lat["max"]
+
+
+def test_microbatcher_with_data_parallel_predictor():
+    """Fused device batches must also work when the predictor shards each
+    compiled batch over the local device mesh (data_parallel=True) — the
+    production multi-chip serving layout."""
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=8, data_parallel=True)
+    streams = _streams(np.random.default_rng(47), 6)
+    direct = pred.predict(streams, top_k=2)
+    mb = MicroBatcher(pred, max_wait_ms=200.0, idle_gap_ms=50.0)
+    try:
+        results = [None] * len(streams)
+
+        def fire(i):
+            results[i] = mb.submit([streams[i]], top_k=2)
+
+        ts = [threading.Thread(target=fire, args=(i,))
+              for i in range(len(streams))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        mb.close()
+    for i, r in enumerate(results):
+        assert r is not None
+        np.testing.assert_array_equal(r["label"], direct["label"][i:i + 1])
+        np.testing.assert_allclose(r["probs"][0], direct["probs"][i],
+                                   rtol=1e-5, atol=1e-6)
