@@ -33,17 +33,21 @@ class ServingError(RuntimeError):
 
 
 class ServingClient:
-    def __init__(self, base_url: str, timeout: float = 120.0):
+    def __init__(self, base_url: str, timeout: float = 120.0,
+                 auth_token: str = ""):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.auth_token = auth_token
 
     # -- plumbing --------------------------------------------------------------
 
     def _request(self, path: str, data: bytes = None,
                  ctype: str = "") -> Dict[str, Any]:
+        headers = {"Content-Type": ctype} if ctype else {}
+        if self.auth_token:
+            headers["Authorization"] = f"Bearer {self.auth_token}"
         req = urllib.request.Request(
-            self.base_url + path, data=data,
-            headers={"Content-Type": ctype} if ctype else {},
+            self.base_url + path, data=data, headers=headers,
             method="POST" if data is not None else "GET",
         )
         try:

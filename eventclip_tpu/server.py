@@ -40,6 +40,7 @@ import argparse
 import io
 import json
 import math
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence
@@ -251,6 +252,18 @@ class _Handler(BaseHTTPRequestHandler):
     stats: _Stats = None
     max_body: int = DEFAULT_MAX_BODY
     quiet: bool = True
+    auth_token: str = ""  # empty = open endpoint
+
+    def _authorized(self) -> bool:
+        if not self.auth_token:
+            return True
+        import hmac
+
+        header = self.headers.get("Authorization", "")
+        ok = hmac.compare_digest(header, f"Bearer {self.auth_token}")
+        if not ok:
+            self._error(401, "missing or invalid Authorization bearer token")
+        return ok
 
     # -- plumbing ------------------------------------------------------------
 
@@ -341,6 +354,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         from urllib.parse import urlparse
 
+        if not self._authorized():
+            return
         route = urlparse(self.path).path
         if route == "/healthz":
             p = self.predictor
@@ -362,6 +377,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         from urllib.parse import urlparse
 
+        if not self._authorized():
+            return
         route = urlparse(self.path).path
         if route != "/predict":
             self._error(404, f"no route {route} (POST /predict)")
@@ -407,12 +424,15 @@ class _Handler(BaseHTTPRequestHandler):
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 max_body: int = DEFAULT_MAX_BODY,
                 quiet: bool = True,
-                microbatch_ms: float = 0.0) -> ThreadingHTTPServer:
+                microbatch_ms: float = 0.0,
+                auth_token: str = "") -> ThreadingHTTPServer:
     """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
 
     microbatch_ms > 0 fuses concurrent requests into one device batch
     (MicroBatcher); the batcher is exposed as ``server.batcher`` and
-    closed automatically by ``server.shutdown``.
+    closed automatically by ``server.shutdown``. A non-empty auth_token
+    requires ``Authorization: Bearer <token>`` on every route (401
+    otherwise; constant-time comparison).
     """
     batcher = MicroBatcher(predictor, microbatch_ms) if microbatch_ms > 0 \
         else None
@@ -423,6 +443,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
         "stats": _Stats(),
         "max_body": max_body,
         "quiet": quiet,
+        "auth_token": auth_token,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.batcher = batcher
@@ -505,7 +526,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          "one device batch (0 = off; 2-5 ms is a good "
                          "start under concurrent single-stream load)")
     ap.add_argument("--max_body_mb", type=int, default=512)
+    ap.add_argument("--auth_token", default="",
+                    help="require 'Authorization: Bearer <token>' on every "
+                         "route (default: open endpoint). Prefer "
+                         "EVENTCLIP_AUTH_TOKEN over the flag — argv is "
+                         "visible in process listings.")
     args = ap.parse_args(argv)
+    auth_token = args.auth_token or os.environ.get(
+        "EVENTCLIP_AUTH_TOKEN", "")
 
     if args.cpu:
         import jax
@@ -524,7 +552,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     server = make_server(predictor, args.host, args.port,
                          max_body=args.max_body_mb * 1024 * 1024,
-                         quiet=False, microbatch_ms=args.microbatch_ms)
+                         quiet=False, microbatch_ms=args.microbatch_ms,
+                         auth_token=auth_token)
     print(f"serving {params.model} ({params.clip_dict['arch']}) on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",

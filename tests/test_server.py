@@ -467,3 +467,26 @@ def test_microbatcher_with_data_parallel_predictor():
         np.testing.assert_array_equal(r["label"], direct["label"][i:i + 1])
         np.testing.assert_allclose(r["probs"][0], direct["probs"][i],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_auth_token():
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, auth_token="sekrit")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with pytest.raises(ServingError) as e:
+            ServingClient(url).health()  # no token
+        assert e.value.status == 401
+        with pytest.raises(ServingError) as e:
+            ServingClient(url, auth_token="wrong").health()
+        assert e.value.status == 401
+        c = ServingClient(url, auth_token="sekrit")
+        assert c.health()["status"] == "ok"
+        out = c.predict(_streams(np.random.default_rng(53), 2))
+        assert out["label"].shape == (2,)
+    finally:
+        server.shutdown()
