@@ -328,3 +328,102 @@ class Predictor:
         from .utils.config import load_params
 
         return cls(load_params(config_path), class_names, **kwargs)
+
+
+def load_event_file(path: str) -> np.ndarray:
+    """One raw sensor dump -> [n, 4] float events.
+
+    .npy = a plain array (N-Caltech/N-Cars layout); .npz = the structured
+    N-ImageNet layout (reference datasets/imagenet.py:8-27, parsed by
+    data.datasets.load_event_npz)."""
+    if path.endswith(".npz"):
+        from .data.datasets import load_event_npz
+
+        return load_event_npz(path).astype(np.float32)
+    return np.load(path).astype(np.float32)
+
+
+def main(argv=None) -> None:
+    """Offline batch inference: classify a folder/glob of raw event dumps
+    without a dataset tree, checkpoint sweep, or HTTP server.
+
+        python -m eventclip_tpu.serve --params <cfg> --classes names.txt \\
+            --inputs 'dumps/**/*.npy' --out predictions.jsonl [--int8 ...]
+
+    Writes one JSON line per input: {"path", "label", "name", "topk",
+    "topk_names"} (+"probs" with --probs), in input order. The reference
+    has no equivalent — its test.py needs a class-foldered dataset tree.
+    """
+    import argparse
+    import glob as globlib
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(description=main.__doc__.split("\n")[0])
+    ap.add_argument("--params", required=True)
+    ap.add_argument("--inputs", required=True,
+                    help="glob of .npy/.npz event dumps (quote it)")
+    ap.add_argument("--out", default="-",
+                    help="output JSONL path (default: stdout)")
+    ap.add_argument("--weight", default="")
+    ap.add_argument("--classes", default="")
+    ap.add_argument("--data_root", default="")
+    ap.add_argument("--clip_ckpt", default="")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--top_k", type=int, default=5)
+    ap.add_argument("--probs", action="store_true",
+                    help="include the full probability row per input")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--prune_tokens", type=int, default=0)
+    ap.add_argument("--data_parallel", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .server import resolve_class_names
+    from .utils.config import load_params
+
+    paths = sorted(globlib.glob(args.inputs, recursive=True))
+    if not paths:
+        raise SystemExit(f"no files match {args.inputs!r}")
+    params = load_params(args.params)
+    names = resolve_class_names(params, args.classes, args.data_root)
+    pred = Predictor(params, names, weight=args.weight,
+                     clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
+                     int8=args.int8, prune_tokens=args.prune_tokens,
+                     batch_size=args.batch_size,
+                     data_parallel=args.data_parallel)
+
+    sink = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        # chunk at the compiled batch so memory stays flat on huge globs
+        for i in range(0, len(paths), pred.batch_size):
+            chunk = paths[i:i + pred.batch_size]
+            out = pred.predict([load_event_file(p) for p in chunk],
+                               top_k=args.top_k)
+            for j, p in enumerate(chunk):
+                rec = {
+                    "path": p,
+                    "label": int(out["label"][j]),
+                    "name": out["names"][j],
+                    "topk": out["topk"][j].tolist(),
+                    "topk_names": [names[t] for t in out["topk"][j]],
+                }
+                if args.probs:
+                    rec["probs"] = out["probs"][j].tolist()
+                sink.write(json.dumps(rec) + "\n")
+            sink.flush()
+            print(f"{min(i + pred.batch_size, len(paths))}/{len(paths)}",
+                  file=sys.stderr, flush=True)
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -490,3 +490,55 @@ def test_auth_token():
         assert out["label"].shape == (2,)
     finally:
         server.shutdown()
+
+
+def test_batch_inference_cli(tmp_path):
+    """python -m eventclip_tpu.serve: folder-of-dumps batch inference
+    writes aligned JSONL without a dataset tree."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(59)
+    streams = _streams(rng, 5)
+    for i, s in enumerate(streams):
+        np.save(tmp_path / f"dump_{i}.npy", s)
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from eventclip_tpu.utils.config import Params\n\n\n"
+        "class EventCLIPParams(Params):\n"
+        "    gpus = 1\n"
+        "    dataset = 'n_caltech'\n"
+        "    data_root = '/nonexistent'\n"
+        "    train_batch_size = 4\n"
+        "    val_batch_size = 8\n"
+        "    quantize_args = dict(max_imgs=2, N=1000,"
+        " split_method='event_count', convert_method='event_histogram',"
+        " grayscale=True, count_non_zero=False, background_mask=True)\n"
+        "    model = 'ZSCLIP'\n"
+        "    clip_dict = dict(arch='ViT-T/8@32',"
+        " prompt='a point cloud image of a {}', agg_func='mean')\n"
+        "    bf16 = False\n")
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(NAMES) + "\n")
+    out_path = tmp_path / "preds.jsonl"
+
+    import os
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "eventclip_tpu.serve",
+         "--params", str(cfg), "--classes", str(names),
+         "--inputs", str(tmp_path / "*.npy"), "--out", str(out_path),
+         "--smoke", "--cpu", "--batch_size", "4", "--top_k", "2"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out_path.read_text().splitlines()]
+    assert len(recs) == 5
+    assert [r_["path"] for r_ in recs] == sorted(
+        str(tmp_path / f"dump_{i}.npy") for i in range(5))
+    for rec in recs:
+        assert rec["name"] in NAMES and len(rec["topk"]) == 2
+        assert rec["topk_names"][0] == rec["name"]
+        assert "probs" not in rec
