@@ -15,8 +15,10 @@ for production use:
 - input is a list of raw event arrays ([n, 4] float x/y/t/p, the layout
   every supported sensor dump decodes to), not a dataset tree;
 - opt-in W8A8 int8 tower (`int8=True`, ~1.3x encode), token pruning
-  (`prune_tokens=K`, stacks with int8 for ~2x e2e), and data-parallel
-  batch sharding over all local devices (`data_parallel=True`).
+  (`prune_tokens=K`, stacks with int8 for ~2x e2e), data-parallel
+  batch sharding over all local devices (`data_parallel=True`), and
+  4-variant event TTA (`tta=True`, gen_data's robustness trick at 4x
+  compute: probabilities averaged over identity/h-flip/t-flip/both).
 
 Example:
     from eventclip_tpu.serve import Predictor
@@ -47,6 +49,7 @@ class Predictor:
         batch_size: int = 32,
         data_parallel: bool = False,
         pack_views: bool = True,
+        tta: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -75,6 +78,11 @@ class Predictor:
 
         self.class_names = list(class_names)
         self.batch_size = int(batch_size)
+        # 4-variant event TTA (identity / h-flip / t-flip / both), the
+        # reference's gen_data robustness trick (datasets/event2img.py
+        # _load_tta_data): each stream costs 4 device rows, probabilities
+        # are averaged across variants
+        self.tta = bool(tta)
 
         # trainable models served without a checkpoint would silently
         # classify with random adapter/LoRA/prompt weights and return
@@ -182,10 +190,11 @@ class Predictor:
 
     # -- host half -----------------------------------------------------------
 
-    def _windows(self, events: np.ndarray) -> tuple:
+    def _prep(self, events: np.ndarray) -> tuple:
+        """Validate + canonicalize one stream -> (centered events, rng)."""
         import zlib
 
-        from .data.host_ops import center_events, gather_event_windows
+        from .data.host_ops import center_events
 
         # own copy: center_events works in place and must never mutate the
         # caller's array (or the content hash below)
@@ -212,9 +221,36 @@ class Predictor:
             zlib.crc32(np.ascontiguousarray(events).tobytes())
         )
         events = center_events(events, resolution=self.resolution)
+        return events, rng
+
+    def _windows(self, events: np.ndarray) -> tuple:
+        from .data.host_ops import gather_event_windows
+
+        events, rng = self._prep(events)
         return gather_event_windows(
             events, self.window, self.views, rng=rng, packed=True
         )
+
+    def _windows_tta(self, events: np.ndarray) -> tuple:
+        """4 variants -> ([4, V, N, 3] int16, [4, V] bool), reference
+        variant order: identity, h-flip, t-flip, both."""
+        from .data.host_ops import (
+            gather_event_windows,
+            hflip_events,
+            tflip_events,
+        )
+
+        events, rng = self._prep(events)
+        h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
+        t = tflip_events(events.copy(), p=1.0)
+        ht = tflip_events(h.copy(), p=1.0)
+        pairs = [
+            gather_event_windows(v, self.window, self.views, rng=rng,
+                                 packed=True)
+            for v in (events, h, t, ht)
+        ]
+        return (np.stack([w for w, _ in pairs]),
+                np.stack([m for _, m in pairs]))
 
     # -- public API ----------------------------------------------------------
 
@@ -242,20 +278,27 @@ class Predictor:
 
     def gather_windows(self, event_streams) -> tuple:
         """Host half: validate + window every stream -> stacked
-        ([B, V, N, 3] int16, [B, V] bool). Validates per-stream up front so
-        batch callers learn WHICH input was bad, not just that one was.
-        Shared by predict() and server.py's MicroBatcher (which runs this
-        on each request's own thread and fuses only the device phase)."""
+        ([B, V, N, 3] int16, [B, V] bool); with tta=True every stream
+        contributes 4 consecutive variant rows ([B*4, ...]). Validates
+        per-stream up front so batch callers learn WHICH input was bad,
+        not just that one was. Shared by predict() and server.py's
+        MicroBatcher (which runs this on each request's own thread and
+        fuses only the device phase)."""
+        windower = self._windows_tta if self.tta else self._windows
         pairs = []
         for i, e in enumerate(event_streams):
             try:
-                pairs.append(self._windows(e))
+                pairs.append(windower(e))
             except (ValueError, AssertionError) as err:
                 raise ValueError(
                     f"event_streams[{i}]: {err}"
                 ) from None
         wins, valids = zip(*pairs)
-        return np.stack(wins), np.stack(valids)
+        wins, valids = np.stack(wins), np.stack(valids)
+        if self.tta:  # [B, 4, V, ...] -> [B*4, V, ...], variant-major rows
+            wins = wins.reshape((-1,) + wins.shape[2:])
+            valids = valids.reshape((-1,) + valids.shape[2:])
+        return wins, valids
 
     def predict_windows(
         self, wins: np.ndarray, valids: np.ndarray, top_k: int = 1
@@ -310,9 +353,16 @@ class Predictor:
         probs = np.concatenate(
             [np.asarray(p) for p in probs_out]
         )[: len(wins)]
+        return self.finalize(probs, top_k)
 
+    def finalize(self, probs: np.ndarray, top_k: int = 1) -> Dict[str, Any]:
+        """Per-variant-row probabilities -> the prediction dict. With TTA,
+        every 4 consecutive rows are one stream's variants and collapse to
+        their mean (gen_data's aggregation, reference gen_data.py:154)."""
+        if self.tta:
+            probs = probs.reshape(-1, 4, probs.shape[-1]).mean(axis=1)
         label = probs.argmax(-1)
-        k = min(top_k, probs.shape[-1])
+        k = min(int(top_k), probs.shape[-1])
         topk = np.argsort(-probs, axis=-1)[:, :k]
         return {
             "label": label,
@@ -376,6 +426,8 @@ def main(argv=None) -> None:
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--prune_tokens", type=int, default=0)
     ap.add_argument("--data_parallel", action="store_true")
+    ap.add_argument("--tta", action="store_true",
+                    help="4-variant event TTA (4x compute, averaged probs)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -397,7 +449,7 @@ def main(argv=None) -> None:
                      clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
                      int8=args.int8, prune_tokens=args.prune_tokens,
                      batch_size=args.batch_size,
-                     data_parallel=args.data_parallel)
+                     data_parallel=args.data_parallel, tta=args.tta)
 
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     try:

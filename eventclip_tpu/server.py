@@ -100,7 +100,10 @@ class MicroBatcher:
         if not len(event_streams):
             return self._pred.predict([], top_k=top_k)
         wins, valids = self._pred.gather_windows(event_streams)
-        req = _Request(wins=wins, valids=valids, top_k=int(top_k))
+        # with TTA each stream spans 4 device rows; predict_windows
+        # collapses them, so result slicing goes by stream count
+        req = _Request(wins=wins, valids=valids, top_k=int(top_k),
+                       n_streams=len(event_streams))
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -148,7 +151,7 @@ class MicroBatcher:
             # worker would hang every queued and future submit forever
             ofs = 0
             for r in batch:
-                n = len(r.wins)
+                n = r.n_streams
                 try:
                     probs = out["probs"][ofs:ofs + n]
                     label = probs.argmax(-1)
@@ -167,10 +170,12 @@ class MicroBatcher:
 
 
 class _Request:
-    __slots__ = ("wins", "valids", "top_k", "result", "err", "done")
+    __slots__ = ("wins", "valids", "top_k", "n_streams", "result", "err",
+                 "done")
 
-    def __init__(self, wins, valids, top_k):
+    def __init__(self, wins, valids, top_k, n_streams=None):
         self.wins, self.valids, self.top_k = wins, valids, top_k
+        self.n_streams = len(wins) if n_streams is None else n_streams
         self.result = None
         self.err: Optional[Exception] = None
         self.done = threading.Event()
@@ -479,14 +484,18 @@ def _warm_up(predictor) -> None:
     if not buckets:
         predictor.predict([stream(budget)])  # the one padded program
         return
+    # with TTA every stream spans 4 identical-shape variant rows, so a
+    # crafted stream of v views contributes 4*v valid views to the bucket
+    m = 4 if predictor.tta else 1
     total = predictor.batch_size * budget
     for i, k in enumerate(buckets):
         print(f"warm-up: compiling bucket {i + 1}/{len(buckets)} "
               f"(K={k})...", flush=True)
         want = min(k, total)  # top bucket may round up past B*T slots
-        full, rem = divmod(want, budget)
+        full, rem = divmod(want // m, budget)
         views = [budget] * full + ([rem] if rem else [])
-        predictor.predict([stream(v) for v in views[: predictor.batch_size]])
+        views = views[: max(predictor.batch_size // m, 1)] or [1]
+        predictor.predict([stream(v) for v in views])
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -516,6 +525,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="keep K highest-variance ViT tokens (stacks w/ int8)")
     ap.add_argument("--data_parallel", action="store_true",
                     help="shard each compiled batch over all local devices")
+    ap.add_argument("--tta", action="store_true",
+                    help="4-variant event TTA (4x compute, averaged probs)")
     ap.add_argument("--smoke", action="store_true",
                     help="random CLIP weights (pipeline demo, no accuracy)")
     ap.add_argument("--cpu", action="store_true",
@@ -547,6 +558,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
         int8=args.int8, prune_tokens=args.prune_tokens,
         batch_size=args.batch_size, data_parallel=args.data_parallel,
+        tta=args.tta,
     )
     _warm_up(predictor)
 

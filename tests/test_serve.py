@@ -215,3 +215,34 @@ def test_packed_serving_matches_unpacked(predictor):
         predictor.predict(streams)["probs"],
         plain.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
     )
+
+
+def test_tta_predictor_matches_manual_variants(predictor):
+    """tta=True must equal the mean of the 4 per-variant predictions made
+    through a plain predictor (reference gen_data TTA aggregation,
+    event2img.py _load_tta_data + gen_data.py:154). Short streams (fewer
+    windows than the view budget) make windowing deterministic, so the
+    comparison is exact up to f32 accumulation."""
+    from eventclip_tpu.data.host_ops import hflip_events, tflip_events
+
+    tta_pred = Predictor(_TinyZS(), class_names=["airplanes", "ant",
+                                                 "brain"],
+                         smoke=True, batch_size=4, tta=True)
+    rng = np.random.default_rng(61)
+    streams = _streams(rng, n=3)
+    out = tta_pred.predict(streams, top_k=2)
+    assert out["probs"].shape == (3, 3)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, atol=1e-4)
+
+    H, W = tta_pred.resolution
+    manual = []
+    for s in streams:
+        # the same canonicalization predict applies before flipping
+        e, _ = tta_pred._prep(s)
+        h = hflip_events(e.copy(), resolution=(H, W), p=1.0)
+        t = tflip_events(e.copy(), p=1.0)
+        ht = tflip_events(h.copy(), p=1.0)
+        per = [predictor.predict([v])["probs"][0] for v in (e, h, t, ht)]
+        manual.append(np.mean(per, axis=0))
+    np.testing.assert_allclose(out["probs"], np.stack(manual),
+                               rtol=1e-4, atol=1e-5)

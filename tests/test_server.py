@@ -542,3 +542,33 @@ def test_batch_inference_cli(tmp_path):
         assert rec["name"] in NAMES and len(rec["topk"]) == 2
         assert rec["topk_names"][0] == rec["name"]
         assert "probs" not in rec
+
+
+def test_microbatcher_with_tta_predictor():
+    """TTA rows (4 per stream) fuse across requests; per-request slicing
+    goes by stream count, not device rows."""
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=4, tta=True)
+    streams = _streams(np.random.default_rng(67), 4)
+    direct = pred.predict(streams, top_k=2)
+    mb = MicroBatcher(pred, max_wait_ms=200.0, idle_gap_ms=50.0)
+    try:
+        results = [None] * len(streams)
+
+        def fire(i):
+            results[i] = mb.submit([streams[i]], top_k=2)
+
+        ts = [threading.Thread(target=fire, args=(i,))
+              for i in range(len(streams))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        mb.close()
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(r["probs"][0], direct["probs"][i],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(r["label"], direct["label"][i:i + 1])
