@@ -572,3 +572,21 @@ def test_microbatcher_with_tta_predictor():
         np.testing.assert_allclose(r["probs"][0], direct["probs"][i],
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(r["label"], direct["label"][i:i + 1])
+
+
+def test_load_event_file_structured_npz(tmp_path):
+    from eventclip_tpu.serve import load_event_file
+
+    n = 500
+    rng = np.random.default_rng(71)
+    ev = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                            ("p", "?")])
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["t"] = np.sort(rng.integers(0, 55_000, n))  # microseconds
+    ev["p"] = rng.random(n) < 0.5
+    np.savez(tmp_path / "dump.npz", event_data=ev)
+    out = load_event_file(str(tmp_path / "dump.npz"))
+    assert out.shape == (n, 4) and out.dtype == np.float32
+    assert out[:, 2].max() < 0.06  # microseconds -> seconds
+    assert set(np.unique(out[:, 3])) <= {-1.0, 1.0}  # 0/1 -> +-1
