@@ -110,9 +110,11 @@ class EventWindowDataset:
 
     def _load_tta_item(self, data: Dict[str, Any], rng) -> Dict[str, Any]:
         events = data.pop("events")
+        # hflip mutates in place (hence the copy); tflip at p=1 always
+        # returns a fresh array, so its inputs need no defensive copy
         h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
-        t = tflip_events(events.copy(), p=1.0)
-        ht = tflip_events(h.copy(), p=1.0)
+        t = tflip_events(events, p=1.0)
+        ht = tflip_events(h, p=1.0)
         wins, valids = zip(*[
             self._events2windows(e, rng) for e in (events, h, t, ht)
         ])

@@ -233,7 +233,15 @@ class Predictor:
 
     def _windows_tta(self, events: np.ndarray) -> tuple:
         """4 variants -> ([4, V, N, 3] int16, [4, V] bool), reference
-        variant order: identity, h-flip, t-flip, both."""
+        variant order: identity, h-flip, t-flip, both.
+
+        The 4 gathers consume ONE content-seeded rng sequentially —
+        exactly EventWindowDataset._load_tta_item's draw order — so TTA
+        here reproduces gen_data's windows. Consequence: for streams
+        longer than the view budget (where gathering subsamples), the
+        result is NOT the mean of 4 standalone per-variant predict()
+        calls (each of those would reseed from its own flipped content);
+        for shorter streams the two formulations coincide."""
         from .data.host_ops import (
             gather_event_windows,
             hflip_events,
@@ -241,9 +249,11 @@ class Predictor:
         )
 
         events, rng = self._prep(events)
+        # hflip mutates in place (hence the copy); tflip at p=1 always
+        # returns a fresh array, so its inputs need no defensive copy
         h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
-        t = tflip_events(events.copy(), p=1.0)
-        ht = tflip_events(h.copy(), p=1.0)
+        t = tflip_events(events, p=1.0)
+        ht = tflip_events(h, p=1.0)
         pairs = [
             gather_event_windows(v, self.window, self.views, rng=rng,
                                  packed=True)
@@ -309,8 +319,6 @@ class Predictor:
         micro-batcher) can validate/window each request on its own thread
         and run ONE fused device batch for all of them.
         """
-        import jax.numpy as jnp
-
         bs = self.batch_size
 
         def chunks():
@@ -324,29 +332,17 @@ class Predictor:
                         [v, np.zeros((pad,) + v.shape[1:], bool)])
                 yield w, v, pad
 
-        from .data.loader import device_prefetch, pack_view_batch
+        from .data.loader import device_prefetch
 
         def place(chunk):
             w, v, pad = chunk
-            batch = {"windows": w, "valid_mask": v}
-            if self._buckets:
-                batch = pack_view_batch(batch, self._buckets)
-            batch = {k: jnp.asarray(x) for k, x in batch.items()}
-            if self._shard_batch is not None:
-                batch = self._shard_batch(batch)
-            return batch, pad
+            return self._place_chunk(w, v), pad
 
         # double-buffered like trainer.fit: chunk k+1's H2D copy overlaps
         # chunk k's dispatched forward (multi-chunk requests only)
         probs_out = []
         for batch, pad in device_prefetch(chunks(), place):
-            if "view_src" in batch:
-                p = self._step_packed(self._params, batch["windows"],
-                                      batch["view_src"],
-                                      batch["valid_mask"])
-            else:
-                p = self._step(self._params, batch["windows"],
-                               batch["valid_mask"])
+            p = self._dispatch_chunk(batch)
             probs_out.append(p[: bs - pad])  # device array; sync below
         # one host fetch at the end — a per-chunk np.asarray would sync
         # before the next placement and forfeit the overlap
@@ -354,6 +350,69 @@ class Predictor:
             [np.asarray(p) for p in probs_out]
         )[: len(wins)]
         return self.finalize(probs, top_k)
+
+    def _place_chunk(self, wins: np.ndarray, valids: np.ndarray):
+        """One [batch_size, V, ...] host chunk -> device-ready batch
+        (view-pack -> place -> shard)."""
+        import jax.numpy as jnp
+
+        from .data.loader import pack_view_batch
+
+        batch = {"windows": wins, "valid_mask": valids}
+        if self._buckets:
+            batch = pack_view_batch(batch, self._buckets)
+        batch = {k: jnp.asarray(x) for k, x in batch.items()}
+        if self._shard_batch is not None:
+            batch = self._shard_batch(batch)
+        return batch
+
+    def _dispatch_chunk(self, batch):
+        """Run the compiled step a placed chunk selects (packed program
+        keyed by the chunk's bucket, or the single padded program)."""
+        if "view_src" in batch:
+            return self._step_packed(self._params, batch["windows"],
+                                     batch["view_src"], batch["valid_mask"])
+        return self._step(self._params, batch["windows"],
+                          batch["valid_mask"])
+
+    def warm_up(self, log=None) -> None:
+        """Compile every device program a request can select, before
+        serving traffic (remote-TPU compiles take 30-500 s; an on-request
+        compile looks like an outage).
+
+        With view packing the compiled set is one packed step per bucket
+        K — warmed by crafting a device chunk whose valid-view count
+        packs to exactly that bucket. Crafting CHUNKS (not streams) makes
+        the coverage exact for every batch_size/tta combination: warming
+        through predict() cannot reach the top bucket when batch_size is
+        not a multiple of the 4-row TTA expansion. Without packing there
+        is a single padded program. ``log`` (e.g. ``print``) reports
+        per-program progress."""
+        rng = np.random.default_rng(0)
+        bs, budget, n = self.batch_size, self.views, self.window
+        h, w = self.resolution
+
+        def chunk(n_valid):
+            wins = np.stack([
+                rng.integers(0, w, (bs, budget, n)),
+                rng.integers(0, h, (bs, budget, n)),
+                np.where(rng.random((bs, budget, n)) < 0.5, -1, 1),
+            ], axis=-1).astype(np.int16)  # packed (x, y, p) layout
+            valids = np.zeros(bs * budget, bool)
+            valids[:n_valid] = True
+            return wins, valids.reshape(bs, budget)
+
+        total = bs * budget
+        # pack_view_batch picks the smallest bucket >= the valid count, so
+        # n_valid=k lands exactly on bucket k (the top bucket may round up
+        # past the batch's total slots — cap there)
+        targets = [min(k, total) for k in (self._buckets or [total])]
+        for i, want in enumerate(targets):
+            if log is not None:
+                log(f"warm-up: compiling program {i + 1}/{len(targets)} "
+                    f"(valid views={want})...")
+            out = self._dispatch_chunk(self._place_chunk(*chunk(want)))
+            float(np.asarray(out).sum())  # force execution (relay no-op sync)
 
     def finalize(self, probs: np.ndarray, top_k: int = 1) -> Dict[str, Any]:
         """Per-variant-row probabilities -> the prediction dict. With TTA,
@@ -385,8 +444,22 @@ def load_event_file(path: str) -> np.ndarray:
 
     .npy = a plain array (N-Caltech/N-Cars layout); .npz = the structured
     N-ImageNet layout (reference datasets/imagenet.py:8-27, parsed by
-    data.datasets.load_event_npz)."""
+    data.datasets.load_event_npz) OR a plain ``np.savez`` dump holding a
+    single [n, 4] array under any key."""
     if path.endswith(".npz"):
+        with np.load(path) as z:
+            keys = list(z.files)
+            if "event_data" in keys:  # structured N-ImageNet layout
+                pass  # fall through to the shared parser below
+            elif (len(keys) == 1 and z[keys[0]].ndim == 2
+                  and z[keys[0]].shape[1] == 4):
+                return z[keys[0]].astype(np.float32)
+            else:
+                raise ValueError(
+                    f"unrecognized npz layout (keys {keys}): expected the "
+                    "N-ImageNet 'event_data' structured array or a single "
+                    "[n, 4] array"
+                )
         from .data.datasets import load_event_npz
 
         return load_event_npz(path).astype(np.float32)
@@ -453,10 +526,18 @@ def main(argv=None) -> None:
 
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
+        def load(p):
+            # a bad file mid-glob must name itself, not abort a long run
+            # with a bare KeyError/ValueError traceback
+            try:
+                return load_event_file(p)
+            except Exception as err:
+                raise SystemExit(f"error: {p}: {err}") from None
+
         # chunk at the compiled batch so memory stays flat on huge globs
         for i in range(0, len(paths), pred.batch_size):
             chunk = paths[i:i + pred.batch_size]
-            out = pred.predict([load_event_file(p) for p in chunk],
+            out = pred.predict([load(p) for p in chunk],
                                top_k=args.top_k)
             for j, p in enumerate(chunk):
                 rec = {

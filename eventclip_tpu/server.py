@@ -42,6 +42,7 @@ import json
 import math
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence
 
@@ -80,7 +81,11 @@ class MicroBatcher:
         self._wait = max(float(max_wait_ms), 0.0) / 1e3
         self._gap = (max(float(idle_gap_ms), 0.0) / 1e3
                      if idle_gap_ms is not None else self._wait / 4)
-        self._max = int(max_streams or 8 * predictor.batch_size)
+        # default cap = ~8 compiled chunks worth of streams (a TTA stream
+        # spans 4 device rows, so divide the row budget accordingly)
+        rows_per_stream = 4 if getattr(predictor, "tta", False) else 1
+        self._max = int(max_streams
+                        or 8 * predictor.batch_size // rows_per_stream or 1)
         self._cond = threading.Condition()
         self._pending: list = []
         self._closed = False
@@ -115,8 +120,6 @@ class MicroBatcher:
         return req.result
 
     def _run(self) -> None:
-        import time
-
         while True:
             with self._cond:
                 while not self._pending and not self._closed:
@@ -124,14 +127,16 @@ class MicroBatcher:
                 if not self._pending:  # closed and drained
                     return
                 deadline = time.monotonic() + self._wait
-                seen = sum(len(r.wins) for r in self._pending)
+                # cap on STREAMS (the documented unit) — len(r.wins) would
+                # count device rows, quartering the effective cap under TTA
+                seen = sum(r.n_streams for r in self._pending)
                 while not self._closed and seen < self._max:
                     left = deadline - time.monotonic()
                     if left <= 0:
                         break
                     self._cond.wait(min(left, self._gap) if self._gap > 0
                                     else left)
-                    now = sum(len(r.wins) for r in self._pending)
+                    now = sum(r.n_streams for r in self._pending)
                     if now == seen:  # a full idle gap with no arrival
                         break
                     seen = now
@@ -249,12 +254,47 @@ class _Stats:
             return out
 
 
+class _InFlight:
+    """Counts requests currently being handled so a graceful stop can
+    wait for them: ThreadingHTTPServer's handler threads are daemons, so
+    a bare shutdown() + process exit would kill them mid-request (client
+    connection dropped, fused batcher results undelivered)."""
+
+    def __init__(self):
+        self._n = 0
+        self._cond = threading.Condition()
+
+    def __enter__(self):
+        with self._cond:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self._cond:
+            self._n -= 1
+            if self._n == 0:
+                self._cond.notify_all()
+        return False
+
+    def wait_idle(self, timeout: float) -> bool:
+        """Block until no request is in flight; False on timeout."""
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while self._n:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return False
+                self._cond.wait(left)
+            return True
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set per-server via make_server (class attributes on a subclass)
     predictor = None
     batcher: Optional[MicroBatcher] = None
     lock: threading.Lock = None
     stats: _Stats = None
+    inflight: _InFlight = _InFlight()  # make_server installs a per-server one
     max_body: int = DEFAULT_MAX_BODY
     quiet: bool = True
     auth_token: str = ""  # empty = open endpoint
@@ -380,6 +420,12 @@ class _Handler(BaseHTTPRequestHandler):
                              "GET /statz, POST /predict)")
 
     def do_POST(self):
+        # counted so server.drain() can wait for in-flight predicts (GETs
+        # are instant and stateless — losing one at exit is harmless)
+        with self.inflight:
+            self._do_post()
+
+    def _do_post(self):
         from urllib.parse import urlparse
 
         if not self._authorized():
@@ -395,8 +441,6 @@ class _Handler(BaseHTTPRequestHandler):
         if decoded is None:
             return
         streams, top_k, return_probs = decoded
-        import time
-
         t0 = time.monotonic()
         try:
             if self.batcher is not None:
@@ -434,13 +478,18 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
 
     microbatch_ms > 0 fuses concurrent requests into one device batch
-    (MicroBatcher); the batcher is exposed as ``server.batcher`` and
-    closed automatically by ``server.shutdown``. A non-empty auth_token
-    requires ``Authorization: Bearer <token>`` on every route (401
-    otherwise; constant-time comparison).
+    (MicroBatcher); the batcher is exposed as ``server.batcher``. A
+    non-empty auth_token requires ``Authorization: Bearer <token>`` on
+    every route (401 otherwise; constant-time comparison).
+
+    ``server.shutdown()`` (also exposed as ``server.drain(timeout)``) is
+    a graceful drain: stop accepting, wait — bounded — for in-flight
+    predict handlers, then close the batcher. Handler threads are
+    daemons, so exiting without the wait would sever clients mid-request.
     """
     batcher = MicroBatcher(predictor, microbatch_ms) if microbatch_ms > 0 \
         else None
+    inflight = _InFlight()
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
         "batcher": batcher,
@@ -449,53 +498,38 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
         "max_body": max_body,
         "quiet": quiet,
         "auth_token": auth_token,
+        "inflight": inflight,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.batcher = batcher
-    if batcher is not None:
-        inner = server.shutdown
+    server.inflight = inflight
+    inner = server.shutdown
 
-        def shutdown():
-            inner()
+    def drain(timeout: float = 30.0) -> bool:
+        """Stop accepting, wait for in-flight predicts, close the
+        batcher. Idempotent and safe to call concurrently; returns False
+        if the timeout expired with requests still running. Must not be
+        called from a handler thread (it would wait on itself)."""
+        inner()
+        # the accept loop has stopped, but a just-accepted connection's
+        # handler thread may not have entered the counter yet
+        time.sleep(0.05)
+        ok = inflight.wait_idle(timeout)
+        if batcher is not None:
             batcher.close()
+        return ok
 
-        server.shutdown = shutdown
+    server.drain = drain
+    server.shutdown = drain  # every stop is a graceful drain
     return server
 
 
 def _warm_up(predictor) -> None:
     """Compile every program a request can select BEFORE accepting traffic
     (remote-TPU compiles take 30-500 s; an on-request compile looks like an
-    outage). With view packing on, the compiled set is exactly one
-    step_packed per bucket K — warm each by crafting a batch whose valid
-    view count hits that bucket. Without packing there is one padded step."""
-    rng = np.random.default_rng(0)
-    h, w = predictor.resolution
-
-    def stream(n_views: int) -> np.ndarray:
-        n = max(predictor.window * n_views, 1)
-        return np.stack([
-            rng.integers(0, w, n), rng.integers(0, h, n),
-            np.sort(rng.random(n)), np.where(rng.random(n) < 0.5, -1.0, 1.0),
-        ], axis=1).astype(np.float32)
-
-    budget = predictor.views
-    buckets = predictor._buckets or []
-    if not buckets:
-        predictor.predict([stream(budget)])  # the one padded program
-        return
-    # with TTA every stream spans 4 identical-shape variant rows, so a
-    # crafted stream of v views contributes 4*v valid views to the bucket
-    m = 4 if predictor.tta else 1
-    total = predictor.batch_size * budget
-    for i, k in enumerate(buckets):
-        print(f"warm-up: compiling bucket {i + 1}/{len(buckets)} "
-              f"(K={k})...", flush=True)
-        want = min(k, total)  # top bucket may round up past B*T slots
-        full, rem = divmod(want // m, budget)
-        views = [budget] * full + ([rem] if rem else [])
-        views = views[: max(predictor.batch_size // m, 1)] or [1]
-        predictor.predict([stream(v) for v in views])
+    outage). Predictor.warm_up crafts one device chunk per packed bucket —
+    exact coverage for every batch_size/tta combination."""
+    predictor.warm_up(log=lambda msg: print(msg, flush=True))
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -573,19 +607,26 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     # graceful drain on SIGTERM (the signal schedulers/orchestrators send):
     # stop accepting, finish in-flight requests, close the batcher, exit 0.
-    # shutdown() must not run on the signal frame (it joins serve_forever's
-    # own thread), so hand it to a helper thread.
+    # The drain must not run on the signal frame (it joins serve_forever's
+    # own thread), so hand it to a helper thread; serve_forever returns as
+    # soon as the accept loop stops, and the main thread then runs the
+    # (idempotent, concurrency-safe) drain to completion itself — without
+    # this wait, interpreter exit would kill the daemon handler threads
+    # mid-request.
     import signal
 
     def _term(signum, frame):  # pragma: no cover - exercised via e2e
-        threading.Thread(target=server.shutdown, daemon=True).start()
+        threading.Thread(target=server.drain, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover - interactive exit
-        server.shutdown()
-    print("server stopped", flush=True)
+        pass
+    drained = server.drain()
+    server.server_close()
+    print("server stopped" + ("" if drained else " (drain timed out)"),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -590,3 +590,101 @@ def test_load_event_file_structured_npz(tmp_path):
     assert out.shape == (n, 4) and out.dtype == np.float32
     assert out[:, 2].max() < 0.06  # microseconds -> seconds
     assert set(np.unique(out[:, 3])) <= {-1.0, 1.0}  # 0/1 -> +-1
+
+
+def test_load_event_file_plain_npz(tmp_path):
+    # np.savez of a single [n, 4] array under an arbitrary key must load
+    from eventclip_tpu.serve import load_event_file
+
+    rng = np.random.default_rng(72)
+    ev = np.stack([
+        rng.integers(0, 240, 300), rng.integers(0, 180, 300),
+        np.sort(rng.random(300)), rng.choice([-1.0, 1.0], 300),
+    ], axis=1)
+    np.savez(tmp_path / "plain.npz", ev)
+    out = load_event_file(str(tmp_path / "plain.npz"))
+    assert out.shape == (300, 4) and out.dtype == np.float32
+    np.testing.assert_allclose(out, ev.astype(np.float32))
+
+
+def test_load_event_file_bad_npz_raises_with_layout(tmp_path):
+    # unrecognized layout: a ValueError naming the keys, not a KeyError
+    from eventclip_tpu.serve import load_event_file
+
+    np.savez(tmp_path / "bad.npz", a=np.zeros((3, 3)), b=np.zeros(2))
+    with pytest.raises(ValueError, match="unrecognized npz layout"):
+        load_event_file(str(tmp_path / "bad.npz"))
+
+
+def test_warm_up_covers_buckets_with_tta_odd_batch(monkeypatch):
+    # batch_size % 4 != 0 with TTA: warming through predict() could never
+    # reach the top bucket (streams expand to 4 rows each); warm_up crafts
+    # device chunks directly, so coverage is exact for any combination
+    import eventclip_tpu.data.loader as loader
+    from eventclip_tpu.server import _warm_up
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=6, tta=True)
+    assert len(pred._buckets) > 1, "geometry must yield multiple buckets"
+    seen = []
+    orig = loader.pack_view_batch
+
+    def spy(batch, buckets):
+        out = orig(batch, buckets)
+        if "view_src" in out:
+            seen.append(int(out["windows"].shape[0]))
+        return out
+
+    monkeypatch.setattr(loader, "pack_view_batch", spy)
+    _warm_up(pred)
+    assert set(seen) == set(pred._buckets), (seen, pred._buckets)
+
+
+def test_microbatcher_default_cap_counts_streams():
+    # the collect cap is documented in STREAMS; under TTA each stream
+    # spans 4 device rows, so the default derives from the row budget
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=8, tta=True)
+    mb = MicroBatcher(pred, max_wait_ms=1.0)
+    try:
+        assert mb._max == 2 * 8  # 8 chunks x (8 rows / 4 rows-per-stream)
+    finally:
+        mb.close()
+
+
+def test_drain_waits_for_inflight_request():
+    # SIGTERM contract: drain must hold process exit until the in-flight
+    # request's response is written (handler threads are daemons)
+    import time as _time
+
+    from eventclip_tpu.client import ServingClient
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    inner = pred.predict
+
+    def slow_predict(streams, top_k=1):
+        _time.sleep(0.8)
+        return inner(streams, top_k=top_k)
+
+    pred.predict = slow_predict
+    server = make_server(pred, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    rng = np.random.default_rng(73)
+    result = {}
+
+    def fire():
+        result["out"] = ServingClient(url).predict(_streams(rng, 1))
+
+    rt = threading.Thread(target=fire)
+    rt.start()
+    _time.sleep(0.3)  # request is now inside slow_predict
+    t0 = _time.monotonic()
+    assert server.drain() is True
+    waited = _time.monotonic() - t0
+    rt.join(10)
+    assert "out" in result, "client response lost during drain"
+    assert waited >= 0.2, "drain returned before the in-flight request"
+    server.server_close()
