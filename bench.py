@@ -753,7 +753,10 @@ def _serve_latency(bench, rng, arch):
 
     from eventclip_tpu.server import MicroBatcher
 
-    mb = MicroBatcher(thr, max_wait_ms=5.0)
+    # adaptive collect: keeps waiting while arrivals continue (quiet 10 ms
+    # closes the batch), hard cap 100 ms — a burst whose host windowing
+    # staggers arrivals over ~40 ms still fuses into ONE device batch
+    mb = MicroBatcher(thr, max_wait_ms=100.0, idle_gap_ms=10.0)
     try:
         singles = [[s] for s in req]
 
@@ -774,7 +777,8 @@ def _serve_latency(bench, rng, arch):
         bench.record("serve_microbatch_streams_per_sec", len(req) / dt,
                      "streams/s",
                      f"{req_bs} concurrent 1-stream requests fused by "
-                     f"MicroBatcher(5 ms), batch_size={req_bs}, {arch}")
+                     f"MicroBatcher(cap 100 ms, idle gap 10 ms), "
+                     f"batch_size={req_bs}, {arch}")
     finally:
         mb.close()
 
