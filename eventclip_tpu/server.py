@@ -474,6 +474,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 max_body: int = DEFAULT_MAX_BODY,
                 quiet: bool = True,
                 microbatch_ms: float = 0.0,
+                microbatch_idle_ms: Optional[float] = None,
                 auth_token: str = "") -> ThreadingHTTPServer:
     """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
 
@@ -487,8 +488,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     predict handlers, then close the batcher. Handler threads are
     daemons, so exiting without the wait would sever clients mid-request.
     """
-    batcher = MicroBatcher(predictor, microbatch_ms) if microbatch_ms > 0 \
-        else None
+    batcher = (MicroBatcher(predictor, microbatch_ms,
+                            idle_gap_ms=microbatch_idle_ms)
+               if microbatch_ms > 0 else None)
     inflight = _InFlight()
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
@@ -567,9 +569,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="serve on CPU (debug; env vars alone cannot switch "
                          "platforms once jax is imported)")
     ap.add_argument("--microbatch_ms", type=float, default=0.0,
-                    help="fuse requests arriving within this window into "
-                         "one device batch (0 = off; 2-5 ms is a good "
-                         "start under concurrent single-stream load)")
+                    help="fuse concurrent requests into one device batch, "
+                         "collecting adaptively up to this hard cap "
+                         "(0 = off; 10-100 ms is a good start under "
+                         "concurrent single-stream load)")
+    ap.add_argument("--microbatch_idle_ms", type=float, default=None,
+                    help="close a collecting batch after this long with no "
+                         "new arrival (default: microbatch_ms / 4); a lone "
+                         "request waits only this, not the full cap")
     ap.add_argument("--max_body_mb", type=int, default=512)
     ap.add_argument("--auth_token", default="",
                     help="require 'Authorization: Bearer <token>' on every "
@@ -599,6 +606,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     server = make_server(predictor, args.host, args.port,
                          max_body=args.max_body_mb * 1024 * 1024,
                          quiet=False, microbatch_ms=args.microbatch_ms,
+                         microbatch_idle_ms=args.microbatch_idle_ms,
                          auth_token=auth_token)
     print(f"serving {params.model} ({params.clip_dict['arch']}) on "
           f"http://{args.host}:{server.server_address[1]}  "

@@ -688,3 +688,16 @@ def test_drain_waits_for_inflight_request():
     assert "out" in result, "client response lost during drain"
     assert waited >= 0.2, "drain returned before the in-flight request"
     server.server_close()
+
+
+def test_make_server_plumbs_idle_gap():
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, microbatch_ms=50.0,
+                         microbatch_idle_ms=5.0)
+    try:
+        assert server.batcher is not None
+        assert abs(server.batcher._wait - 0.050) < 1e-9
+        assert abs(server.batcher._gap - 0.005) < 1e-9
+    finally:
+        server.batcher.close()
+        server.server_close()
