@@ -95,3 +95,14 @@ class ServingClient:
         if return_probs:
             out["probs"] = np.asarray(resp["probs"], dtype=np.float32)
         return out
+
+    def embed(self, event_streams: Sequence[np.ndarray]) -> np.ndarray:
+        """Raw event streams -> [B, C] L2-normalized CLIP features
+        (requires the server to run with --embed); same wire encoding
+        as predict()."""
+        buf = io.BytesIO()
+        np.savez(buf, *[np.asarray(s, dtype=np.float32)
+                        for s in event_streams])
+        resp = self._request("/embed", data=buf.getvalue(),
+                             ctype="application/x-npz")
+        return np.asarray(resp["embeddings"], dtype=np.float32)

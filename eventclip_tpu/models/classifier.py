@@ -344,6 +344,10 @@ def _aggregate_head(params, cfg, feats, valid, *, train: bool, rng):
         "valid_masks": valid,
         "logits": aggregate_logits(full_logits, valid, cfg.agg_func),
         "probs": aggregate_probs(full_logits, valid),
+        # per-view features at the text-matmul point (post-adapter/norm
+        # for FS/FT, raw for ZS) — the serving embed API consumes these;
+        # XLA dead-code-eliminates them from programs that only read probs
+        "view_feats": feats,
     }
 
 

@@ -18,7 +18,10 @@ for production use:
   (`prune_tokens=K`, stacks with int8 for ~2x e2e), data-parallel
   batch sharding over all local devices (`data_parallel=True`), and
   4-variant event TTA (`tta=True`, gen_data's robustness trick at 4x
-  compute: probabilities averaged over identity/h-flip/t-flip/both).
+  compute: probabilities averaged over identity/h-flip/t-flip/both);
+- opt-in embeddings (`embed=True` + `Predictor.embed`): one
+  L2-normalized CLIP feature per stream, for retrieval/indexing over
+  event recordings rather than closed-set classification.
 
 Example:
     from eventclip_tpu.serve import Predictor
@@ -50,6 +53,7 @@ class Predictor:
         data_parallel: bool = False,
         pack_views: bool = True,
         tta: bool = False,
+        embed: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -158,6 +162,27 @@ class Predictor:
             return classifier_forward(p, self._cfg, x, valid)["probs"]
 
         self._step = step
+
+        # optional embeddings program (raw events -> one L2-normalized CLIP
+        # feature per stream, the retrieval/indexing use case). Opt-in: it
+        # is one more 30-500 s remote compile at construction/warm-up that
+        # pure classification deployments should not pay.
+        self._embed_step = None
+        if embed:
+            from .models.classifier import normalize as l2norm
+
+            @jax.jit
+            def embed_step(p, windows, valid):
+                x = rasterize_for_clip(self._spec, pp, windows)
+                out = classifier_forward(p, self._cfg, x, valid)
+                # per-view features at the text-matmul point; normalize
+                # uniformly (ZS features arrive raw), zero the padding,
+                # mean over valid views, re-normalize
+                f = l2norm(out["view_feats"]) * valid[..., None]
+                n = jnp.maximum(valid.sum(-1, keepdims=True), 1)
+                return l2norm(f.sum(1) / n)  # [B, C]
+
+            self._embed_step = embed_step
         self._shard_batch = (
             (lambda b: shard_batch(b, self._mesh))
             if self._mesh is not None else None
@@ -351,15 +376,17 @@ class Predictor:
         )[: len(wins)]
         return self.finalize(probs, top_k)
 
-    def _place_chunk(self, wins: np.ndarray, valids: np.ndarray):
+    def _place_chunk(self, wins: np.ndarray, valids: np.ndarray,
+                     pack: bool = True):
         """One [batch_size, V, ...] host chunk -> device-ready batch
-        (view-pack -> place -> shard)."""
+        (view-pack -> place -> shard). pack=False skips view packing
+        (the embed program compiles padded-only)."""
         import jax.numpy as jnp
 
         from .data.loader import pack_view_batch
 
         batch = {"windows": wins, "valid_mask": valids}
-        if self._buckets:
+        if pack and self._buckets:
             batch = pack_view_batch(batch, self._buckets)
         batch = {k: jnp.asarray(x) for k, x in batch.items()}
         if self._shard_batch is not None:
@@ -413,6 +440,13 @@ class Predictor:
                     f"(valid views={want})...")
             out = self._dispatch_chunk(self._place_chunk(*chunk(want)))
             float(np.asarray(out).sum())  # force execution (relay no-op sync)
+        if self._embed_step is not None:
+            if log is not None:
+                log("warm-up: compiling the embed program...")
+            batch = self._place_chunk(*chunk(total), pack=False)
+            f = self._embed_step(self._params, batch["windows"],
+                                 batch["valid_mask"])
+            float(np.asarray(f).sum())
 
     def finalize(self, probs: np.ndarray, top_k: int = 1) -> Dict[str, Any]:
         """Per-variant-row probabilities -> the prediction dict. With TTA,
@@ -429,6 +463,49 @@ class Predictor:
             "probs": probs,
             "topk": topk,
         }
+
+    def embed(self, event_streams: List[np.ndarray]) -> np.ndarray:
+        """Raw event streams -> [B, C] L2-normalized CLIP features (the
+        retrieval/indexing companion to predict()): mean of the per-view
+        features; with tta=True additionally the mean over the 4 variants,
+        re-normalized. Requires embed=True at construction."""
+        if self._embed_step is None:
+            raise RuntimeError(
+                "Predictor was built without embed=True — the embeddings "
+                "program is opt-in (one extra compile at construction)"
+            )
+        if not len(event_streams):
+            dim = int(self._params["text_feats"].shape[-1])
+            return np.zeros((0, dim), np.float32)
+        wins, valids = self.gather_windows(event_streams)
+        return self.embed_windows(wins, valids)
+
+    def embed_windows(self, wins: np.ndarray, valids: np.ndarray
+                      ) -> np.ndarray:
+        """Device phase of embed() on pre-gathered windows. Uses the one
+        padded embed program (no view-packed variants: embedding jobs are
+        typically offline/batch, where the ragged-view economy matters
+        less than keeping the compiled set small)."""
+        bs = self.batch_size
+        out = []
+        for i in range(0, len(wins), bs):
+            w, v = wins[i:i + bs], valids[i:i + bs]
+            pad = bs - len(w)
+            if pad:  # fixed compiled batch; padded rows sliced off below
+                w = np.concatenate(
+                    [w, np.zeros((pad,) + w.shape[1:], w.dtype)])
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], bool)])
+            batch = self._place_chunk(w, v, pack=False)
+            f = self._embed_step(self._params, batch["windows"],
+                                 batch["valid_mask"])
+            out.append(np.asarray(f)[: bs - pad])
+        feats = np.concatenate(out)[: len(wins)].astype(np.float32)
+        if self.tta:  # [B*4, C] variant rows -> mean per stream, re-norm
+            feats = feats.reshape(-1, 4, feats.shape[-1]).mean(axis=1)
+            feats /= np.maximum(
+                np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        return feats
 
     @classmethod
     def from_config(cls, config_path: str, class_names: Sequence[str],

@@ -431,8 +431,12 @@ class _Handler(BaseHTTPRequestHandler):
         if not self._authorized():
             return
         route = urlparse(self.path).path
+        if route == "/embed":
+            self._do_embed()
+            return
         if route != "/predict":
-            self._error(404, f"no route {route} (POST /predict)")
+            self._error(404, f"no route {route} (POST /predict, "
+                             "POST /embed)")
             return
         body = self._read_body()
         if body is None:
@@ -468,6 +472,38 @@ class _Handler(BaseHTTPRequestHandler):
         if return_probs:
             resp["probs"] = out["probs"].tolist()
         self._send_json(200, resp)
+
+    def _do_embed(self):
+        """POST /embed: same request bodies as /predict (top_k ignored);
+        responds {"embeddings": [[...], ...]} — one L2-normalized CLIP
+        feature per stream. Requires the server to run with --embed.
+        Embeds bypass the micro-batcher (indexing jobs batch client-side)."""
+        if getattr(self.predictor, "_embed_step", None) is None:
+            self._error(
+                400, "embeddings are not enabled on this server "
+                     "(start it with --embed)")
+            return
+        body = self._read_body()
+        if body is None:
+            return
+        decoded = self._decode_predict(body)
+        if decoded is None:
+            return
+        streams, _, _ = decoded
+        t0 = time.monotonic()
+        try:
+            with self.lock:
+                feats = self.predictor.embed(streams)
+        except ValueError as err:
+            self.stats.record_error()
+            self._error(400, str(err))
+            return
+        except Exception as err:
+            self.stats.record_error()
+            self._error(500, f"{type(err).__name__}: {err}")
+            return
+        self.stats.record(len(streams), (time.monotonic() - t0) * 1e3)
+        self._send_json(200, {"embeddings": feats.tolist()})
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
@@ -563,6 +599,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="shard each compiled batch over all local devices")
     ap.add_argument("--tta", action="store_true",
                     help="4-variant event TTA (4x compute, averaged probs)")
+    ap.add_argument("--embed", action="store_true",
+                    help="enable POST /embed (one L2-normalized CLIP "
+                         "feature per stream; one extra compile at warm-up)")
     ap.add_argument("--smoke", action="store_true",
                     help="random CLIP weights (pipeline demo, no accuracy)")
     ap.add_argument("--cpu", action="store_true",
@@ -599,7 +638,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
         int8=args.int8, prune_tokens=args.prune_tokens,
         batch_size=args.batch_size, data_parallel=args.data_parallel,
-        tta=args.tta,
+        tta=args.tta, embed=args.embed,
     )
     _warm_up(predictor)
 

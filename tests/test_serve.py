@@ -246,3 +246,42 @@ def test_tta_predictor_matches_manual_variants(predictor):
         manual.append(np.mean(per, axis=0))
     np.testing.assert_allclose(out["probs"], np.stack(manual),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_embed_shapes_norm_and_batch_invariance():
+    pred = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                     smoke=True, batch_size=4, embed=True)
+    rng = np.random.default_rng(17)
+    streams = _streams(rng, n=5)  # forces a padded second chunk (bs=4)
+    feats = pred.embed(streams)
+    assert feats.shape[0] == 5 and feats.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               atol=1e-4)
+    # content-addressed: row order must not change a stream's embedding
+    swapped = pred.embed([streams[1], streams[0]])
+    np.testing.assert_allclose(swapped[0], feats[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(swapped[1], feats[0], rtol=1e-5, atol=1e-6)
+    # distinct streams embed distinctly
+    assert not np.allclose(feats[0], feats[1])
+    # empty request: [0, C] of the tower's width
+    empty = pred.embed([])
+    assert empty.shape == (0, feats.shape[1])
+
+
+def test_embed_requires_opt_in(predictor):
+    rng = np.random.default_rng(18)
+    with pytest.raises(RuntimeError, match="embed=True"):
+        predictor.embed(_streams(rng, n=1))
+
+
+def test_embed_tta_unit_norm_and_deterministic():
+    pred = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                     smoke=True, batch_size=4, embed=True, tta=True)
+    rng = np.random.default_rng(19)
+    streams = _streams(rng, n=2)
+    feats = pred.embed(streams)
+    assert feats.shape[0] == 2
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               atol=1e-4)
+    np.testing.assert_allclose(pred.embed(streams), feats,
+                               rtol=1e-5, atol=1e-6)

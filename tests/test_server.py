@@ -701,3 +701,32 @@ def test_make_server_plumbs_idle_gap():
     finally:
         server.batcher.close()
         server.server_close()
+
+
+def test_embed_route_matches_predictor():
+    from eventclip_tpu.client import ServingClient
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=4, embed=True)
+    server = make_server(pred, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        rng = np.random.default_rng(74)
+        streams = _streams(rng, 3)
+        got = ServingClient(url).embed(streams)
+        want = pred.embed(streams)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_embed_route_disabled_is_400(served):
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    _, url = served
+    rng = np.random.default_rng(75)
+    with pytest.raises(ServingError, match="--embed"):
+        ServingClient(url).embed(_streams(rng, 1))
