@@ -578,6 +578,11 @@ def main(argv=None) -> None:
     ap.add_argument("--data_parallel", action="store_true")
     ap.add_argument("--tta", action="store_true",
                     help="4-variant event TTA (4x compute, averaged probs)")
+    ap.add_argument("--embed_out", default="",
+                    help="switch to embedding extraction: write one npz "
+                         "(paths [N], embeddings [N, C] f32 L2-normalized) "
+                         "instead of prediction JSONL — a retrieval index "
+                         "over the recordings")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -599,18 +604,33 @@ def main(argv=None) -> None:
                      clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
                      int8=args.int8, prune_tokens=args.prune_tokens,
                      batch_size=args.batch_size,
-                     data_parallel=args.data_parallel, tta=args.tta)
+                     data_parallel=args.data_parallel, tta=args.tta,
+                     embed=bool(args.embed_out))
+
+    def load(p):
+        # a bad file mid-glob must name itself, not abort a long run
+        # with a bare KeyError/ValueError traceback
+        try:
+            return load_event_file(p)
+        except Exception as err:
+            raise SystemExit(f"error: {p}: {err}") from None
+
+    if args.embed_out:
+        # embedding-index mode: no JSONL, one npz with aligned rows
+        feats = []
+        for i in range(0, len(paths), pred.batch_size):
+            chunk = paths[i:i + pred.batch_size]
+            feats.append(pred.embed([load(p) for p in chunk]))
+            print(f"{min(i + pred.batch_size, len(paths))}/{len(paths)}",
+                  file=sys.stderr, flush=True)
+        np.savez(args.embed_out, paths=np.array(paths),
+                 embeddings=np.concatenate(feats))
+        print(f"wrote {len(paths)} embeddings -> {args.embed_out}",
+              file=sys.stderr, flush=True)
+        return
 
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
-        def load(p):
-            # a bad file mid-glob must name itself, not abort a long run
-            # with a bare KeyError/ValueError traceback
-            try:
-                return load_event_file(p)
-            except Exception as err:
-                raise SystemExit(f"error: {p}: {err}") from None
-
         # chunk at the compiled batch so memory stays flat on huge globs
         for i in range(0, len(paths), pred.batch_size):
             chunk = paths[i:i + pred.batch_size]

@@ -730,3 +730,55 @@ def test_embed_route_disabled_is_400(served):
     rng = np.random.default_rng(75)
     with pytest.raises(ServingError, match="--embed"):
         ServingClient(url).embed(_streams(rng, 1))
+
+
+def test_batch_inference_cli_embed_out(tmp_path):
+    """--embed_out switches the offline CLI to embedding-index extraction:
+    one npz with aligned paths + L2-normalized feature rows."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(76)
+    streams = _streams(rng, 5)
+    for i, s in enumerate(streams):
+        np.save(tmp_path / f"dump_{i}.npy", s)
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from eventclip_tpu.utils.config import Params\n\n\n"
+        "class EventCLIPParams(Params):\n"
+        "    gpus = 1\n"
+        "    dataset = 'n_caltech'\n"
+        "    data_root = '/nonexistent'\n"
+        "    train_batch_size = 4\n"
+        "    val_batch_size = 8\n"
+        "    quantize_args = dict(max_imgs=2, N=1000,"
+        " split_method='event_count', convert_method='event_histogram',"
+        " grayscale=True, count_non_zero=False, background_mask=True)\n"
+        "    model = 'ZSCLIP'\n"
+        "    clip_dict = dict(arch='ViT-T/8@32',"
+        " prompt='a point cloud image of a {}', agg_func='mean')\n"
+        "    bf16 = False\n")
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(NAMES) + "\n")
+    idx_path = tmp_path / "index.npz"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "eventclip_tpu.serve",
+         "--params", str(cfg), "--classes", str(names),
+         "--inputs", str(tmp_path / "*.npy"),
+         "--embed_out", str(idx_path),
+         "--smoke", "--cpu", "--batch_size", "4"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with np.load(idx_path) as z:
+        paths, feats = list(z["paths"]), z["embeddings"]
+    assert paths == sorted(
+        str(tmp_path / f"dump_{i}.npy") for i in range(5))
+    assert feats.shape[0] == 5 and feats.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               atol=1e-4)
