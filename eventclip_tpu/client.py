@@ -106,3 +106,11 @@ class ServingClient:
         resp = self._request("/embed", data=buf.getvalue(),
                              ctype="application/x-npz")
         return np.asarray(resp["embeddings"], dtype=np.float32)
+
+    def set_classes(self, class_names: Sequence[str]) -> List[str]:
+        """Swap the served label set at runtime (open vocabulary; 409 when
+        the server runs with --microbatch_ms). Returns the active list."""
+        body = json.dumps({"classes": list(class_names)}).encode()
+        resp = self._request("/set_classes", data=body,
+                             ctype="application/json")
+        return resp["classes"]

@@ -21,7 +21,10 @@ for production use:
   compute: probabilities averaged over identity/h-flip/t-flip/both);
 - opt-in embeddings (`embed=True` + `Predictor.embed`): one
   L2-normalized CLIP feature per stream, for retrieval/indexing over
-  event recordings rather than closed-set classification.
+  event recordings rather than closed-set classification;
+- runtime label-set swaps (`set_classes`): CLIP's open-vocabulary
+  promise — new class names cost one prompted text-tower pass, no
+  rebuild (same-count swaps reuse every compiled program).
 
 Example:
     from eventclip_tpu.serve import Predictor
@@ -123,9 +126,12 @@ class Predictor:
             params, clip_cfg, rng, clip_ckpt, smoke=smoke
         )
         self._cfg = snapshot_logit_scale(self._cfg, clip_params, pretrained)
+        # retained for set_classes (runtime label-set swaps re-prompt the
+        # text tower, which lives on in self._params["clip"]["text"])
+        self._prompt = params.clip_dict.get("prompt", DEFAULT_PROMPT)
+        self._pretrained = pretrained
         text_feats = build_text_features(
-            clip_params, clip_cfg, self.class_names,
-            params.clip_dict.get("prompt", DEFAULT_PROMPT),
+            clip_params, clip_cfg, self.class_names, self._prompt,
             pretrained,
         )
         model_params = init_classifier_params(
@@ -506,6 +512,47 @@ class Predictor:
             feats /= np.maximum(
                 np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
         return feats
+
+    def set_classes(self, class_names: Sequence[str]) -> None:
+        """Swap the label set at runtime — CLIP's open-vocabulary promise:
+        the class head is just a matmul against prompted text features, so
+        new labels only need one text-tower pass (reference semantics:
+        clip_cls.py builds text features from the prompt template once).
+
+        A same-count swap reuses every compiled program (text_feats is a
+        runtime input); a different count retraces the head on the next
+        call — call warm_up() after such a swap on remote-compile
+        deployments. Disallowed for prompt-tuned checkpoints, whose text
+        features are TRAINED parameters, not encoder outputs. Not
+        synchronized with concurrent predict() calls — callers serialize
+        (the HTTP route does)."""
+        import jax
+
+        from .engine.trainer import build_text_features
+
+        if self._cfg.prompt_tuning:
+            raise ValueError(
+                "this checkpoint prompt-tunes its text features (trained "
+                "parameters); swapping class names would discard the "
+                "tuning — rebuild a Predictor with a matching checkpoint"
+            )
+        names = [str(n) for n in class_names]
+        if not names:
+            raise ValueError("class_names must be non-empty")
+        feats = build_text_features(
+            self._params["clip"], self._cfg.clip, names, self._prompt,
+            self._pretrained,
+        )
+        # keep the leaf's placement: the mesh's replicated sharding under
+        # data_parallel, UNCOMMITTED single-device otherwise (an explicit
+        # sharding would commit the array — the relay dispatch-cost quirk
+        # parallel/sharding.py::_single_device documents)
+        feats = jax.numpy.asarray(feats, dtype=jax.numpy.float32)
+        self._params["text_feats"] = (
+            jax.device_put(feats, self._params["text_feats"].sharding)
+            if self._mesh is not None else jax.device_put(feats)
+        )
+        self.class_names = names
 
     @classmethod
     def from_config(cls, config_path: str, class_names: Sequence[str],

@@ -434,9 +434,12 @@ class _Handler(BaseHTTPRequestHandler):
         if route == "/embed":
             self._do_embed()
             return
+        if route == "/set_classes":
+            self._do_set_classes()
+            return
         if route != "/predict":
             self._error(404, f"no route {route} (POST /predict, "
-                             "POST /embed)")
+                             "POST /embed, POST /set_classes)")
             return
         body = self._read_body()
         if body is None:
@@ -504,6 +507,43 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self.stats.record(len(streams), (time.monotonic() - t0) * 1e3)
         self._send_json(200, {"embeddings": feats.tolist()})
+
+    def _do_set_classes(self):
+        """POST /set_classes {"classes": [...]}: swap the served label set
+        at runtime (CLIP open vocabulary; Predictor.set_classes). Serialized
+        against non-fused predicts via the handler lock; rejected when
+        micro-batching is on (fused batches could straddle the swap and
+        name old-feature rows with new labels)."""
+        if self.batcher is not None:
+            self._error(
+                409, "class swapping is unavailable with --microbatch_ms "
+                     "(a fused batch could straddle the swap); restart the "
+                     "server or disable micro-batching")
+            return
+        body = self._read_body()
+        if body is None:
+            return
+        try:
+            req = json.loads(body)
+            names = req["classes"]
+            assert isinstance(names, list) and names
+            assert all(isinstance(n, str) for n in names)
+        except Exception:
+            self._error(400, 'body must be {"classes": ["name", ...]} '
+                             "(non-empty list of strings)")
+            return
+        try:
+            with self.lock:
+                self.predictor.set_classes(names)
+        except ValueError as err:  # e.g. prompt-tuned checkpoint
+            self.stats.record_error()
+            self._error(400, str(err))
+            return
+        except Exception as err:
+            self.stats.record_error()
+            self._error(500, f"{type(err).__name__}: {err}")
+            return
+        self._send_json(200, {"classes": self.predictor.class_names})
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,

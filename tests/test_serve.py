@@ -285,3 +285,30 @@ def test_embed_tta_unit_norm_and_deterministic():
                                atol=1e-4)
     np.testing.assert_allclose(pred.embed(streams), feats,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_set_classes_swaps_label_space():
+    pred = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                     smoke=True, batch_size=4)
+    rng = np.random.default_rng(20)
+    streams = _streams(rng, n=2)
+    out3 = pred.predict(streams)
+    assert out3["probs"].shape == (2, 3)
+    new = ["cup", "chair", "lamp", "pizza", "scissors"]
+    pred.set_classes(new)
+    out5 = pred.predict(streams)
+    assert out5["probs"].shape == (2, 5)
+    assert all(n in new for n in out5["names"])
+    np.testing.assert_allclose(out5["probs"].sum(-1), 1.0, atol=1e-4)
+    with pytest.raises(ValueError, match="non-empty"):
+        pred.set_classes([])
+
+
+def test_set_classes_rejects_prompt_tuned():
+    import dataclasses
+
+    pred = Predictor(_TinyZS(), class_names=["a", "b", "c"],
+                     smoke=True, batch_size=4)
+    pred._cfg = dataclasses.replace(pred._cfg, prompt_tuning=True)
+    with pytest.raises(ValueError, match="prompt-tunes"):
+        pred.set_classes(["x", "y"])

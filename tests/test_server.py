@@ -782,3 +782,39 @@ def test_batch_inference_cli_embed_out(tmp_path):
     assert feats.shape[0] == 5 and feats.dtype == np.float32
     np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
                                atol=1e-4)
+
+
+def test_set_classes_route_swaps_vocabulary():
+    from eventclip_tpu.client import ServingClient
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        c = ServingClient(url)
+        assert c.classes() == NAMES
+        new = ["cup", "chair", "lamp", "pizza"]
+        assert c.set_classes(new) == new
+        assert c.classes() == new
+        assert c.health()["n_classes"] == 4
+        out = c.predict(_streams(np.random.default_rng(77), 1))
+        assert out["names"][0] in new
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_set_classes_rejected_with_microbatcher():
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, microbatch_ms=20.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        with pytest.raises(ServingError, match="microbatch"):
+            ServingClient(url).set_classes(["x", "y"])
+    finally:
+        server.shutdown()
+        server.server_close()
