@@ -71,6 +71,7 @@ def make_train_step(
     loss_weights: Optional[Dict[str, float]] = None,
     pipeline=None,
     augment: bool = False,
+    accum_steps: int = 1,
 ):
     """Build the jitted, sharded train step: (state, batch) -> (state, metrics).
 
@@ -79,6 +80,15 @@ def make_train_step(
     pipeline: optional (RasterSpec, ClipPreprocess) enabling the fused
         on-device events->image path. augment=True additionally applies
         on-device RandAugment (the config's img_aug).
+    accum_steps > 1 enables gradient accumulation: one optimizer update
+        per call, gradients averaged over accum_steps sequential
+        microbatches via lax.scan. Batch leaves must then arrive shaped
+        [accum_steps, B/accum_steps, ...] with dim 1 sharded
+        (shard_batch(..., microbatched=True)); the host reshapes because
+        splitting a sharded dim inside jit would reshard. This is how a
+        config's global batch (e.g. the reference's 128-on-4-GPUs,
+        configs/ftclip/ft_text_fsclip_nin_params.py:8) fits on fewer or
+        smaller chips: same update math, 1/accum the activation memory.
 
     Sharding note: the step is NOT annotated with explicit in/out shardings —
     parameters and batches arrive already placed (shard_params/shard_batch)
@@ -113,11 +123,36 @@ def make_train_step(
         losses["train_acc"] = (out["probs"].argmax(-1) == batch["label"]).mean()
         return total, losses
 
+    accum = int(accum_steps)
+    assert accum >= 1, accum
+
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(state.rng, state.step)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        if accum == 1:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+        else:
+            # mean gradient over accum sequential microbatches; the scan
+            # reuses one compiled body, and only one microbatch's
+            # activations are ever live (plus the f32 accumulator, which
+            # is no bigger than the grads the accum=1 path materializes)
+            def body(g_acc, xs):
+                mb, r = xs
+                g, m = jax.grad(loss_fn, has_aux=True)(state.params, mb, r)
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), m
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params
+            )
+            grads, ms = jax.lax.scan(
+                body, zeros, (batch, jax.random.split(rng, accum))
+            )
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            # equal microbatch sizes -> mean of per-microbatch means IS the
+            # full-batch mean for every metric
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

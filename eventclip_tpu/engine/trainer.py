@@ -245,11 +245,17 @@ class EventCLIPTrainer:
         self.mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model)
         self.n_data = n_devices // n_model
 
-        # loaders (global batch sharded over the data axis by shard_batch)
+        # gradient accumulation: one optimizer update per accum_steps
+        # sequential microbatches — keeps a config's global batch (the
+        # parity spec) when it exceeds chip memory / device count
+        self.accum = max(int(params.get("accum_steps", 1)), 1)
+        # loaders (global batch sharded over the data axis by shard_batch);
+        # every microbatch (global/accum) must itself split over the data axis
         self.global_batch = int(params.train_batch_size)
-        if self.global_batch % self.n_data != 0:
+        divisor = self.n_data * self.accum
+        if self.global_batch % divisor != 0:
             self.global_batch = max(
-                self.n_data, self.global_batch - self.global_batch % self.n_data
+                divisor, self.global_batch - self.global_batch % divisor
             )
         # on a multi-host slice each process loads only its shard of every
         # global batch (the DistributedSampler contract, torch-free)
@@ -312,6 +318,7 @@ class EventCLIPTrainer:
             self.cls_cfg, self.tx, self.mesh,
             loss_weights=loss_weights, pipeline=self.pipeline,
             augment=bool(getattr(train_set, "augment", False)),
+            accum_steps=self.accum,
         )
         top5 = params.dataset == "n_imagenet"
         self.eval_step = make_eval_step(
@@ -371,7 +378,7 @@ class EventCLIPTrainer:
             os.replace(tmp, rid_path)
         return rid
 
-    def _device_batch(self, batch: Dict[str, np.ndarray]):
+    def _device_batch(self, batch: Dict[str, np.ndarray], accum: int = 1):
         from ..parallel.distributed import make_global_batch
 
         keep = {
@@ -380,7 +387,16 @@ class EventCLIPTrainer:
                      "view_src")
         }
         keep["label"] = keep["label"].astype(np.int32)
-        return make_global_batch(keep, self.mesh)
+        if accum > 1:
+            # the gradient-accumulation layout the train step scans over
+            # (host-side reshape; see make_train_step / batch_pspec)
+            b = next(iter(keep.values())).shape[0]
+            assert b % accum == 0, (b, accum)
+            keep = {
+                k: v.reshape((accum, b // accum) + v.shape[1:])
+                for k, v in keep.items()
+            }
+        return make_global_batch(keep, self.mesh, microbatched=accum > 1)
 
     def fit(self, resume_from: str = "", san_check_val_step: int = 2) -> None:
         start_epoch = 0
@@ -419,7 +435,8 @@ class EventCLIPTrainer:
             # device-side double buffering: batch k+1's H2D copy overlaps
             # batch k's (async-dispatched) step instead of serializing
             for dev_batch in device_prefetch(
-                self.train_loader.epoch(epoch), self._device_batch
+                self.train_loader.epoch(epoch),
+                lambda b: self._device_batch(b, accum=self.accum),
             ):
                 if self.profile_steps and epoch == 0 \
                         and n_batches == profile_warmup:

@@ -43,18 +43,24 @@ def host_shard_info() -> Tuple[int, int]:
 
 
 def make_global_batch(
-    batch: Dict[str, np.ndarray], mesh: Mesh
+    batch: Dict[str, np.ndarray], mesh: Mesh, microbatched: bool = False
 ) -> Dict[str, jax.Array]:
     """Host-local per-shard arrays -> global mesh-sharded arrays.
 
     With one process this is a plain device_put with the batch sharding;
     with many, each host contributes its slice of the global batch.
+    microbatched=True is the gradient-accumulation layout ([accum, B/accum,
+    ...] with dim 1 sharded, see sharding.batch_pspec); each host reshapes
+    its local shard before calling, so global microbatch i is the
+    concatenation of every host's i-th local microbatch — a different but
+    equally valid partition of the global batch than a single-host reshape
+    (the accumulated mean gradient is partition-invariant).
     """
     if jax.process_count() == 1:
         from .sharding import shard_batch
 
-        return shard_batch(batch, mesh)
-    sharding = NamedSharding(mesh, batch_pspec())
+        return shard_batch(batch, mesh, microbatched=microbatched)
+    sharding = NamedSharding(mesh, batch_pspec(microbatched))
     return {
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in batch.items()

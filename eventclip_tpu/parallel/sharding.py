@@ -88,9 +88,17 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_pspec() -> P:
-    """Inputs shard their leading (batch) dim over the data axis."""
-    return P(DATA_AXIS)
+def batch_pspec(microbatched: bool = False) -> P:
+    """Inputs shard their leading (batch) dim over the data axis.
+
+    microbatched=True is the gradient-accumulation layout: leaves are
+    [accum, B/accum, ...] with the SECOND dim sharded (the leading dim is
+    the sequential microbatch axis the train step scans over — sharding it
+    would turn a sequential loop into cross-device traffic). The host
+    reshapes to this layout before placement; reshaping a sharded batch
+    dim inside jit would make GSPMD reshard instead.
+    """
+    return P(None, DATA_AXIS) if microbatched else P(DATA_AXIS)
 
 
 
@@ -152,9 +160,10 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     )
 
 
-def shard_batch(batch: Params, mesh: Mesh) -> Params:
+def shard_batch(batch: Params, mesh: Mesh,
+                microbatched: bool = False) -> Params:
     """Place a batch pytree onto the mesh, sharded over the data axis."""
     if _single_device(mesh):
         return jax.device_put(batch)
-    s = NamedSharding(mesh, batch_pspec())
+    s = NamedSharding(mesh, batch_pspec(microbatched))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -18,7 +18,7 @@ def _args(**kw):
     ns = dict(params=CFG, num_shots=-1, N=-1, weight="", data_root="",
               clip_ckpt="", n_model=1, max_epochs=-1, ckpt_base="checkpoint",
               san_check_val_step=2, seed=0, cpu=False, smoke=False,
-              profile=0, fp32=False)
+              profile=0, fp32=False, accum=0)
     ns.update(kw)
     return types.SimpleNamespace(**ns)
 
@@ -35,3 +35,11 @@ def test_n_override_scales_to_events_and_suffixes_name():
     params, name = train_mod.load_and_override(_args(N=30))
     assert params.quantize_args["N"] == 30_000
     assert name.endswith("-N_30")
+
+
+def test_accum_flag_sets_accum_steps():
+    # the trainer reads params.get("accum_steps", 1) (engine/trainer.py)
+    params, _ = train_mod.load_and_override(_args())
+    assert params.get("accum_steps", 1) == 1
+    params, _ = train_mod.load_and_override(_args(accum=4))
+    assert params.get("accum_steps", 1) == 4

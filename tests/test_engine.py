@@ -419,3 +419,108 @@ def test_packed_eval_step_matches_padded_on_mesh(rng):
         assert np.isclose(packed[k], plain[k], rtol=1e-4, atol=1e-5), (
             k, packed[k], plain[k]
         )
+
+
+@pytest.mark.parametrize("accum", [2, 4])
+def test_accum_matches_full_batch_update(rng, accum):
+    """Gradient accumulation must be pure batch-splitting: with dropout off
+    and the same samples, accum sequential microbatches produce the same
+    optimizer update as one full-batch step (mean-of-equal-microbatch-means
+    IS the full-batch mean; only f32 reduction order differs). This is the
+    contract that lets a config's global batch — the parity spec, e.g. the
+    reference's 128-on-4-GPUs (configs/ftclip/ft_text_fsclip_nin_params.py:8)
+    — run on fewer or smaller chips via --accum."""
+    import dataclasses
+
+    cfg = tiny_fs_config()
+    cfg = dataclasses.replace(
+        cfg, adapter=dataclasses.replace(cfg.adapter, dropout=0.0)
+    )
+    # plain SGD so updates are PROPORTIONAL to gradients: Adam normalizes
+    # by sqrt(v), which amplifies the ~1e-9 reduction-order noise on
+    # zero-by-symmetry gradients (k-bias: softmax is shift-invariant in the
+    # key bias) into full-lr steps, making params-after-update
+    # incomparable even when the gradients agree
+    import optax
+
+    tx = optax.sgd(0.1)
+    mesh = make_mesh(n_data=2, n_model=1)
+    B = 8
+    batch = make_batch(rng, B=B)
+
+    def run(a):
+        # fresh identical params per run: device_put may alias the source
+        # buffers, and the donating step would delete them for the next run
+        p = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                   n_classes=N_CLS)
+        state = create_train_state(
+            shard_params(p, mesh), tx, jax.random.PRNGKey(1)
+        )
+        step = make_train_step(cfg, tx, mesh, accum_steps=a)
+        b = batch if a == 1 else {
+            k: v.reshape((a, B // a) + v.shape[1:]) for k, v in batch.items()
+        }
+        b = shard_batch(b, mesh, microbatched=a > 1)
+        metrics = None
+        for _ in range(3):
+            state, metrics = step(state, b)
+        return (jax.device_get(state.params),
+                {k: float(v) for k, v in metrics.items()})
+
+    full_params, full_m = run(1)
+    acc_params, acc_m = run(accum)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(full_params)
+    flat_a = jax.tree_util.tree_leaves(acc_params)
+    for (path, f), a in zip(flat_f, flat_a):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(f), rtol=2e-4, atol=1e-6,
+            err_msg=str(path),
+        )
+    for k in full_m:
+        assert np.isclose(acc_m[k], full_m[k], rtol=1e-3, atol=1e-5), (
+            k, acc_m[k], full_m[k]
+        )
+
+
+def test_accum_through_trainer_device_batch(rng, tmp_path):
+    """The host-side microbatch reshape (_device_batch) + the scanned step
+    must compose: one trainer-shaped step over the rasterize pipeline with
+    accum=2 runs, counts ONE optimizer step, and keeps frozen leaves
+    frozen."""
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec
+
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=2, n_model=1)
+    params = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    tx = build_optimizer(
+        cfg, OptimConfig(lr=1e-2, total_steps=10, warmup_steps_pct=0.0), params
+    )
+    state = create_train_state(shard_params(params, mesh), tx,
+                               jax.random.PRNGKey(1))
+    H, W, N = 48, 64, 128
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=32)
+    step = make_train_step(cfg, tx, mesh, pipeline=(spec, pp), augment=True,
+                           accum_steps=2)
+    B, T = 4, 2
+    windows = np.stack([
+        rng.integers(0, W, size=(B, T, N)),
+        rng.integers(0, H, size=(B, T, N)),
+        rng.choice([-1, 1], size=(B, T, N)),
+    ], axis=-1).astype(np.int16)
+    batch = {
+        "windows": windows,
+        "valid_mask": np.ones((B, T), dtype=bool),
+        "label": rng.integers(0, N_CLS, size=(B,)).astype(np.int32),
+    }
+    micro = {k: v.reshape((2, B // 2) + v.shape[1:]) for k, v in batch.items()}
+    frozen_before = np.asarray(jax.device_get(
+        state.params["clip"]["visual"]["patch_embed"]))
+    state, metrics = step(state, shard_batch(micro, mesh, microbatched=True))
+    assert int(state.step) == 1, "accum is one optimizer step per call"
+    assert np.isfinite(float(metrics["ce_loss"]))
+    np.testing.assert_array_equal(
+        frozen_before,
+        np.asarray(jax.device_get(state.params["clip"]["visual"]["patch_embed"])),
+    )

@@ -51,6 +51,12 @@ def parse_args():
                         help="run activations in f32 instead of bf16 (the "
                         "reference's precision toggle is --fp16, train.py:104"
                         "; bf16 is our default)")
+    parser.add_argument("--accum", type=int, default=0,
+                        help="gradient-accumulation microbatches per "
+                        "optimizer step: keeps the config's global batch "
+                        "(the reference reaches batch 128 with 4-GPU DDP) "
+                        "on fewer/smaller chips at 1/accum the activation "
+                        "memory")
     return parser.parse_args()
 
 
@@ -88,6 +94,8 @@ def load_and_override(args):
         params.profile_steps = args.profile
     if args.fp32:
         params.bf16 = False
+    if args.accum > 0:
+        params.accum_steps = args.accum
     return params, exp_name
 
 
