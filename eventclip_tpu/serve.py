@@ -24,7 +24,12 @@ for production use:
   event recordings rather than closed-set classification;
 - runtime label-set swaps (`set_classes`): CLIP's open-vocabulary
   promise — new class names cost one prompted text-tower pass, no
-  rebuild (same-count swaps reuse every compiled program).
+  rebuild (same-count swaps reuse every compiled program);
+- online inference (`StreamSession`): append a live sensor feed chunk
+  by chunk, poll a rolling prediction over the most recent
+  view_budget x window events — the continuous-stream deployment shape
+  event cameras actually have, routed through the identical compiled
+  path (a session's answer == Predictor.predict on its buffer).
 
 Example:
     from eventclip_tpu.serve import Predictor
@@ -561,6 +566,116 @@ class Predictor:
         from .utils.config import load_params
 
         return cls(load_params(config_path), class_names, **kwargs)
+
+
+class StreamSession:
+    """Online sliding-window classification over a LIVE event stream.
+
+    An event camera emits a continuous stream; the offline surfaces
+    (test.py, Predictor.predict) classify complete recordings. A
+    StreamSession is the deployment shape between them: ``append`` events
+    as they arrive (any chunking — per-packet, per-frame-interval, ...),
+    ask for a rolling ``predict`` at any time.
+
+    Semantics: the session keeps the most recent ``horizon`` events
+    (default view_budget x window — exactly the event capacity the
+    offline eval path can see per sample) in a ring buffer, and
+    prediction routes the buffer through the UNCHANGED Predictor path
+    (centering -> windowing -> packed device forward), so a session's
+    answer over its buffer equals ``Predictor.predict([buffer])`` by
+    construction — there is no second numeric pipeline to drift. At the
+    default horizon the buffer always fits the view budget, so rolling
+    predictions are deterministic in the buffer contents.
+
+    Each prediction is one compiled device batch (~1 stream's cost, see
+    BASELINE.md serve_latency rows) — poll at whatever rate the latency
+    budget allows rather than per-append. append/predict/reset are
+    thread-safe; one session is one logical stream (one per sensor).
+    """
+
+    def __init__(self, predictor: Predictor, horizon: Optional[int] = None):
+        import collections
+        import threading
+
+        self._pred = predictor
+        self._horizon = int(horizon if horizon is not None
+                            else predictor.views * predictor.window)
+        if self._horizon < predictor.window:
+            raise ValueError(
+                f"horizon {self._horizon} is smaller than one window "
+                f"({predictor.window} events) — no prediction could ever "
+                "see a full view"
+            )
+        self._chunks: "collections.deque[np.ndarray]" = collections.deque()
+        self._n = 0
+        self._lock = threading.Lock()
+
+    @property
+    def n_events(self) -> int:
+        return self._n
+
+    @property
+    def horizon(self) -> int:
+        return self._horizon
+
+    def append(self, events: np.ndarray) -> int:
+        """Buffer a chunk of [n, 4] x/y/t/p events (chronological across
+        appends, like any sensor feed); returns the buffered event count
+        after trimming to the horizon. Empty chunks are fine (a quiet
+        sensor interval)."""
+        events = np.asarray(events, dtype=np.float32)
+        if events.ndim != 2 or events.shape[1] != 4:
+            raise ValueError(
+                f"expected [n, 4] x/y/t/p events, got {events.shape}"
+            )
+        with self._lock:
+            if events.shape[0]:
+                # own copy: the caller may reuse its buffer; trimming
+                # below also slices views of it otherwise
+                self._chunks.append(np.array(events, copy=True))
+                self._n += len(events)
+                while self._n > self._horizon:
+                    extra = self._n - self._horizon
+                    head = self._chunks[0]
+                    if len(head) <= extra:
+                        self._chunks.popleft()
+                        self._n -= len(head)
+                    else:
+                        self._chunks[0] = head[extra:]
+                        self._n -= extra
+            return self._n
+
+    def events(self) -> np.ndarray:
+        """Snapshot of the buffered (most recent <= horizon) events."""
+        with self._lock:
+            if not self._n:
+                return np.empty((0, 4), np.float32)
+            return np.concatenate(self._chunks)
+
+    def predict(self, top_k: int = 1) -> Dict[str, Any]:
+        """Rolling prediction over the buffered events: the single-stream
+        slice of Predictor.predict's dict plus 'n_events' (how much
+        evidence the prediction saw)."""
+        snap = self.events()
+        if not len(snap):
+            raise ValueError(
+                "empty session — append events before predict() (an idle "
+                "sensor window has no defined prediction)"
+            )
+        out = self._pred.predict([snap], top_k=top_k)
+        return {
+            "label": int(out["label"][0]),
+            "name": out["names"][0],
+            "probs": out["probs"][0],
+            "topk": out["topk"][0],
+            "n_events": int(len(snap)),
+        }
+
+    def reset(self) -> None:
+        """Drop the buffer (e.g. on scene change); the session stays usable."""
+        with self._lock:
+            self._chunks.clear()
+            self._n = 0
 
 
 def load_event_file(path: str) -> np.ndarray:

@@ -312,3 +312,62 @@ def test_set_classes_rejects_prompt_tuned():
     pred._cfg = dataclasses.replace(pred._cfg, prompt_tuning=True)
     with pytest.raises(ValueError, match="prompt-tunes"):
         pred.set_classes(["x", "y"])
+
+
+def test_stream_session_matches_batch_predict(predictor):
+    """A session's rolling prediction over its buffer must equal
+    Predictor.predict on the same events — one pipeline, by construction
+    (and asserted anyway, so a future session-side shortcut can't drift)."""
+    from eventclip_tpu.serve import StreamSession
+
+    rng = np.random.default_rng(11)
+    stream = _streams(rng, n=1)[0]
+    sess = StreamSession(predictor)
+    # sensor-style chunked arrival, including a quiet (empty) interval
+    n = 0
+    for chunk in np.array_split(stream, 4):
+        n = sess.append(chunk)
+    sess.append(np.empty((0, 4)))
+    assert n == sess.n_events == len(stream)
+
+    got = sess.predict(top_k=2)
+    want = predictor.predict([stream], top_k=2)
+    assert got["label"] == int(want["label"][0])
+    assert got["name"] == want["names"][0]
+    np.testing.assert_allclose(got["probs"], want["probs"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["topk"], want["topk"][0])
+    assert got["n_events"] == len(stream)
+
+
+def test_stream_session_ring_buffer_keeps_most_recent(predictor):
+    """Appending past the horizon must slide the window: the prediction
+    equals a fresh predict on exactly the last `horizon` events."""
+    from eventclip_tpu.serve import StreamSession
+
+    rng = np.random.default_rng(12)
+    horizon = 2 * predictor.window
+    sess = StreamSession(predictor, horizon=horizon)
+    chunks = [_streams(rng, n=1)[0] for _ in range(3)]
+    for c in chunks:
+        sess.append(c)
+    assert sess.n_events == horizon
+    tail = np.concatenate(chunks)[-horizon:]
+    np.testing.assert_allclose(
+        sess.predict()["probs"], predictor.predict([tail])["probs"][0],
+        rtol=1e-5, atol=1e-6,
+    )
+    sess.reset()
+    assert sess.n_events == 0
+
+
+def test_stream_session_validation(predictor):
+    from eventclip_tpu.serve import StreamSession
+
+    sess = StreamSession(predictor)
+    with pytest.raises(ValueError, match="empty session"):
+        sess.predict()
+    with pytest.raises(ValueError, match="x/y/t/p"):
+        sess.append(np.zeros((5, 3)))
+    with pytest.raises(ValueError, match="horizon"):
+        StreamSession(predictor, horizon=predictor.window - 1)
