@@ -42,13 +42,13 @@ class ServingClient:
     # -- plumbing --------------------------------------------------------------
 
     def _request(self, path: str, data: bytes = None,
-                 ctype: str = "") -> Dict[str, Any]:
+                 ctype: str = "", method: str = "") -> Dict[str, Any]:
         headers = {"Content-Type": ctype} if ctype else {}
         if self.auth_token:
             headers["Authorization"] = f"Bearer {self.auth_token}"
         req = urllib.request.Request(
             self.base_url + path, data=data, headers=headers,
-            method="POST" if data is not None else "GET",
+            method=method or ("POST" if data is not None else "GET"),
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
@@ -114,3 +114,57 @@ class ServingClient:
         resp = self._request("/set_classes", data=body,
                              ctype="application/json")
         return resp["classes"]
+
+    def open_session(self, horizon: int = None) -> "StreamingSession":
+        """Open a server-side streaming session (live sensor feed: append
+        event chunks, poll rolling predictions). Usable as a context
+        manager — closing deletes the server-side buffer."""
+        body = (json.dumps({"horizon": int(horizon)}).encode()
+                if horizon is not None else b"")
+        resp = self._request("/session", data=body,
+                             ctype="application/json")
+        return StreamingSession(self, resp["session_id"], resp["horizon"])
+
+
+class StreamingSession:
+    """Handle to one server-side streaming session (ServingClient.open_session)."""
+
+    def __init__(self, client: ServingClient, session_id: str, horizon: int):
+        self._c = client
+        self.session_id = session_id
+        self.horizon = horizon
+
+    def _path(self, suffix: str = "") -> str:
+        return f"/session/{self.session_id}{suffix}"
+
+    def append(self, events: np.ndarray, predict: bool = False,
+               top_k: int = 1) -> Dict[str, Any]:
+        """Append one [n, 4] chunk; with predict=True the response also
+        carries the rolling prediction over the updated buffer."""
+        buf = io.BytesIO()
+        np.savez(buf, events=np.asarray(events, dtype=np.float32))
+        q = f"?predict={1 if predict else 0}&top_k={int(top_k)}"
+        return self._c._request(self._path("/events") + q,
+                                data=buf.getvalue(),
+                                ctype="application/x-npz")
+
+    def predict(self, top_k: int = 1) -> Dict[str, Any]:
+        """Rolling prediction over the buffered events (no append)."""
+        body = json.dumps({"top_k": int(top_k)}).encode()
+        return self._c._request(self._path("/predict"), data=body,
+                                ctype="application/json")
+
+    def info(self) -> Dict[str, Any]:
+        return self._c._request(self._path())
+
+    def close(self) -> None:
+        self._c._request(self._path(), method="DELETE")
+
+    def __enter__(self) -> "StreamingSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        try:
+            self.close()
+        except ServingError:  # already expired/closed
+            pass

@@ -25,6 +25,22 @@ Routes:
   Response: ``{"label": [B], "names": [B], "topk": [B, k]}`` (+ ``"probs"``
   [B, C] when requested), rows aligned with the request order.
 
+- streaming sessions (live sensor feeds; serve.StreamSession server-side):
+
+  * ``POST /session`` ``{"horizon": N?}`` -> ``{"session_id", "horizon"}``
+  * ``POST /session/<id>/events`` (JSON ``{"events": [[x,y,t,p], ...],
+    "predict": false, "top_k": 1}`` or an x-npz archive with ONE array;
+    ``predict``/``top_k`` may ride the query string) appends a chunk ->
+    ``{"n_events", "horizon"}``, plus the rolling prediction fields when
+    ``predict`` is set
+  * ``POST /session/<id>/predict`` -> ``{"label", "name", "topk",
+    "probs", "n_events"}`` without appending
+  * ``GET /session/<id>`` (buffer stats) / ``DELETE /session/<id>``
+
+  Sessions expire after ``--session_ttl`` idle seconds and are capped at
+  ``--max_sessions`` (429). Rolling predictions share /predict's device
+  path (they fuse through the micro-batcher when it is on).
+
 Bad inputs return 400 with the offending stream index in the message
 (Predictor validates per-stream); oversized bodies return 413. By default
 requests are serialized through one lock — the device processes one batch
@@ -288,6 +304,73 @@ class _InFlight:
             return True
 
 
+class _SessionStore:
+    """Live `serve.StreamSession`s keyed by opaque id.
+
+    Sessions are per-sensor server-side ring buffers (the streaming
+    deployment shape); they are evicted after ``ttl_s`` without a touch
+    (a silent client must not leak buffers forever) and capped at
+    ``max_sessions`` (each holds up to horizon x 16 bytes of events).
+    Eviction is opportunistic — swept on every store access — so no
+    background thread is needed.
+    """
+
+    def __init__(self, predictor, ttl_s: float = 600.0,
+                 max_sessions: int = 64):
+        self._pred = predictor
+        self.ttl_s = float(ttl_s)
+        self.max_sessions = int(max_sessions)
+        self._lock = threading.Lock()
+        self._live: dict = {}  # id -> [StreamSession, last_touch]
+
+    def _sweep(self, now: float) -> None:
+        dead = [k for k, (_, t) in self._live.items()
+                if now - t > self.ttl_s]
+        for k in dead:
+            del self._live[k]
+
+    def create(self, horizon: Optional[int] = None) -> tuple:
+        """-> (session_id, StreamSession); raises OverflowError at the cap
+        (mapped to HTTP 429) and ValueError on a bad horizon (400)."""
+        import secrets
+
+        from .serve import StreamSession
+
+        now = time.monotonic()
+        with self._lock:
+            self._sweep(now)
+            if len(self._live) >= self.max_sessions:
+                raise OverflowError(
+                    f"session cap reached ({self.max_sessions}); close "
+                    "sessions (DELETE /session/<id>) or raise "
+                    "--max_sessions"
+                )
+            sess = StreamSession(self._pred, horizon=horizon)
+            sid = secrets.token_hex(16)
+            self._live[sid] = [sess, now]
+            return sid, sess
+
+    def get(self, sid: str):
+        """Touch + return the session, or None (expired/unknown/closed)."""
+        now = time.monotonic()
+        with self._lock:
+            self._sweep(now)
+            entry = self._live.get(sid)
+            if entry is None:
+                return None
+            entry[1] = now
+            return entry[0]
+
+    def close(self, sid: str) -> bool:
+        with self._lock:
+            return self._live.pop(sid, None) is not None
+
+    def count(self) -> int:
+        with self._lock:
+            self._sweep(time.monotonic())
+            return len(self._live)
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set per-server via make_server (class attributes on a subclass)
     predictor = None
@@ -295,9 +378,19 @@ class _Handler(BaseHTTPRequestHandler):
     lock: threading.Lock = None
     stats: _Stats = None
     inflight: _InFlight = _InFlight()  # make_server installs a per-server one
+    sessions: Optional[_SessionStore] = None  # make_server installs one
     max_body: int = DEFAULT_MAX_BODY
     quiet: bool = True
     auth_token: str = ""  # empty = open endpoint
+
+    def _run_predict(self, streams, top_k: int):
+        """The one device-phase entry every classifying route shares:
+        through the micro-batcher when fusion is on, else serialized by
+        the handler lock (the chip runs one batch at a time)."""
+        if self.batcher is not None:
+            return self.batcher.submit(streams, top_k=top_k)
+        with self.lock:
+            return self.predictor.predict(streams, top_k=top_k)
 
     def _authorized(self) -> bool:
         if not self.auth_token:
@@ -414,10 +507,36 @@ class _Handler(BaseHTTPRequestHandler):
         elif route == "/classes":
             self._send_json(200, {"classes": self.predictor.class_names})
         elif route == "/statz":
-            self._send_json(200, self.stats.snapshot())
+            snap = self.stats.snapshot()
+            if self.sessions is not None:
+                snap["sessions"] = self.sessions.count()
+            self._send_json(200, snap)
+        elif route.startswith("/session/"):
+            parts = route.strip("/").split("/")
+            sess = (self.sessions.get(parts[1])
+                    if len(parts) == 2 else None)
+            if sess is None:
+                self._error(404, "unknown or expired session")
+            else:
+                self._send_json(200, {"n_events": sess.n_events,
+                                      "horizon": sess.horizon})
         else:
             self._error(404, f"no route {route} (GET /healthz, GET /classes, "
-                             "GET /statz, POST /predict)")
+                             "GET /statz, GET /session/<id>, POST /predict)")
+
+    def do_DELETE(self):
+        from urllib.parse import urlparse
+
+        if not self._authorized():
+            return
+        parts = urlparse(self.path).path.strip("/").split("/")
+        if len(parts) == 2 and parts[0] == "session":
+            if self.sessions.close(parts[1]):
+                self._send_json(200, {"closed": True})
+            else:
+                self._error(404, "unknown or expired session")
+        else:
+            self._error(404, "DELETE supports only /session/<id>")
 
     def do_POST(self):
         # counted so server.drain() can wait for in-flight predicts (GETs
@@ -437,9 +556,13 @@ class _Handler(BaseHTTPRequestHandler):
         if route == "/set_classes":
             self._do_set_classes()
             return
+        if route == "/session" or route.startswith("/session/"):
+            self._do_session_post(route)
+            return
         if route != "/predict":
             self._error(404, f"no route {route} (POST /predict, "
-                             "POST /embed, POST /set_classes)")
+                             "POST /embed, POST /set_classes, "
+                             "POST /session[...])")
             return
         body = self._read_body()
         if body is None:
@@ -450,13 +573,9 @@ class _Handler(BaseHTTPRequestHandler):
         streams, top_k, return_probs = decoded
         t0 = time.monotonic()
         try:
-            if self.batcher is not None:
-                # concurrent requests fuse into one device batch; the host
-                # half runs on this handler thread
-                out = self.batcher.submit(streams, top_k=top_k)
-            else:
-                with self.lock:
-                    out = self.predictor.predict(streams, top_k=top_k)
+            # fused into one device batch with concurrent requests when
+            # micro-batching is on (host half on this handler thread)
+            out = self._run_predict(streams, top_k)
         except ValueError as err:
             # Predictor prefixes the offending index ("event_streams[i]: ...")
             self.stats.record_error()
@@ -474,6 +593,161 @@ class _Handler(BaseHTTPRequestHandler):
         }
         if return_probs:
             resp["probs"] = out["probs"].tolist()
+        self._send_json(200, resp)
+
+    # -- streaming sessions ----------------------------------------------------
+
+    def _read_optional_json(self):
+        """Body -> dict; an absent/empty body is {} (session routes take
+        all-optional parameters). None = response already sent."""
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._error(400, "bad Content-Length")
+            return None
+        if n <= 0:
+            return {}
+        if n > self.max_body:
+            self._error(413, f"body {n} bytes exceeds limit {self.max_body}")
+            return None
+        try:
+            req = json.loads(self.rfile.read(n))
+            assert isinstance(req, dict)
+            return req
+        except Exception as err:
+            self._error(400, f"bad JSON body: {err}")
+            return None
+
+    def _decode_events(self, body: bytes):
+        """One [n, 4] chunk for /session/<id>/events: JSON
+        {"events": [[x,y,t,p], ...]} or an application/x-npz archive with
+        exactly one array. -> (events, extras-dict) or None."""
+        ctype = (self.headers.get("Content-Type") or "application/json")
+        ctype = ctype.split(";")[0].strip().lower()
+        if ctype == "application/x-npz":
+            try:
+                with np.load(io.BytesIO(body)) as z:
+                    if len(z.files) != 1:
+                        raise ValueError(
+                            f"expected exactly one array, got {len(z.files)}"
+                        )
+                    events = np.asarray(z[z.files[0]], dtype=np.float32)
+            except Exception as err:
+                self._error(400, f"bad npz body: {err}")
+                return None
+            return events, {}
+        try:
+            req = json.loads(body)
+            assert isinstance(req, dict) and "events" in req
+        except Exception:
+            self._error(400, 'JSON body must be {"events": [[x,y,t,p], '
+                             '...], "predict": false, "top_k": 1}')
+            return None
+        try:
+            events = np.asarray(req["events"], dtype=np.float32)
+        except (TypeError, ValueError) as err:
+            self._error(400, f"events must be a numeric [n, 4] array: {err}")
+            return None
+        return events, req
+
+    def _session_rolling(self, sess, top_k: int):
+        """Rolling prediction dict over a session's buffer (the device
+        phase goes through the shared _run_predict so it fuses/serializes
+        exactly like /predict). None = response already sent."""
+        snap = sess.events()
+        if not len(snap):
+            self._error(409, "session buffer is empty — append events "
+                             "before asking for a prediction")
+            return None
+        t0 = time.monotonic()
+        try:
+            out = self._run_predict([snap], top_k)
+        except Exception as err:
+            self.stats.record_error()
+            self._error(500, f"{type(err).__name__}: {err}")
+            return None
+        self.stats.record(1, (time.monotonic() - t0) * 1e3)
+        return {
+            "label": int(out["label"][0]),
+            "name": out["names"][0],
+            "topk": out["topk"][0].tolist(),
+            "probs": out["probs"][0].tolist(),
+            "n_events": int(len(snap)),
+        }
+
+    def _do_session_post(self, route: str):
+        """POST /session (open), /session/<id>/events (append a chunk;
+        "predict": true piggybacks a rolling prediction on the append),
+        /session/<id>/predict (prediction only)."""
+        parts = route.strip("/").split("/")
+        if parts == ["session"]:
+            req = self._read_optional_json()
+            if req is None:
+                return
+            try:
+                horizon = req.get("horizon")
+                sid, sess = self.sessions.create(
+                    horizon=int(horizon) if horizon is not None else None
+                )
+            except OverflowError as err:
+                self._error(429, str(err))
+                return
+            except (TypeError, ValueError) as err:
+                self._error(400, str(err))
+                return
+            self._send_json(200, {"session_id": sid,
+                                  "horizon": sess.horizon})
+            return
+
+        if len(parts) != 3 or parts[2] not in ("events", "predict"):
+            self._error(404, f"no route /{'/'.join(parts)} (POST /session, "
+                             "POST /session/<id>/events, "
+                             "POST /session/<id>/predict)")
+            return
+        sess = self.sessions.get(parts[1])
+        if sess is None:
+            self._error(404, "unknown or expired session (sessions expire "
+                             f"after {self.sessions.ttl_s:.0f}s idle)")
+            return
+
+        if parts[2] == "predict":
+            req = self._read_optional_json()
+            if req is None:
+                return
+            resp = self._session_rolling(sess, int(req.get("top_k", 1)))
+            if resp is not None:
+                self._send_json(200, resp)
+            return
+
+        body = self._read_body()
+        if body is None:
+            return
+        decoded = self._decode_events(body)
+        if decoded is None:
+            return
+        events, req = decoded
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        want_pred = bool(req.get("predict")) or (
+            q.get("predict", ["0"])[0].strip().lower()
+            not in ("0", "false", ""))
+        try:
+            top_k = int(req.get("top_k", q.get("top_k", ["1"])[0]))
+        except (TypeError, ValueError):
+            self._error(400, "top_k must be an integer")
+            return
+        try:
+            n = sess.append(events)
+        except ValueError as err:
+            self._error(400, str(err))
+            return
+        resp = {"n_events": n, "horizon": sess.horizon}
+        if want_pred:
+            rolled = self._session_rolling(sess, top_k)
+            if rolled is None:
+                return
+            resp.update(rolled)
         self._send_json(200, resp)
 
     def _do_embed(self):
@@ -551,7 +825,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 quiet: bool = True,
                 microbatch_ms: float = 0.0,
                 microbatch_idle_ms: Optional[float] = None,
-                auth_token: str = "") -> ThreadingHTTPServer:
+                auth_token: str = "",
+                session_ttl_s: float = 600.0,
+                max_sessions: int = 64) -> ThreadingHTTPServer:
     """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
 
     microbatch_ms > 0 fuses concurrent requests into one device batch
@@ -568,6 +844,8 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                             idle_gap_ms=microbatch_idle_ms)
                if microbatch_ms > 0 else None)
     inflight = _InFlight()
+    sessions = _SessionStore(predictor, ttl_s=session_ttl_s,
+                             max_sessions=max_sessions)
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
         "batcher": batcher,
@@ -577,10 +855,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
         "quiet": quiet,
         "auth_token": auth_token,
         "inflight": inflight,
+        "sessions": sessions,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.batcher = batcher
     server.inflight = inflight
+    server.sessions = sessions
     inner = server.shutdown
 
     def drain(timeout: float = 30.0) -> bool:
@@ -657,6 +937,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          "new arrival (default: microbatch_ms / 4); a lone "
                          "request waits only this, not the full cap")
     ap.add_argument("--max_body_mb", type=int, default=512)
+    ap.add_argument("--session_ttl", type=float, default=600.0,
+                    help="evict a streaming session after this many idle "
+                         "seconds (POST /session opens one)")
+    ap.add_argument("--max_sessions", type=int, default=64,
+                    help="cap on concurrently open streaming sessions "
+                         "(429 past it)")
     ap.add_argument("--auth_token", default="",
                     help="require 'Authorization: Bearer <token>' on every "
                          "route (default: open endpoint). Prefer "
@@ -686,7 +972,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          max_body=args.max_body_mb * 1024 * 1024,
                          quiet=False, microbatch_ms=args.microbatch_ms,
                          microbatch_idle_ms=args.microbatch_idle_ms,
-                         auth_token=auth_token)
+                         auth_token=auth_token,
+                         session_ttl_s=args.session_ttl,
+                         max_sessions=args.max_sessions)
     print(f"serving {params.model} ({params.clip_dict['arch']}) on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",

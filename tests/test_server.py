@@ -818,3 +818,99 @@ def test_set_classes_rejected_with_microbatcher():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_streaming_session_http(served):
+    """The full session lifecycle over HTTP: open, chunked appends (one
+    piggybacking a rolling prediction), predict-only, info, close. The
+    rolling prediction must equal Predictor.predict on the buffered
+    events — the server-side StreamSession routes through the same
+    compiled path."""
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred, url = served
+    c = ServingClient(url)
+    rng = np.random.default_rng(21)
+    stream = _streams(rng, 1)[0]
+    chunks = np.array_split(stream, 3)
+
+    with c.open_session() as sess:
+        assert sess.horizon == pred.views * pred.window
+        r = sess.append(chunks[0])
+        assert r == {"n_events": len(chunks[0]), "horizon": sess.horizon}
+        sess.append(chunks[1])
+        r = sess.append(chunks[2], predict=True, top_k=2)
+        assert r["n_events"] == len(stream)
+        want = pred.predict([stream], top_k=2)
+        assert r["label"] == int(want["label"][0])
+        assert r["name"] == want["names"][0]
+        np.testing.assert_allclose(r["probs"], want["probs"][0],
+                                   rtol=1e-4, atol=1e-5)
+        # predict-only route agrees with the piggybacked one
+        r2 = sess.predict(top_k=2)
+        assert r2["label"] == r["label"] and r2["topk"] == r["topk"]
+        assert sess.info() == {"n_events": len(stream),
+                               "horizon": sess.horizon}
+        sid = sess.session_id
+    # context exit closed it
+    with pytest.raises(ServingError) as e:
+        c._request(f"/session/{sid}")
+    assert e.value.status == 404
+
+
+def test_streaming_session_errors(served):
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    _, url = served
+    c = ServingClient(url)
+    sess = c.open_session(horizon=2000)
+    try:
+        # empty buffer -> 409, not a crash
+        with pytest.raises(ServingError) as e:
+            sess.predict()
+        assert e.value.status == 409
+        # malformed chunk -> 400 with the shape in the message
+        with pytest.raises(ServingError) as e:
+            sess.append(np.zeros((5, 3), np.float32))
+        assert e.value.status == 400 and "x/y/t/p" in e.value.message
+        # unknown id -> 404
+        with pytest.raises(ServingError) as e:
+            c._request("/session/deadbeef/predict", data=b"")
+        assert e.value.status == 404
+        # bad horizon -> 400
+        with pytest.raises(ServingError) as e:
+            c.open_session(horizon=1)
+        assert e.value.status == 400
+    finally:
+        sess.close()
+
+
+def test_streaming_session_ttl_and_cap():
+    """Sessions must not leak: idle ones expire after the ttl (404 and
+    freed), and the store caps concurrent sessions (429)."""
+    import time as _time
+
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    server = make_server(pred, "127.0.0.1", 0, session_ttl_s=0.2,
+                         max_sessions=1)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = ServingClient(f"http://127.0.0.1:{server.server_address[1]}")
+        sess = c.open_session()
+        with pytest.raises(ServingError) as e:
+            c.open_session()
+        assert e.value.status == 429
+        assert c.stats()["sessions"] == 1
+        _time.sleep(0.3)
+        # expired: appends 404, the slot is free again
+        with pytest.raises(ServingError) as e:
+            sess.append(np.zeros((4, 4), np.float32))
+        assert e.value.status == 404
+        sess2 = c.open_session()
+        sess2.close()
+        assert c.stats()["sessions"] == 0
+    finally:
+        server.shutdown()
