@@ -802,3 +802,23 @@ def test_server_cli(tmp_path):
         if proc.poll() is None:
             proc.kill()
         proc.wait(timeout=60)
+
+
+@pytest.mark.e2e
+def test_accum_cli_one_update_per_global_batch(tree, tmp_path):
+    """--accum K through the real CLI: the step count stays batches per
+    epoch (one optimizer update per GLOBAL batch), not microbatches —
+    accumulation changes memory, never the schedule/step accounting."""
+    base = str(tmp_path / "ckpt")
+    r = run([
+        "train.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--ckpt_base", base,
+        "--max_epochs", "1", "--san_check_val_step", "0", "--accum", "2",
+    ], single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(os.path.join(base, "fsclip_tiny_params",
+                           "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    tr = [x for x in recs if x["split"] == "train"]
+    # 18 samples / batch 4 (drop_last) = 4 steps, same as accum=1
+    assert tr and tr[-1]["steps"] == 4, tr
