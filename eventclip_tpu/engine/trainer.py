@@ -254,9 +254,16 @@ class EventCLIPTrainer:
         self.global_batch = int(params.train_batch_size)
         divisor = self.n_data * self.accum
         if self.global_batch % divisor != 0:
-            self.global_batch = max(
+            adjusted = max(
                 divisor, self.global_batch - self.global_batch % divisor
             )
+            print(
+                f"WARNING: train_batch_size={self.global_batch} is not "
+                f"divisible by data_devices*accum={divisor}; training at "
+                f"global batch {adjusted} instead — the config's parity "
+                "batch is NOT preserved", flush=True,
+            )
+            self.global_batch = adjusted
         # on a multi-host slice each process loads only its shard of every
         # global batch (the DistributedSampler contract, torch-free)
         from ..parallel.distributed import host_shard_info

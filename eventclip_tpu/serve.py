@@ -355,6 +355,15 @@ class Predictor:
         micro-batcher) can validate/window each request on its own thread
         and run ONE fused device batch for all of them.
         """
+        probs = self._run_chunked(wins, valids, self._dispatch_chunk)
+        return self.finalize(probs, top_k)
+
+    def _run_chunked(self, wins: np.ndarray, valids: np.ndarray,
+                     dispatch, pack: bool = True) -> np.ndarray:
+        """Shared device loop: split into compiled-batch chunks (padding
+        the tail), place + run each, concatenate the per-row outputs.
+        Double-buffered like trainer.fit — chunk k+1's H2D copy overlaps
+        chunk k's dispatched forward (multi-chunk jobs only)."""
         bs = self.batch_size
 
         def chunks():
@@ -372,20 +381,15 @@ class Predictor:
 
         def place(chunk):
             w, v, pad = chunk
-            return self._place_chunk(w, v), pad
+            return self._place_chunk(w, v, pack=pack), pad
 
-        # double-buffered like trainer.fit: chunk k+1's H2D copy overlaps
-        # chunk k's dispatched forward (multi-chunk requests only)
-        probs_out = []
+        out = []
         for batch, pad in device_prefetch(chunks(), place):
-            p = self._dispatch_chunk(batch)
-            probs_out.append(p[: bs - pad])  # device array; sync below
+            o = dispatch(batch)
+            out.append(o[: bs - pad])  # device array; sync below
         # one host fetch at the end — a per-chunk np.asarray would sync
         # before the next placement and forfeit the overlap
-        probs = np.concatenate(
-            [np.asarray(p) for p in probs_out]
-        )[: len(wins)]
-        return self.finalize(probs, top_k)
+        return np.concatenate([np.asarray(o) for o in out])[: len(wins)]
 
     def _place_chunk(self, wins: np.ndarray, valids: np.ndarray,
                      pack: bool = True):
@@ -497,21 +501,12 @@ class Predictor:
         padded embed program (no view-packed variants: embedding jobs are
         typically offline/batch, where the ragged-view economy matters
         less than keeping the compiled set small)."""
-        bs = self.batch_size
-        out = []
-        for i in range(0, len(wins), bs):
-            w, v = wins[i:i + bs], valids[i:i + bs]
-            pad = bs - len(w)
-            if pad:  # fixed compiled batch; padded rows sliced off below
-                w = np.concatenate(
-                    [w, np.zeros((pad,) + w.shape[1:], w.dtype)])
-                v = np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], bool)])
-            batch = self._place_chunk(w, v, pack=False)
-            f = self._embed_step(self._params, batch["windows"],
-                                 batch["valid_mask"])
-            out.append(np.asarray(f)[: bs - pad])
-        feats = np.concatenate(out)[: len(wins)].astype(np.float32)
+        feats = self._run_chunked(
+            wins, valids,
+            lambda b: self._embed_step(self._params, b["windows"],
+                                       b["valid_mask"]),
+            pack=False,
+        ).astype(np.float32)
         if self.tta:  # [B*4, C] variant rows -> mean per stream, re-norm
             feats = feats.reshape(-1, 4, feats.shape[-1]).mean(axis=1)
             feats /= np.maximum(
@@ -624,6 +619,10 @@ class StreamSession:
         after trimming to the horizon. Empty chunks are fine (a quiet
         sensor interval)."""
         events = np.asarray(events, dtype=np.float32)
+        if events.size == 0:
+            # a quiet interval arrives as [] / [[]] from JSON decoders;
+            # normalize so "empty chunks are fine" holds for every shape
+            events = events.reshape(0, 4)
         if events.ndim != 2 or events.shape[1] != 4:
             raise ValueError(
                 f"expected [n, 4] x/y/t/p events, got {events.shape}"
@@ -652,17 +651,21 @@ class StreamSession:
                 return np.empty((0, 4), np.float32)
             return np.concatenate(self._chunks)
 
-    def predict(self, top_k: int = 1) -> Dict[str, Any]:
+    def predict(self, top_k: int = 1, predict_fn=None) -> Dict[str, Any]:
         """Rolling prediction over the buffered events: the single-stream
         slice of Predictor.predict's dict plus 'n_events' (how much
-        evidence the prediction saw)."""
+        evidence the prediction saw). ``predict_fn(streams, top_k=...)``
+        overrides the device entry — server.py injects its fused/locked
+        path so the HTTP session routes share THIS response assembly
+        instead of duplicating it."""
         snap = self.events()
         if not len(snap):
             raise ValueError(
                 "empty session — append events before predict() (an idle "
                 "sensor window has no defined prediction)"
             )
-        out = self._pred.predict([snap], top_k=top_k)
+        fn = predict_fn if predict_fn is not None else self._pred.predict
+        out = fn([snap], top_k=top_k)
         return {
             "label": int(out["label"][0]),
             "name": out["names"][0],

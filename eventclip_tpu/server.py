@@ -32,14 +32,19 @@ Routes:
     "predict": false, "top_k": 1}`` or an x-npz archive with ONE array;
     ``predict``/``top_k`` may ride the query string) appends a chunk ->
     ``{"n_events", "horizon"}``, plus the rolling prediction fields when
-    ``predict`` is set
+    ``predict`` is set. A combined append+predict whose prediction fails
+    still returns 200 with the append result plus ``"predict_error"`` —
+    the append took effect, and retrying an error response must not
+    double-append.
   * ``POST /session/<id>/predict`` -> ``{"label", "name", "topk",
     "probs", "n_events"}`` without appending
   * ``GET /session/<id>`` (buffer stats) / ``DELETE /session/<id>``
 
   Sessions expire after ``--session_ttl`` idle seconds and are capped at
-  ``--max_sessions`` (429). Rolling predictions share /predict's device
-  path (they fuse through the micro-batcher when it is on).
+  ``--max_sessions`` (429); a client-requested horizon is capped at
+  ``--max_horizon`` (400 past it — buffers are server memory). Rolling
+  predictions share /predict's device path (they fuse through the
+  micro-batcher when it is on).
 
 Bad inputs return 400 with the offending stream index in the message
 (Predictor validates per-stream); oversized bodies return 413. By default
@@ -92,8 +97,14 @@ class MicroBatcher:
 
     def __init__(self, predictor, max_wait_ms: float = 2.0,
                  max_streams: Optional[int] = None,
-                 idle_gap_ms: Optional[float] = None):
+                 idle_gap_ms: Optional[float] = None,
+                 device_lock: Optional[threading.Lock] = None):
         self._pred = predictor
+        # the worker holds this around its fused device phase; sharing it
+        # with the handler lock keeps non-fused device routes (/embed)
+        # serialized against fused predicts — the chip must run one batch
+        # at a time (two resident programs risk HBM OOM, see CLAUDE.md)
+        self._device_lock = device_lock or threading.Lock()
         self._wait = max(float(max_wait_ms), 0.0) / 1e3
         self._gap = (max(float(idle_gap_ms), 0.0) / 1e3
                      if idle_gap_ms is not None else self._wait / 4)
@@ -158,10 +169,11 @@ class MicroBatcher:
                     seen = now
                 batch, self._pending = self._pending, []
             try:
-                out = self._pred.predict_windows(
-                    np.concatenate([r.wins for r in batch]),
-                    np.concatenate([r.valids for r in batch]),
-                )
+                with self._device_lock:
+                    out = self._pred.predict_windows(
+                        np.concatenate([r.wins for r in batch]),
+                        np.concatenate([r.valids for r in batch]),
+                    )
             except Exception as err:  # fail every fused request loudly
                 for r in batch:
                     r.err = err
@@ -311,15 +323,23 @@ class _SessionStore:
     deployment shape); they are evicted after ``ttl_s`` without a touch
     (a silent client must not leak buffers forever) and capped at
     ``max_sessions`` (each holds up to horizon x 16 bytes of events).
-    Eviction is opportunistic — swept on every store access — so no
-    background thread is needed.
+    The client-requested horizon is capped at ``max_horizon`` (default
+    16x the predictor's natural horizon) — an unbounded horizon would
+    let one client grow server memory without limit. Eviction is
+    opportunistic — swept on every store access — so no background
+    thread is needed.
     """
 
     def __init__(self, predictor, ttl_s: float = 600.0,
-                 max_sessions: int = 64):
+                 max_sessions: int = 64,
+                 max_horizon: Optional[int] = None):
         self._pred = predictor
         self.ttl_s = float(ttl_s)
         self.max_sessions = int(max_sessions)
+        self.max_horizon = int(
+            max_horizon if max_horizon is not None
+            else 16 * predictor.views * predictor.window
+        )
         self._lock = threading.Lock()
         self._live: dict = {}  # id -> [StreamSession, last_touch]
 
@@ -336,6 +356,12 @@ class _SessionStore:
 
         from .serve import StreamSession
 
+        if horizon is not None and int(horizon) > self.max_horizon:
+            raise ValueError(
+                f"horizon {int(horizon)} exceeds the server cap "
+                f"{self.max_horizon} (each buffered event costs 16 bytes "
+                "server-side; raise --max_horizon to allow more)"
+            )
         now = time.monotonic()
         with self._lock:
             self._sweep(now)
@@ -651,29 +677,18 @@ class _Handler(BaseHTTPRequestHandler):
         return events, req
 
     def _session_rolling(self, sess, top_k: int):
-        """Rolling prediction dict over a session's buffer (the device
-        phase goes through the shared _run_predict so it fuses/serializes
-        exactly like /predict). None = response already sent."""
-        snap = sess.events()
-        if not len(snap):
-            self._error(409, "session buffer is empty — append events "
-                             "before asking for a prediction")
-            return None
+        """Rolling prediction dict over a session's buffer. Delegates to
+        serve.StreamSession.predict with the shared _run_predict injected
+        as the device entry, so (a) the device phase fuses/serializes
+        exactly like /predict and (b) the response assembly lives in ONE
+        place (serve.py) instead of drifting here. Raises ValueError on
+        an empty buffer and the device error otherwise."""
         t0 = time.monotonic()
-        try:
-            out = self._run_predict([snap], top_k)
-        except Exception as err:
-            self.stats.record_error()
-            self._error(500, f"{type(err).__name__}: {err}")
-            return None
+        out = sess.predict(top_k=top_k, predict_fn=self._run_predict)
         self.stats.record(1, (time.monotonic() - t0) * 1e3)
-        return {
-            "label": int(out["label"][0]),
-            "name": out["names"][0],
-            "topk": out["topk"][0].tolist(),
-            "probs": out["probs"][0].tolist(),
-            "n_events": int(len(snap)),
-        }
+        out["probs"] = np.asarray(out["probs"]).tolist()
+        out["topk"] = np.asarray(out["topk"]).tolist()
+        return out
 
     def _do_session_post(self, route: str):
         """POST /session (open), /session/<id>/events (append a chunk;
@@ -714,9 +729,16 @@ class _Handler(BaseHTTPRequestHandler):
             req = self._read_optional_json()
             if req is None:
                 return
-            resp = self._session_rolling(sess, int(req.get("top_k", 1)))
-            if resp is not None:
-                self._send_json(200, resp)
+            try:
+                resp = self._session_rolling(sess, int(req.get("top_k", 1)))
+            except ValueError as err:  # empty session buffer
+                self._error(409, str(err))
+                return
+            except Exception as err:
+                self.stats.record_error()
+                self._error(500, f"{type(err).__name__}: {err}")
+                return
+            self._send_json(200, resp)
             return
 
         body = self._read_body()
@@ -744,17 +766,23 @@ class _Handler(BaseHTTPRequestHandler):
             return
         resp = {"n_events": n, "horizon": sess.horizon}
         if want_pred:
-            rolled = self._session_rolling(sess, top_k)
-            if rolled is None:
-                return
-            resp.update(rolled)
+            try:
+                resp.update(self._session_rolling(sess, top_k))
+            except Exception as err:
+                # the append above already took effect — report THAT as
+                # success with an in-band prediction error, so a client
+                # retrying an error response cannot double-append
+                self.stats.record_error()
+                resp["predict_error"] = f"{type(err).__name__}: {err}"
         self._send_json(200, resp)
 
     def _do_embed(self):
         """POST /embed: same request bodies as /predict (top_k ignored);
         responds {"embeddings": [[...], ...]} — one L2-normalized CLIP
         feature per stream. Requires the server to run with --embed.
-        Embeds bypass the micro-batcher (indexing jobs batch client-side)."""
+        Embeds bypass the micro-batcher's FUSION (indexing jobs batch
+        client-side) but serialize against its device phase through the
+        shared lock — the chip runs one batch at a time."""
         if getattr(self.predictor, "_embed_step", None) is None:
             self._error(
                 400, "embeddings are not enabled on this server "
@@ -827,7 +855,8 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 microbatch_idle_ms: Optional[float] = None,
                 auth_token: str = "",
                 session_ttl_s: float = 600.0,
-                max_sessions: int = 64) -> ThreadingHTTPServer:
+                max_sessions: int = 64,
+                max_horizon: Optional[int] = None) -> ThreadingHTTPServer:
     """Bind an HTTP server around a built Predictor (port 0 = ephemeral).
 
     microbatch_ms > 0 fuses concurrent requests into one device batch
@@ -840,16 +869,22 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     predict handlers, then close the batcher. Handler threads are
     daemons, so exiting without the wait would sever clients mid-request.
     """
+    # ONE device lock: the fused batcher's device phase and every
+    # non-fused device route (/predict without fusion, /embed) serialize
+    # through it — the chip runs one batch at a time
+    lock = threading.Lock()
     batcher = (MicroBatcher(predictor, microbatch_ms,
-                            idle_gap_ms=microbatch_idle_ms)
+                            idle_gap_ms=microbatch_idle_ms,
+                            device_lock=lock)
                if microbatch_ms > 0 else None)
     inflight = _InFlight()
     sessions = _SessionStore(predictor, ttl_s=session_ttl_s,
-                             max_sessions=max_sessions)
+                             max_sessions=max_sessions,
+                             max_horizon=max_horizon)
     handler = type("Handler", (_Handler,), {
         "predictor": predictor,
         "batcher": batcher,
-        "lock": threading.Lock(),
+        "lock": lock,
         "stats": _Stats(),
         "max_body": max_body,
         "quiet": quiet,
@@ -943,6 +978,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--max_sessions", type=int, default=64,
                     help="cap on concurrently open streaming sessions "
                          "(429 past it)")
+    ap.add_argument("--max_horizon", type=int, default=None,
+                    help="cap on a session's client-requested event "
+                         "horizon (default 16x the natural horizon; each "
+                         "buffered event costs 16 bytes server-side)")
     ap.add_argument("--auth_token", default="",
                     help="require 'Authorization: Bearer <token>' on every "
                          "route (default: open endpoint). Prefer "
@@ -974,7 +1013,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          microbatch_idle_ms=args.microbatch_idle_ms,
                          auth_token=auth_token,
                          session_ttl_s=args.session_ttl,
-                         max_sessions=args.max_sessions)
+                         max_sessions=args.max_sessions,
+                         max_horizon=args.max_horizon)
     print(f"serving {params.model} ({params.clip_dict['arch']}) on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",

@@ -885,6 +885,45 @@ def test_streaming_session_errors(served):
         sess.close()
 
 
+def test_streaming_session_hardening(served):
+    """Review-fix contracts: the client-requested horizon is capped
+    server-side (an unbounded horizon is a memory DoS), an empty JSON
+    chunk is a fine quiet-sensor heartbeat (StreamSession's documented
+    contract), and a combined append+predict whose prediction fails still
+    returns 200 reporting the append plus ``predict_error`` — a client
+    retrying an error response must not double-append."""
+    from eventclip_tpu.client import ServingClient, ServingError
+
+    pred, url = served
+    c = ServingClient(url)
+    cap = 16 * pred.views * pred.window
+    with pytest.raises(ServingError) as e:
+        c.open_session(horizon=cap + 1)
+    assert e.value.status == 400 and str(cap) in e.value.message
+
+    sess = c.open_session()
+    try:
+        r = sess.append(np.empty((0, 4), np.float32))
+        assert r["n_events"] == 0
+        st, r = _post(f"{url}/session/{sess.session_id}/events",
+                      json.dumps({"events": []}).encode())
+        assert st == 200 and r["n_events"] == 0
+
+        orig = pred.predict
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+        pred.predict = boom
+        try:
+            r = sess.append(np.zeros((7, 4), np.float32), predict=True)
+        finally:
+            pred.predict = orig
+        assert r["n_events"] == 7
+        assert "injected device failure" in r["predict_error"]
+        assert sess.info()["n_events"] == 7  # exactly one copy landed
+    finally:
+        sess.close()
+
+
 def test_streaming_session_ttl_and_cap():
     """Sessions must not leak: idle ones expire after the ttl (404 and
     freed), and the store caps concurrent sessions (429)."""

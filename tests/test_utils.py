@@ -85,11 +85,19 @@ def test_train_cli_override_rules(tmp_path):
         max_epochs = -1
         profile = 0
         fp32 = True
+        accum = 0
 
     params, exp = load_and_override(A())
     assert params.quantize_args["N"] == 5000  # thousands (train.py:121-123)
     assert exp == "fsclip_tiny_params-N_5"
     assert params.bf16 is False  # --fp32
+    assert params.get("accum_steps", 1) == 1  # accum=0 leaves the default
+
+    class A2(A):
+        accum = 4
+
+    params, _ = load_and_override(A2())
+    assert params.accum_steps == 4  # --accum lands in the config
 
     class B(A):
         N = -1
