@@ -203,6 +203,34 @@ def _convert_resnet_visual(sd: Mapping[str, Any], cfg) -> Dict[str, Any]:
     return visual
 
 
+def convert_vit_visual(sd: Mapping[str, Any],
+                       layers: int = None) -> Dict[str, Any]:
+    """ViT visual-tower keys (``visual.*``) -> our visual pytree. Also used
+    by convert_method (FT checkpoints carry ``model.visual.*`` only,
+    reference models/clip_cls_ft.py:313-321)."""
+    if layers is None:
+        layers = 1 + max(
+            int(k.split(".")[3]) for k in sd
+            if k.startswith("visual.transformer.resblocks.")
+        )
+    conv1 = _np(sd["visual.conv1.weight"])
+    return {
+        "patch_embed": conv1.reshape(conv1.shape[0], -1),
+        "class_embedding": _np(sd["visual.class_embedding"]),
+        "positional_embedding": _np(sd["visual.positional_embedding"]),
+        "ln_pre": {
+            "scale": _np(sd["visual.ln_pre.weight"]),
+            "bias": _np(sd["visual.ln_pre.bias"]),
+        },
+        "ln_post": {
+            "scale": _np(sd["visual.ln_post.weight"]),
+            "bias": _np(sd["visual.ln_post.bias"]),
+        },
+        "proj": _np(sd["visual.proj"]),
+        "blocks": _stack_blocks(sd, "visual.transformer.resblocks", layers),
+    }
+
+
 def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """torch state_dict -> {'visual': ..., 'text': ..., 'logit_scale': ...}."""
     cfg = infer_config_from_state_dict(sd)
@@ -224,22 +252,7 @@ def convert_clip_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
             "logit_scale": _np(sd["logit_scale"]).reshape(()),
         }
     v, t = cfg.vision, cfg.text
-    conv1 = _np(sd["visual.conv1.weight"]).reshape(v.width, -1)
-    visual = {
-        "patch_embed": conv1,
-        "class_embedding": _np(sd["visual.class_embedding"]),
-        "positional_embedding": _np(sd["visual.positional_embedding"]),
-        "ln_pre": {
-            "scale": _np(sd["visual.ln_pre.weight"]),
-            "bias": _np(sd["visual.ln_pre.bias"]),
-        },
-        "ln_post": {
-            "scale": _np(sd["visual.ln_post.weight"]),
-            "bias": _np(sd["visual.ln_post.bias"]),
-        },
-        "proj": _np(sd["visual.proj"]),
-        "blocks": _stack_blocks(sd, "visual.transformer.resblocks", v.layers),
-    }
+    visual = convert_vit_visual(sd, v.layers)
     text = {
         "token_embedding": _np(sd["token_embedding.weight"]),
         "positional_embedding": _np(sd["positional_embedding"]),

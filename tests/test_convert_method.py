@@ -1,0 +1,168 @@
+"""Reference method-checkpoint migration (models/clip/convert_method.py).
+
+The reference saves CLIP-free trained checkpoints (adapter / text_feats /
+LoRA / visual tower, models/clip_cls.py:208-219, clip_cls_ft.py:313-333).
+These tests build checkpoints with the reference's exact torch key space
+(torch modules for the adapter, the injected-LoRA naming from
+models/lora.py) and assert the converted pytree reproduces the torch
+forward — weight migration is only real if the numerics survive."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from eventclip_tpu.models.adapter import AdapterConfig, apply_adapter
+from eventclip_tpu.models.clip.convert import (
+    convert_clip_state_dict,
+    infer_config_from_state_dict,
+)
+from eventclip_tpu.models.clip.convert_method import (
+    _unwrap,
+    convert_method_state_dict,
+)
+from eventclip_tpu.models.clip.model import encode_image
+
+from .torch_oracle import encode_image_torch, random_clip_state_dict
+
+
+def ref_adapter_module(in_dim=24, d_model=16, heads=2, ffn=32, layers=2):
+    """The reference TransformerAdapter's module tree (models/adapter.py:
+    53-80) — same attribute names, so state_dict() emits the reference's
+    exact checkpoint keys once prefixed with 'adapter.'."""
+    torch.manual_seed(7)
+
+    class RefAdapter(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            enc = torch.nn.TransformerEncoderLayer(
+                d_model=d_model, nhead=heads, dim_feedforward=ffn,
+                norm_first=True, batch_first=True)
+            self.transformer_encoder = torch.nn.TransformerEncoder(
+                enc, num_layers=layers)
+            self.in_proj = torch.nn.Linear(in_dim, d_model)
+            self.out_proj = torch.nn.Linear(d_model, in_dim)
+
+    return RefAdapter().eval()
+
+
+def test_fs_adapter_checkpoint_roundtrip(rng):
+    """FS checkpoint (adapter.* + text_feats) -> converted pytree whose
+    forward equals the reference torch adapter's."""
+    residual = 0.8
+    mod = ref_adapter_module()
+    text_feats = rng.normal(size=(5, 24)).astype(np.float32)
+    ckpt = {f"adapter.{k}": v for k, v in mod.state_dict().items()}
+    ckpt["text_feats"] = torch.tensor(text_feats)
+
+    tree = convert_method_state_dict(ckpt)
+    np.testing.assert_array_equal(tree["text_feats"], text_feats)
+
+    cfg = AdapterConfig(adapter_type="trans", in_dim=24, d_model=16,
+                        num_heads=2, ffn_dim=32, num_layers=2,
+                        residual=residual)
+    feats = rng.normal(size=(3, 5, 24)).astype(np.float32)
+    valid = np.ones((3, 5), bool)
+    valid[0, 3:] = False
+    got = np.asarray(apply_adapter(
+        tree["adapter"], cfg, jnp.asarray(feats), jnp.asarray(valid),
+        train=False))
+    with torch.no_grad():
+        x = mod.in_proj(torch.tensor(feats))
+        x = mod.transformer_encoder(
+            x, src_key_padding_mask=~torch.tensor(valid))
+        new = mod.out_proj(x).numpy()
+    want = feats * residual + new * (1.0 - residual)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=2e-4, atol=1e-5)
+
+
+def _lora_injected_visual_ckpt(sd, rng, targets=("q", "k", "v"), r=4):
+    """Rewrite a plain CLIP visual tower into the FT checkpoint key space:
+    'model.visual.*' with each attn.in_proj_weight replaced by the
+    injected module's leaves (models/lora.py:104-148)."""
+    layers = 1 + max(int(k.split(".")[3]) for k in sd
+                     if k.startswith("visual.transformer.resblocks."))
+    ckpt, lora_np = {}, {}
+    for k, v in sd.items():
+        if not k.startswith("visual."):
+            continue
+        if k.endswith(".attn.in_proj_weight"):
+            ckpt[f"model.{k}.merged_proj"] = v
+        else:
+            ckpt[f"model.{k}"] = v
+    width = np.asarray(sd["visual.class_embedding"]).shape[0]
+    for i in range(layers):
+        base = f"model.visual.transformer.resblocks.{i}.attn.in_proj_weight"
+        for t in targets:
+            down = rng.normal(size=(r, width)).astype(np.float32) * 0.05
+            up = rng.normal(size=(width, r)).astype(np.float32) * 0.05
+            ckpt[f"{base}.lora_down_{t}"] = torch.tensor(down)
+            ckpt[f"{base}.lora_up_{t}"] = torch.tensor(up)
+            lora_np.setdefault(t, []).append((down, up))
+    return ckpt, lora_np, layers, width
+
+
+def test_ft_lora_checkpoint_roundtrip(rng):
+    """FT LoRA checkpoint -> converted tower + deltas whose encode_image
+    equals the torch oracle run on pre-merged weights (W + up @ down,
+    models/lora.py:137-148)."""
+    sd = random_clip_state_dict(np.random.default_rng(3))
+    cfg = infer_config_from_state_dict(sd)
+    ckpt, lora_np, layers, width = _lora_injected_visual_ckpt(sd, rng)
+    ckpt["text_feats"] = torch.tensor(
+        rng.normal(size=(5, 48)).astype(np.float32))
+
+    tree = convert_method_state_dict(ckpt)
+    assert set(tree) == {"text_feats", "lora", "clip"}
+    for t, pairs in lora_np.items():
+        np.testing.assert_array_equal(
+            tree["lora"][t]["a"], np.stack([d for d, _ in pairs]))
+        np.testing.assert_array_equal(
+            tree["lora"][t]["b"], np.stack([u for _, u in pairs]))
+
+    images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    got = np.asarray(encode_image(
+        tree["clip"]["visual"], cfg.vision, jnp.asarray(images),
+        lora=jax.tree_util.tree_map(jnp.asarray, tree["lora"])))
+    merged = {k: torch.as_tensor(np.asarray(v)).clone() for k, v in sd.items()}
+    for i in range(layers):
+        deltas = [torch.tensor(u @ d) for d, u in
+                  (lora_np[t][i] for t in ("q", "k", "v"))]
+        key = f"visual.transformer.resblocks.{i}.attn.in_proj_weight"
+        merged[key] = merged[key] + torch.cat(deltas, dim=0)
+    want = encode_image_torch(merged, images, cfg.vision.heads,
+                              cfg.vision.layers)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ft_full_checkpoint_matches_clip_convert():
+    """A plain (no-LoRA) FT checkpoint's visual tower converts exactly as
+    the full-CLIP converter does."""
+    sd = random_clip_state_dict(np.random.default_rng(5))
+    ckpt = {f"model.{k}": v for k, v in sd.items() if k.startswith("visual.")}
+    tree = convert_method_state_dict(ckpt)
+    want = convert_clip_state_dict(sd)["visual"]
+    got_flat = jax.tree_util.tree_leaves(tree["clip"]["visual"])
+    want_flat = jax.tree_util.tree_leaves(want)
+    assert len(got_flat) == len(want_flat)
+    for g, w in zip(got_flat, want_flat):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_unwrap_and_error_paths(rng):
+    mod = ref_adapter_module()
+    inner = {f"adapter.{k}": v for k, v in mod.state_dict().items()}
+    # nerv/lightning wrap the state dict
+    tree = convert_method_state_dict(_unwrap({"state_dict": inner}))
+    assert "adapter" in tree
+    # a non-EventCLIP checkpoint is rejected loudly
+    with pytest.raises(ValueError, match="unrecognized checkpoint keys"):
+        convert_method_state_dict({"backbone.conv.weight": torch.zeros(1)})
+    # a zero-shot "checkpoint" has nothing to convert
+    with pytest.raises(AssertionError, match="no trainable weights"):
+        convert_method_state_dict({"adapter.dummy": torch.zeros(1)})
+    # ResNet FT towers are out of contract
+    with pytest.raises(ValueError, match="ResNet"):
+        convert_method_state_dict(
+            {"model.visual.attnpool.c_proj.weight": torch.zeros(2, 2)})
