@@ -283,3 +283,44 @@ def test_sweep_helpers_enumerate_the_reference_grids(tmp_path):
     subsets = calls("test_all_subset.sh")
     assert [c.split("--subset ")[1] for c in subsets] == \
         ["-1"] + [str(i) for i in range(1, 10)]  # plain val + 9 variants
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """scripts/convert_checkpoint.py end-to-end: a reference-shaped .pth
+    (FS adapter + prompt leaf, nerv 'state_dict' wrapper) converts to a
+    trainable-leaf npz with the framework's tree paths. The numeric
+    parity of the mapping is tests/test_convert_method.py's job — this
+    pins the CLI wiring (unwrap, save format, usage error)."""
+    import numpy as np
+    import torch
+
+    enc = torch.nn.TransformerEncoderLayer(
+        16, 2, 64, norm_first=True, batch_first=True)
+
+    class Ref(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.transformer_encoder = torch.nn.TransformerEncoder(enc, 2)
+            self.in_proj = torch.nn.Linear(32, 16)
+            self.out_proj = torch.nn.Linear(16, 32)
+
+    sd = {f"adapter.{k}": v for k, v in Ref().state_dict().items()}
+    sd["text_feats"] = torch.randn(3, 32)
+    src = tmp_path / "best.pth"
+    dst = tmp_path / "best.npz"
+    torch.save({"state_dict": sd}, src)
+
+    script = os.path.join(REPO, "scripts", "convert_checkpoint.py")
+    r = subprocess.run(["python", script, str(src), str(dst)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    with np.load(dst) as z:
+        keys = set(z.files)
+        assert "text_feats" in keys
+        assert "adapter/in_proj/w" in keys
+        assert z["adapter/blocks/attn/wqkv"].shape == (2, 48, 16)
+    assert "adapter/blocks/attn/wqkv" in r.stdout  # the summary listing
+
+    # wrong arity prints usage and exits non-zero
+    r = subprocess.run(["python", script], capture_output=True, text=True)
+    assert r.returncode == 1 and "convert_checkpoint" in r.stdout
