@@ -180,3 +180,177 @@ def load_method_checkpoint(path: str) -> Dict[str, Any]:
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     return convert_method_state_dict(_unwrap(obj))
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: this framework's checkpoint -> reference .pth
+# (train here on TPU, take the weights back to any torch deployment)
+# ---------------------------------------------------------------------------
+
+
+def _export_adapter(tree: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of _convert_adapter: our stacked adapter pytree -> the
+    reference TransformerAdapter's state-dict keys."""
+    out = {
+        "adapter.in_proj.weight": tree["in_proj"]["w"],
+        "adapter.in_proj.bias": tree["in_proj"]["b"],
+        "adapter.out_proj.weight": tree["out_proj"]["w"],
+        "adapter.out_proj.bias": tree["out_proj"]["b"],
+    }
+    b = tree["blocks"]
+    suffix_of = {
+        "self_attn.in_proj_weight": b["attn"]["wqkv"],
+        "self_attn.in_proj_bias": b["attn"]["bqkv"],
+        "self_attn.out_proj.weight": b["attn"]["wo"],
+        "self_attn.out_proj.bias": b["attn"]["bo"],
+        "linear1.weight": b["mlp"]["w1"], "linear1.bias": b["mlp"]["b1"],
+        "linear2.weight": b["mlp"]["w2"], "linear2.bias": b["mlp"]["b2"],
+        "norm1.weight": b["ln_1"]["scale"], "norm1.bias": b["ln_1"]["bias"],
+        "norm2.weight": b["ln_2"]["scale"], "norm2.bias": b["ln_2"]["bias"],
+    }
+    for suffix, stacked in suffix_of.items():
+        for i, layer in enumerate(np.asarray(stacked)):
+            out[f"adapter.transformer_encoder.layers.{i}.{suffix}"] = layer
+    return out
+
+
+def _export_vit_visual(visual: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Our visual pytree -> CLIP's torch key space (inverse of
+    convert_vit_visual)."""
+    pe = np.asarray(visual["patch_embed"])
+    width = pe.shape[0]
+    ps = int(round((pe.shape[1] / 3) ** 0.5))
+    assert 3 * ps * ps == pe.shape[1], f"bad patch_embed shape {pe.shape}"
+    out = {
+        "visual.conv1.weight": pe.reshape(width, 3, ps, ps),
+        "visual.class_embedding": np.asarray(visual["class_embedding"]),
+        "visual.positional_embedding": np.asarray(
+            visual["positional_embedding"]),
+        "visual.ln_pre.weight": np.asarray(visual["ln_pre"]["scale"]),
+        "visual.ln_pre.bias": np.asarray(visual["ln_pre"]["bias"]),
+        "visual.ln_post.weight": np.asarray(visual["ln_post"]["scale"]),
+        "visual.ln_post.bias": np.asarray(visual["ln_post"]["bias"]),
+        "visual.proj": np.asarray(visual["proj"]),
+    }
+    blocks = visual["blocks"]
+    wqkv = np.asarray(blocks["attn"]["wqkv"])  # [L, 3, D, D]
+    L, _, D, _ = wqkv.shape
+    for i in range(L):
+        pre = f"visual.transformer.resblocks.{i}"
+        out[f"{pre}.attn.in_proj_weight"] = wqkv[i].reshape(3 * D, D)
+        out[f"{pre}.attn.in_proj_bias"] = np.asarray(
+            blocks["attn"]["bqkv"])[i].reshape(3 * D)
+        out[f"{pre}.attn.out_proj.weight"] = np.asarray(blocks["attn"]["wo"])[i]
+        out[f"{pre}.attn.out_proj.bias"] = np.asarray(blocks["attn"]["bo"])[i]
+        out[f"{pre}.mlp.c_fc.weight"] = np.asarray(blocks["mlp"]["w1"])[i]
+        out[f"{pre}.mlp.c_fc.bias"] = np.asarray(blocks["mlp"]["b1"])[i]
+        out[f"{pre}.mlp.c_proj.weight"] = np.asarray(blocks["mlp"]["w2"])[i]
+        out[f"{pre}.mlp.c_proj.bias"] = np.asarray(blocks["mlp"]["b2"])[i]
+        for ln, name in (("ln_1", "ln_1"), ("ln_2", "ln_2")):
+            out[f"{pre}.{name}.weight"] = np.asarray(blocks[ln]["scale"])[i]
+            out[f"{pre}.{name}.bias"] = np.asarray(blocks[ln]["bias"])[i]
+    return out
+
+
+def export_method_state_dict(
+    tree: Mapping[str, Any],
+    clip_visual: Mapping[str, Any] = None,
+) -> Dict[str, np.ndarray]:
+    """This framework's checkpoint pytree -> the reference's .pth key space
+    (the exact state dict ``load_state_dict(strict=True)`` expects after
+    the reference's CLIP re-injection, clip_cls.py:214-219).
+
+    FT checkpoints: the reference saves the WHOLE ``model.visual.*`` tower
+    while this framework saves only trainable leaves — so LoRA/partial-FT
+    exports need ``clip_visual`` (the converted base tower, e.g.
+    ``load_checkpoint('clip_vitl14.npz')[0]``-style tree's 'visual') to
+    fill the frozen weights. A full-FT checkpoint is self-contained.
+    LoRA deltas are re-emitted under the injected-module naming
+    (models/lora.py:104-148) so the reference's LoRA-built model loads
+    them strict."""
+    tree = dict(tree)
+    out: Dict[str, np.ndarray] = {}
+    if "text_feats" in tree:
+        out["text_feats"] = np.asarray(tree["text_feats"])
+    if "adapter" in tree:
+        out.update(_export_adapter(tree["adapter"]))
+    lora = tree.get("lora")
+    visual = tree.get("clip", {}).get("visual")
+    if lora is not None or visual is not None:
+        merged = (jax_free_merge(clip_visual, visual)
+                  if clip_visual is not None else (visual or {}))
+        try:
+            vsd = _export_vit_visual(merged)
+        except (KeyError, TypeError):
+            raise ValueError(
+                "this checkpoint holds only the trainable leaves (LoRA "
+                "deltas / a partial tower) while the reference saves the "
+                "whole model.visual.*; pass the base CLIP tower "
+                "(clip_visual=... / the CLI's third argument) to fill the "
+                "frozen weights"
+            ) from None
+        vsd = dict(vsd)
+        if lora is not None:
+            L = np.asarray(lora[next(iter(lora))]["a"]).shape[0]
+            for i in range(L):
+                base = f"visual.transformer.resblocks.{i}.attn"
+                vsd[f"{base}.in_proj_weight.merged_proj"] = vsd.pop(
+                    f"{base}.in_proj_weight")
+                for t in LORA_SLOTS:
+                    if t in lora:
+                        vsd[f"{base}.in_proj_weight.lora_down_{t}"] = (
+                            np.asarray(lora[t]["a"])[i])
+                        vsd[f"{base}.in_proj_weight.lora_up_{t}"] = (
+                            np.asarray(lora[t]["b"])[i])
+                if "o" in lora:
+                    vsd[f"{base}.out_proj.linear.weight"] = vsd.pop(
+                        f"{base}.out_proj.weight")
+                    vsd[f"{base}.out_proj.linear.bias"] = vsd.pop(
+                        f"{base}.out_proj.bias")
+                    vsd[f"{base}.out_proj.lora_down.weight"] = (
+                        np.asarray(lora["o"]["a"])[i])
+                    vsd[f"{base}.out_proj.lora_up.weight"] = (
+                        np.asarray(lora["o"]["b"])[i])
+        out.update({f"model.{k}": v for k, v in vsd.items()})
+        # FTCLIP always instantiates the IdentityAdapter, whose dummy
+        # leaf lands in the checkpoint (models/adapter.py:34-50)
+        out.setdefault("adapter.dummy", np.zeros(1, np.float32))
+    assert out, "nothing to export (zero-shot model?)"
+    return out
+
+
+def jax_free_merge(base: Mapping[str, Any], overlay) -> Dict[str, Any]:
+    """Overlay non-None leaves of ``overlay`` onto ``base`` (plain dicts —
+    no jax dependency so the exporter runs anywhere torch does)."""
+    if overlay is None:
+        return dict(base)
+    merged = {}
+    for k, v in base.items():
+        o = overlay.get(k) if isinstance(overlay, Mapping) else None
+        if isinstance(v, Mapping):
+            merged[k] = jax_free_merge(v, o)
+        else:
+            merged[k] = v if o is None else o
+    return merged
+
+
+def unflatten(flat: Mapping[str, Any]) -> Dict[str, Any]:
+    """'/'-joined path keys (the npz checkpoint format) -> nested dicts."""
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_method_checkpoint(path: str, tree: Mapping[str, Any],
+                           clip_visual: Mapping[str, Any] = None) -> None:
+    """Export + torch.save under the nerv trainer's wrapper key."""
+    import torch
+
+    sd = {k: torch.tensor(np.ascontiguousarray(v))
+          for k, v in export_method_state_dict(tree, clip_visual).items()}
+    torch.save({"state_dict": sd}, path)

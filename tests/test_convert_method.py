@@ -166,3 +166,78 @@ def test_unwrap_and_error_paths(rng):
     with pytest.raises(ValueError, match="ResNet"):
         convert_method_state_dict(
             {"model.visual.attnpool.c_proj.weight": torch.zeros(2, 2)})
+
+
+def _tree_equal(a, b, path=""):
+    assert set(a) == set(b), f"{path}: {set(a) ^ set(b)}"
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k], f"{path}{k}/")
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{path}{k}")
+
+
+def test_export_fs_strict_loads_and_round_trips(rng):
+    """npz -> .pth export: the FS key space strict-loads into the
+    reference-shaped torch module and survives a convert-back round
+    trip."""
+    from eventclip_tpu.models.clip.convert_method import (
+        export_method_state_dict,
+    )
+
+    mod = ref_adapter_module()
+    ckpt = {f"adapter.{k}": v for k, v in mod.state_dict().items()}
+    ckpt["text_feats"] = torch.tensor(rng.normal(size=(5, 24)).astype(np.float32))
+    tree = convert_method_state_dict(ckpt)
+
+    exported = export_method_state_dict(tree)
+    # strict load proves key names AND shapes match the reference module
+    fresh = ref_adapter_module()
+    fresh.load_state_dict(
+        {k[len("adapter."):]: torch.tensor(v) for k, v in exported.items()
+         if k.startswith("adapter.")},
+        strict=True)
+    _tree_equal(tree, convert_method_state_dict(exported))
+
+
+def test_export_lora_requires_base_and_round_trips(rng):
+    """LoRA export refuses without the frozen tower, and with it emits the
+    injected key space that converts back to the identical tree."""
+    from eventclip_tpu.models.clip.convert_method import (
+        export_method_state_dict,
+    )
+
+    sd = random_clip_state_dict(np.random.default_rng(3))
+    ckpt, _, _, _ = _lora_injected_visual_ckpt(sd, rng)
+    tree = convert_method_state_dict(ckpt)
+    # our LoRA checkpoints carry only the deltas — drop the tower
+    deltas_only = {"lora": tree["lora"]}
+
+    with pytest.raises(ValueError, match="trainable leaves"):
+        export_method_state_dict(deltas_only)
+
+    base_visual = convert_clip_state_dict(sd)["visual"]
+    exported = export_method_state_dict(deltas_only,
+                                        clip_visual=base_visual)
+    assert "adapter.dummy" in exported  # FTCLIP's IdentityAdapter leaf
+    back = convert_method_state_dict(exported)
+    _tree_equal(back["lora"], tree["lora"])
+    _tree_equal(back["clip"]["visual"], tree["clip"]["visual"])
+
+
+def test_export_full_ft_is_self_contained():
+    """A full-FT checkpoint (whole tower saved) exports without a base and
+    the visual tower round-trips exactly."""
+    from eventclip_tpu.models.clip.convert_method import (
+        export_method_state_dict,
+    )
+
+    sd = random_clip_state_dict(np.random.default_rng(5))
+    tree = {"clip": {"visual": convert_clip_state_dict(sd)["visual"]}}
+    exported = export_method_state_dict(tree)
+    conv1 = np.asarray(sd["visual.conv1.weight"])
+    np.testing.assert_allclose(exported["model.visual.conv1.weight"],
+                               conv1.astype(np.float32), rtol=1e-6)
+    back = convert_method_state_dict(exported)
+    _tree_equal(back["clip"]["visual"], tree["clip"]["visual"])
