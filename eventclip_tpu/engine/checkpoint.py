@@ -56,20 +56,28 @@ def save_checkpoint(path: str, tree, *, extra: Optional[dict] = None) -> None:
 
 
 def load_checkpoint(path: str, target=None):
-    """Load an npz checkpoint.
+    """Load an npz checkpoint — or a reference-trained torch ``.pth``/
+    ``.pt`` method checkpoint, converted on the fly (convert_method.py),
+    so every ``--weight`` surface accepts the reference's files directly.
 
     With `target`, returns a copy of `target` with every saved leaf replaced
     (missing leaves keep the target value — that is how the frozen CLIP
     weights get re-injected at load, clip_cls.py:216-219). Without `target`,
     returns the raw {path: array} dict.
     """
-    with np.load(path, allow_pickle=False) as z:
-        flat = {k: z[k] for k in z.files if not k.startswith("__extra__/")}
-        extra = {
-            k[len("__extra__/"):]: z[k]
-            for k in z.files
-            if k.startswith("__extra__/")
-        }
+    if path.endswith((".pth", ".pt")):
+        from ..models.clip.convert_method import load_method_checkpoint
+
+        flat, extra = _flatten(load_method_checkpoint(path)), {}
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            flat = {k: z[k] for k in z.files
+                    if not k.startswith("__extra__/")}
+            extra = {
+                k[len("__extra__/"):]: z[k]
+                for k in z.files
+                if k.startswith("__extra__/")
+            }
     if target is None:
         return flat, extra
 

@@ -241,3 +241,24 @@ def test_export_full_ft_is_self_contained():
                                conv1.astype(np.float32), rtol=1e-6)
     back = convert_method_state_dict(exported)
     _tree_equal(back["clip"]["visual"], tree["clip"]["visual"])
+
+
+def test_load_checkpoint_accepts_reference_pth(tmp_path, rng):
+    """Every --weight surface funnels through engine.checkpoint.
+    load_checkpoint, which converts reference .pth files on the fly — no
+    separate conversion step needed to evaluate a reference run here."""
+    import jax
+
+    from eventclip_tpu.engine.checkpoint import load_checkpoint
+
+    mod = ref_adapter_module()
+    sd = {f"adapter.{k}": v for k, v in mod.state_dict().items()}
+    sd["text_feats"] = torch.tensor(rng.normal(size=(5, 24)).astype(np.float32))
+    path = str(tmp_path / "best.pth")
+    torch.save({"state_dict": sd}, path)
+
+    want = convert_method_state_dict(sd)
+    target = jax.tree_util.tree_map(np.zeros_like, want)
+    got, extra = load_checkpoint(path, target=target)
+    assert extra == {}
+    _tree_equal(got, want)
