@@ -229,13 +229,18 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
 
 
 def find_weight(weight_dir: str) -> str:
-    """best.npz if present, else latest model_<step>.npz (test.py:156-167)."""
-    best = os.path.join(weight_dir, "best.npz")
-    if os.path.exists(best):
-        return best
-    weights = [w for w in os.listdir(weight_dir) if w.endswith(".npz")
-               and w.startswith("model_")]
-    weights = sorted(weights, key=lambda x: int(x[:-4].split("_")[1]))
+    """best.* if present, else the latest model_<step>.* (reference
+    test.py:156-167). Also discovers the reference's .pth files, so
+    --train_shots sweeps run unchanged over a checkpoint tree the
+    reference trainer produced (load_checkpoint converts on the fly)."""
+    for best in ("best.npz", "best.pth"):
+        p = os.path.join(weight_dir, best)
+        if os.path.exists(p):
+            return p
+    weights = [w for w in os.listdir(weight_dir)
+               if w.endswith((".npz", ".pth")) and w.startswith("model_")]
+    weights = sorted(
+        weights, key=lambda x: int(x.rsplit(".", 1)[0].split("_")[1]))
     return os.path.join(weight_dir, weights[-1])
 
 

@@ -262,3 +262,25 @@ def test_load_checkpoint_accepts_reference_pth(tmp_path, rng):
     got, extra = load_checkpoint(path, target=target)
     assert extra == {}
     _tree_equal(got, want)
+
+
+def test_find_weight_discovers_reference_pth(tmp_path):
+    """--train_shots discovery works over a checkpoint tree the REFERENCE
+    trainer produced: best.pth preferred, else latest model_<it>.pth;
+    native .npz still wins when both exist."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from test import find_weight
+
+    d = tmp_path / "models"
+    d.mkdir()
+    (d / "model_100.pth").write_bytes(b"x")
+    (d / "model_2000.pth").write_bytes(b"x")
+    assert find_weight(str(d)).endswith("model_2000.pth")
+    (d / "best.pth").write_bytes(b"x")
+    assert find_weight(str(d)).endswith("best.pth")
+    (d / "best.npz").write_bytes(b"x")
+    assert find_weight(str(d)).endswith("best.npz")
