@@ -783,5 +783,34 @@ def _serve_latency(bench, rng, arch):
         mb.close()
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator with a tiny matmul in a SEPARATE process.
+
+    The axon relay can wedge for 15-120+ min (HBM OOM / Mosaic crashes —
+    see CLAUDE.md); a wedged chip hangs the first dispatch forever, so a
+    bench run would burn the driver's whole budget producing nothing. A
+    subprocess probe with a timeout turns that into a fast, explicit
+    failure. 180 s default: a cold relay legitimately takes ~30-60 s."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256), jnp.bfloat16);"
+            "print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _device_alive():
+        print(json.dumps({
+            "metric": "event2img_events_per_s", "value": 0.0,
+            "unit": "events/s", "vs_baseline": 0.0,
+            "error": "accelerator unreachable (relay wedged?) — tiny-matmul "
+                     "probe timed out; re-run after recovery",
+        }))
+        sys.exit(0)
     main()
