@@ -161,3 +161,28 @@ def test_two_process_tensor_parallel(tmp_path):
     assert stats and stats[-1]["steps"] == 4, stats
     exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
     assert os.path.exists(os.path.join(exp_dir, "models", "best.npz"))
+
+
+@pytest.mark.e2e
+def test_two_process_gradient_accumulation(tmp_path):
+    """--accum under a REAL 2-process run: the accumulation scan's
+    microbatch layout must shard over a data axis that SPANS hosts
+    (make_global_batch's multi-process branch with microbatched=True —
+    never executed multi-process before this test). With 4 data devices
+    and accum=2 the config's batch 4 is not divisible by 8, so this also
+    pins the loud global-batch adjustment (4 -> 8 -> 18//8 = 2 updates)."""
+    tree = make_tree(str(tmp_path / "tree"))
+    ckpt_base = str(tmp_path / "ckpt")
+    port = _free_port()
+    procs = [_launch(r, port, tree, ckpt_base, max_epochs=1,
+                     extra=("--accum", "2", "--san_check_val_step", "0"))
+             for r in (0, 1)]
+    outs = _communicate(procs, "accum-train")
+    out0 = outs[0][1]
+    assert "devices=4 data=4 model=1 host_shard=0/2" in out0
+    assert "training at global batch 8" in out0  # the adjustment warning
+    stats = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
+             for l in out0.splitlines() if l.startswith("[train]")]
+    assert stats and stats[-1]["steps"] == 2, stats
+    exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
+    assert os.path.exists(os.path.join(exp_dir, "models", "best.npz"))
