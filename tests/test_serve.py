@@ -372,3 +372,28 @@ def test_stream_session_validation(predictor):
         sess.append(np.zeros((5, 3)))
     with pytest.raises(ValueError, match="horizon"):
         StreamSession(predictor, horizon=predictor.window - 1)
+
+
+def test_stream_session_trim_property(rng):
+    """Property test of the ring-buffer trim across adversarial chunkings
+    (empty chunks, chunks larger than the whole horizon, exact-boundary
+    hits): after every append the buffer must equal the concatenation's
+    last `horizon` rows exactly. Pure buffer math — a stub predictor
+    provides the window/view geometry."""
+    from eventclip_tpu.serve import StreamSession
+
+    class _Stub:
+        views, window = 4, 50
+
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        sess = StreamSession(_Stub(), horizon=200)
+        everything = []
+        for _ in range(60):
+            n = int(r.choice([0, 1, 7, 50, 199, 200, 201, 520]))
+            chunk = r.normal(size=(n, 4)).astype(np.float32)
+            got_n = sess.append(chunk)
+            everything.append(chunk)
+            want = np.concatenate(everything)[-200:]
+            assert got_n == sess.n_events == len(want)
+            np.testing.assert_array_equal(sess.events(), want)
