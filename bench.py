@@ -783,14 +783,17 @@ def _serve_latency(bench, rng, arch):
         mb.close()
 
 
-def _device_alive(timeout_s: float = 180.0) -> bool:
+def _device_alive(timeout_s: float = 180.0):
     """Probe the accelerator with a tiny matmul in a SEPARATE process.
 
-    The axon relay can wedge for 15-120+ min (HBM OOM / Mosaic crashes —
+    The axon relay can wedge for 15-240+ min (HBM OOM / Mosaic crashes —
     see CLAUDE.md); a wedged chip hangs the first dispatch forever, so a
     bench run would burn the driver's whole budget producing nothing. A
     subprocess probe with a timeout turns that into a fast, explicit
-    failure. 180 s default: a cold relay legitimately takes ~30-60 s."""
+    failure. 180 s default: a cold relay legitimately takes ~30-60 s.
+    Returns None when healthy, else a diagnosis string (a timeout is the
+    wedge signature; a fast non-zero exit is a DIFFERENT problem whose
+    stderr matters — waiting for 'recovery' would be the wrong advice)."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp;"
@@ -798,19 +801,26 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
             "print(float((x @ x).sum()))")
     try:
         r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
     except subprocess.TimeoutExpired:
-        return False
+        return (f"tiny-matmul probe timed out after {timeout_s:.0f}s — "
+                "relay wedged; re-run after recovery (15-240+ min)")
+    if r.returncode == 0:
+        return None
+    tail = (r.stderr or "").strip().splitlines()[-3:]
+    return (f"tiny-matmul probe exited {r.returncode} (NOT a wedge — fix "
+            f"the environment): {' | '.join(tail)}")
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _device_alive():
+    diagnosis = (None if os.environ.get("BENCH_SKIP_PROBE", "") == "1"
+                 else _device_alive())
+    if diagnosis is not None:
         print(json.dumps({
             "metric": "event2img_events_per_s", "value": 0.0,
             "unit": "events/s", "vs_baseline": 0.0,
-            "error": "accelerator unreachable (relay wedged?) — tiny-matmul "
-                     "probe timed out; re-run after recovery",
+            "error": f"accelerator unreachable: {diagnosis}",
         }))
         sys.exit(0)
     main()

@@ -81,9 +81,12 @@ def load_checkpoint(path: str, target=None):
     if target is None:
         return flat, extra
 
+    consumed = set()
+
     def replace(path_entries, leaf):
         key = path_str(path_entries)
         if key in flat:
+            consumed.add(key)
             loaded = flat[key]
             assert loaded.shape == tuple(np.shape(leaf)), (
                 f"{key}: ckpt {loaded.shape} vs target {np.shape(leaf)}"
@@ -95,7 +98,19 @@ def load_checkpoint(path: str, target=None):
             return jax.numpy.asarray(loaded, dtype=dtype)
         return leaf
 
-    return jax.tree_util.tree_map_with_path(replace, target), extra
+    out = jax.tree_util.tree_map_with_path(replace, target), extra
+    unconsumed = sorted(set(flat) - consumed)
+    if unconsumed:
+        # silently ignoring saved weights means evaluating an UNTRAINED
+        # model while claiming the checkpoint loaded — the reference's
+        # strict=True errors here too (clip_cls.py:214-219); usually a
+        # checkpoint/config mismatch (e.g. a LoRA ckpt with an FS config)
+        raise ValueError(
+            f"{len(unconsumed)} checkpoint leaves match no parameter in "
+            f"this model (checkpoint/config mismatch?): "
+            f"{unconsumed[:6]}{'...' if len(unconsumed) > 6 else ''}"
+        )
+    return out
 
 
 def save_trainable(path: str, cfg: ClassifierConfig, params: Params,

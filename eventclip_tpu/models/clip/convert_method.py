@@ -30,6 +30,7 @@ frozen CLIP weights re-enter, mirroring clip_cls.py:214-219).
 
 from __future__ import annotations
 
+import pickle
 import re
 from typing import Any, Dict, Mapping
 
@@ -175,10 +176,27 @@ def convert_method_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def load_method_checkpoint(path: str) -> Dict[str, Any]:
-    """Load + convert a reference ``.pth`` method checkpoint from disk."""
+    """Load + convert a reference ``.pth`` method checkpoint from disk.
+
+    Loads with ``weights_only=True``: method checkpoints are plain tensor
+    dicts, and this path is reachable from every ``--weight`` flag — full
+    pickle would execute arbitrary code from a third-party file. Set
+    ``EVENTCLIP_UNSAFE_TORCH_LOAD=1`` to load a trusted checkpoint whose
+    wrapper contains non-tensor objects."""
+    import os
+
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    unsafe = os.environ.get("EVENTCLIP_UNSAFE_TORCH_LOAD", "") == "1"
+    try:
+        obj = torch.load(path, map_location="cpu",
+                         weights_only=not unsafe)
+    except pickle.UnpicklingError as err:
+        raise ValueError(
+            f"{path} needs full (unsafe) unpickling — reference method "
+            "checkpoints are plain tensor dicts; if you trust this file, "
+            "re-run with EVENTCLIP_UNSAFE_TORCH_LOAD=1"
+        ) from err
     return convert_method_state_dict(_unwrap(obj))
 
 
@@ -312,10 +330,13 @@ def export_method_state_dict(
                     vsd[f"{base}.out_proj.lora_up.weight"] = (
                         np.asarray(lora["o"]["b"])[i])
         out.update({f"model.{k}": v for k, v in vsd.items()})
-        # FTCLIP always instantiates the IdentityAdapter, whose dummy
-        # leaf lands in the checkpoint (models/adapter.py:34-50)
-        out.setdefault("adapter.dummy", np.zeros(1, np.float32))
     assert out, "nothing to export (zero-shot model?)"
+    if "adapter" not in tree:
+        # FS 'text-identity' prompt tuning and every FTCLIP config
+        # instantiate the IdentityAdapter, whose registered dummy leaf is
+        # in the reference's expected state dict (models/adapter.py:34-50)
+        # — strict load fails without it
+        out["adapter.dummy"] = np.zeros(1, np.float32)
     return out
 
 

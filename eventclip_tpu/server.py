@@ -729,8 +729,13 @@ class _Handler(BaseHTTPRequestHandler):
             req = self._read_optional_json()
             if req is None:
                 return
+            try:  # parse OUTSIDE the predict try: a bad top_k is a 400,
+                top_k = int(req.get("top_k", 1))  # not an empty-buffer 409
+            except (TypeError, ValueError):
+                self._error(400, "top_k must be an integer")
+                return
             try:
-                resp = self._session_rolling(sess, int(req.get("top_k", 1)))
+                resp = self._session_rolling(sess, top_k)
             except ValueError as err:  # empty session buffer
                 self._error(409, str(err))
                 return

@@ -284,3 +284,59 @@ def test_find_weight_discovers_reference_pth(tmp_path):
     assert find_weight(str(d)).endswith("best.pth")
     (d / "best.npz").write_bytes(b"x")
     assert find_weight(str(d)).endswith("best.npz")
+
+
+def test_export_prompt_only_includes_identity_dummy(rng):
+    """A prompt-only FS checkpoint ('text-identity': just text_feats) must
+    still export the IdentityAdapter's registered dummy leaf — the
+    reference's strict load expects it (models/adapter.py:34-50)."""
+    from eventclip_tpu.models.clip.convert_method import (
+        export_method_state_dict,
+    )
+
+    tree = {"text_feats": rng.normal(size=(5, 24)).astype(np.float32)}
+    exported = export_method_state_dict(tree)
+    assert set(exported) == {"text_feats", "adapter.dummy"}
+    # and a trans-adapter export must NOT carry the dummy (no such module)
+    mod = ref_adapter_module()
+    ckpt = {f"adapter.{k}": v for k, v in mod.state_dict().items()}
+    exported = export_method_state_dict(convert_method_state_dict(ckpt))
+    assert "adapter.dummy" not in exported
+    # round trip: the dummy is recognized, text_feats survives
+    back = convert_method_state_dict(
+        export_method_state_dict(tree))
+    np.testing.assert_array_equal(back["text_feats"], tree["text_feats"])
+
+
+def test_load_checkpoint_rejects_unconsumed_leaves(tmp_path, rng):
+    """Leaves that match no target parameter must raise (the reference's
+    strict=True behavior) — silently ignoring them would evaluate an
+    untrained model while claiming the checkpoint loaded."""
+    from eventclip_tpu.engine.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {"lora": {"q": {"a": rng.normal(size=(2, 4, 8)).astype(np.float32)}}}
+    path = str(tmp_path / "ft.npz")
+    save_checkpoint(path, tree)
+    fs_target = {"adapter": {"in_proj": {"w": np.zeros((4, 8), np.float32)}}}
+    with pytest.raises(ValueError, match="match no parameter"):
+        load_checkpoint(path, target=fs_target)
+
+
+def test_load_method_checkpoint_is_weights_only(tmp_path):
+    """--weight .pth loading must not unpickle arbitrary objects (it is
+    reachable with third-party files); non-tensor pickles are rejected
+    with the EVENTCLIP_UNSAFE_TORCH_LOAD hint."""
+    from eventclip_tpu.models.clip.convert_method import (
+        load_method_checkpoint,
+    )
+
+    import argparse
+
+    path = str(tmp_path / "evil.pth")
+    torch.save({"state_dict": {"adapter.dummy": argparse.Namespace(x=1)}},
+               path)
+    with pytest.raises(ValueError, match="EVENTCLIP_UNSAFE_TORCH_LOAD"):
+        load_method_checkpoint(path)

@@ -920,6 +920,13 @@ def test_streaming_session_hardening(served):
         assert r["n_events"] == 7
         assert "injected device failure" in r["predict_error"]
         assert sess.info()["n_events"] == 7  # exactly one copy landed
+
+        # a malformed top_k on the predict-only route is a 400 (bad
+        # request), never a 409 (the empty-buffer status)
+        with pytest.raises(ServingError) as e:
+            c._request(f"/session/{sess.session_id}/predict",
+                       data=json.dumps({"top_k": "abc"}).encode())
+        assert e.value.status == 400 and "top_k" in e.value.message
     finally:
         sess.close()
 
