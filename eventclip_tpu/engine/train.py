@@ -72,6 +72,7 @@ def make_train_step(
     pipeline=None,
     augment: bool = False,
     accum_steps: int = 1,
+    zero1: bool = False,
 ):
     """Build the jitted, sharded train step: (state, batch) -> (state, metrics).
 
@@ -98,10 +99,20 @@ def make_train_step(
     remote-TPU runtime with ~500 explicit leaf shardings). Tensor
     parallelism (mesh model axis > 1) additionally routes the attention
     core through a shard_map so the Pallas kernel runs per-shard.
+
+    zero1 on >1-device meshes additionally pins the ZeRO-1 layout inside the
+        step: the updated optimizer moments are constrained to stay sharded
+        over the data axis (parallel.sharding.zero1_pspecs) and the updated
+        parameters to their canonical replicated/TP layout, so GSPMD
+        all-gathers only the per-shard parameter delta and the persistent
+        Adam state never rematerializes replicated. The state must arrive
+        placed by shard_opt_state. In-step constraints (not explicit jit
+        shardings) keep the zero-dispatch-overhead property above.
     """
     from ..parallel.sharding import make_tp_context
 
     tp = make_tp_context(mesh)
+    zero1_mesh = mesh if (zero1 and mesh.devices.size > 1) else None
     del mesh  # shardings flow from the input arrays
     loss_weights = dict(loss_weights or {})
 
@@ -155,6 +166,37 @@ def make_train_step(
             metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if zero1_mesh is not None:
+            # pin the ZeRO-1 layout: without these constraints GSPMD may
+            # resolve the elementwise update to a replicated (or, worse,
+            # params-sharded) output layout, silently trading the memory
+            # win away or turning every forward into an all-gather
+            from jax.sharding import NamedSharding
+
+            from ..parallel.sharding import (
+                DATA_AXIS,
+                MODEL_AXIS,
+                param_pspecs,
+                zero1_pspecs,
+            )
+
+            n_model = zero1_mesh.shape[MODEL_AXIS]
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state,
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(zero1_mesh, s),
+                    zero1_pspecs(
+                        opt_state, zero1_mesh.shape[DATA_AXIS], n_model
+                    ),
+                ),
+            )
+            params = jax.lax.with_sharding_constraint(
+                params,
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(zero1_mesh, s),
+                    param_pspecs(params, n_model),
+                ),
+            )
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state,
             rng=state.rng,

@@ -309,6 +309,18 @@ class EventCLIPTrainer:
 
         sharded = shard_params(self.model_params, self.mesh)
         self.state = create_train_state(sharded, self.tx, jax.random.PRNGKey(seed + 1))
+        # ZeRO-1 (params.zero1 / --zero1): shard the persistent Adam
+        # moments over the data axis instead of replicating them per
+        # data-parallel replica (the reference's DDP has no analog —
+        # every GPU holds the full optimizer). Memory-only on the
+        # forward/backward; the step pins the layout (make_train_step)
+        self.zero1 = bool(params.get("zero1", False)) and self.mesh.size > 1
+        if self.zero1:
+            from ..parallel import shard_opt_state
+
+            self.state = self.state._replace(
+                opt_state=shard_opt_state(self.state.opt_state, self.mesh)
+            )
 
         # on-device pipeline config from the dataset
         spec = train_set.raster_spec()
@@ -326,6 +338,7 @@ class EventCLIPTrainer:
             loss_weights=loss_weights, pipeline=self.pipeline,
             augment=bool(getattr(train_set, "augment", False)),
             accum_steps=self.accum,
+            zero1=self.zero1,
         )
         top5 = params.dataset == "n_imagenet"
         self.eval_step = make_eval_step(

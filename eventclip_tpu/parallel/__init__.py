@@ -11,6 +11,8 @@ from .sharding import (
     param_pspecs,
     shard_params,
     shard_batch,
+    shard_opt_state,
+    zero1_pspecs,
 )
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "param_pspecs",
     "shard_params",
     "shard_batch",
+    "shard_opt_state",
+    "zero1_pspecs",
 ]

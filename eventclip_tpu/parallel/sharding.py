@@ -141,6 +141,66 @@ def param_pspecs(params: Params, n_model: int = 1) -> Params:
     )
 
 
+def _zero1_extend(spec: P, shape, n_data: int) -> P:
+    """Extend a leaf's PartitionSpec with the data axis on its largest
+    still-unsharded dim (replicated if no dim divides evenly)."""
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for i, (ax, size) in enumerate(zip(dims, shape)):
+        if ax is None and size >= n_data and size % n_data == 0:
+            if best is None or size > shape[best]:
+                best = i
+    if best is None:
+        return P(*dims) if any(d is not None for d in dims) else P()
+    dims[best] = DATA_AXIS
+    return P(*dims)
+
+
+def zero1_pspecs(opt_state, n_data: int, n_model: int = 1):
+    """ZeRO-1 PartitionSpec pytree for an optimizer state.
+
+    The reference's DDP keeps a full Adam m/v copy on every GPU; so does
+    plain data parallelism here. But the moments are persistent,
+    parameter-shaped, and touched only inside the ELEMENTWISE optimizer
+    update — there is no reason for every data-parallel replica to hold
+    all of them. Sharding each moment leaf over the data axis (the ZeRO
+    stage-1 layout) cuts persistent optimizer HBM by n_data with zero
+    extra collectives on the forward/backward: GSPMD slices the (already
+    all-reduced) gradient locally for the update and all-gathers only the
+    small per-shard parameter DELTA. Leaves the model axis already shards
+    keep their Megatron layout and gain the data axis on a free dim.
+
+    Scalars (Adam step counts, schedule state) stay replicated.
+    """
+
+    def spec(path, leaf):
+        shape = np.shape(leaf)
+        if len(shape) == 0:
+            return P()
+        base = _leaf_pspec(_path_str(path), leaf, n_model)
+        return _zero1_extend(base, shape, n_data)
+
+    return jax.tree_util.tree_map_with_path(spec, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh):
+    """Place an optimizer state onto the mesh in the ZeRO-1 layout.
+
+    With a 1-device mesh (or zero1 disabled upstream) optimizer state is
+    simply co-located with the parameters; see zero1_pspecs for the
+    multi-device layout.
+    """
+    if _single_device(mesh):
+        return jax.device_put(opt_state)
+    specs = zero1_pspecs(
+        opt_state, mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+    )
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        opt_state, specs,
+    )
+
+
 def _single_device(mesh: Mesh):
     """On a 1-device mesh every sharding is semantically a no-op, but
     COMMITTED placements (explicit device / NamedSharding) combined with

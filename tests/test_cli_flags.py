@@ -18,7 +18,7 @@ def _args(**kw):
     ns = dict(params=CFG, num_shots=-1, N=-1, weight="", data_root="",
               clip_ckpt="", n_model=1, max_epochs=-1, ckpt_base="checkpoint",
               san_check_val_step=2, seed=0, cpu=False, smoke=False,
-              profile=0, fp32=False, accum=0)
+              profile=0, fp32=False, accum=0, zero1=False)
     ns.update(kw)
     return types.SimpleNamespace(**ns)
 
@@ -43,3 +43,11 @@ def test_accum_flag_sets_accum_steps():
     assert params.get("accum_steps", 1) == 1
     params, _ = train_mod.load_and_override(_args(accum=4))
     assert params.get("accum_steps", 1) == 4
+
+
+def test_zero1_flag_sets_params():
+    # the trainer reads params.get("zero1", False) (engine/trainer.py)
+    params, _ = train_mod.load_and_override(_args())
+    assert not params.get("zero1", False), "ZeRO-1 must be opt-in"
+    params, _ = train_mod.load_and_override(_args(zero1=True))
+    assert params.zero1 is True

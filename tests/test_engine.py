@@ -524,3 +524,111 @@ def test_accum_through_trainer_device_batch(rng, tmp_path):
         frozen_before,
         np.asarray(jax.device_get(state.params["clip"]["visual"]["patch_embed"])),
     )
+
+
+def test_zero1_matches_replicated_and_shards_moments(rng, tmp_path):
+    """ZeRO-1 must be a pure memory-layout change: sharding the persistent
+    Adam moments over the data axis (parallel.shard_opt_state +
+    make_train_step(zero1=True)) may not alter a single update — the math
+    is elementwise, only where each slice lives differs. Runs on the 4x2
+    mesh so the layout composes with Megatron TP (model-sharded leaves
+    gain the data axis on a free dim), and round-trips resume.pkl so a
+    preempted ZeRO-1 run restores to the same sharded placement
+    (restore_placement follows the live state's shardings)."""
+    import dataclasses
+
+    import optax
+
+    from eventclip_tpu.parallel import DATA_AXIS, shard_opt_state
+    from jax.sharding import NamedSharding
+
+    cfg = tiny_fs_config()
+    cfg = dataclasses.replace(
+        cfg, adapter=dataclasses.replace(cfg.adapter, dropout=0.0)
+    )
+    # momentum SGD: a persistent params-shaped trace (the state ZeRO-1
+    # shards) with updates LINEAR in the gradients — Adam's sqrt(v)
+    # normalization amplifies ~1e-9 layout-induced reduction-order noise
+    # on zero-by-symmetry gradients (k-bias) into incomparable params,
+    # exactly as in test_accum_matches_full_batch_update; Adam gets its
+    # own compile/finiteness leg at the end
+    tx = optax.sgd(0.1, momentum=0.9)
+    mesh = make_mesh(n_data=4, n_model=2)
+    batch = shard_batch(make_batch(rng, B=8), mesh)
+
+    def run(zero1):
+        p = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                   n_classes=N_CLS)
+        state = create_train_state(
+            shard_params(p, mesh), tx, jax.random.PRNGKey(1)
+        )
+        if zero1:
+            state = state._replace(
+                opt_state=shard_opt_state(state.opt_state, mesh)
+            )
+        step = make_train_step(cfg, tx, mesh, zero1=zero1)
+        for _ in range(3):
+            state, _ = step(state, batch)
+        return state, step
+
+    base, _ = run(False)
+    z, step = run(True)
+
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(base.params)
+    )
+    flat_z = jax.tree_util.tree_leaves(jax.device_get(z.params))
+    for (path, b), zp in zip(flat_b, flat_z):
+        np.testing.assert_allclose(
+            np.asarray(zp), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=str(path),
+        )
+
+    # the moments must ACTUALLY be sharded over data (not just constrained
+    # on paper): every >=1-dim moment leaf whose spec carries the data axis
+    # holds a per-device shard smaller than the full leaf
+    data_sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(z.opt_state)
+        if isinstance(leaf, jax.Array) and leaf.ndim >= 1
+        and isinstance(leaf.sharding, NamedSharding)
+        and DATA_AXIS in tuple(leaf.sharding.spec)
+    ]
+    assert data_sharded, "no optimizer leaf carries the data axis"
+    for leaf in data_sharded:
+        shard = leaf.addressable_shards[0].data
+        assert shard.size < leaf.size, (leaf.shape, shard.shape)
+
+    # preemption resume keeps the layout: save -> restore -> placement
+    # follows the live (sharded) state -> one more step compiles clean
+    from eventclip_tpu.engine.trainer import restore_placement
+
+    ckpt = CheckpointManager(str(tmp_path), cfg)
+    ckpt.save_resume_state(z, epoch=1)
+    restored, epoch = ckpt.load_resume_state(z)
+    assert epoch == 1
+    restored = restore_placement(restored, z, mesh)
+    mu = [
+        leaf for leaf in jax.tree_util.tree_leaves(restored.opt_state)
+        if isinstance(leaf, jax.Array) and leaf.ndim >= 1
+        and isinstance(leaf.sharding, NamedSharding)
+        and DATA_AXIS in tuple(leaf.sharding.spec)
+    ]
+    assert mu, "restore dropped the ZeRO-1 placement"
+    state2, metrics = step(restored, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # Adam leg: the production optimizer's state (count scalar + mu/nu
+    # pytrees) must place, constrain and step under the ZeRO-1 layout
+    p = init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS)
+    adam = optax.adam(1e-3)
+    st = create_train_state(shard_params(p, mesh), adam,
+                            jax.random.PRNGKey(1))
+    st = st._replace(opt_state=shard_opt_state(st.opt_state, mesh))
+    st, m = make_train_step(cfg, adam, mesh, zero1=True)(st, batch)
+    assert np.isfinite(float(m["total_loss"]))
+    assert any(
+        isinstance(leaf, jax.Array) and leaf.ndim >= 1
+        and isinstance(leaf.sharding, NamedSharding)
+        and DATA_AXIS in tuple(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(st.opt_state)
+    ), "no Adam moment carries the data axis"

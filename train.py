@@ -57,6 +57,11 @@ def parse_args():
                         "(the reference reaches batch 128 with 4-GPU DDP) "
                         "on fewer/smaller chips at 1/accum the activation "
                         "memory")
+    parser.add_argument("--zero1", action="store_true",
+                        help="shard the persistent optimizer moments over "
+                        "the data axis (ZeRO stage 1) instead of "
+                        "replicating them per data-parallel replica; "
+                        "memory-only on the forward/backward")
     return parser.parse_args()
 
 
@@ -96,6 +101,8 @@ def load_and_override(args):
         params.bf16 = False
     if args.accum > 0:
         params.accum_steps = args.accum
+    if args.zero1:
+        params.zero1 = True
     return params, exp_name
 
 
