@@ -120,6 +120,27 @@ def save_trainable(path: str, cfg: ClassifierConfig, params: Params,
     save_checkpoint(path, sub, extra=extra)
 
 
+def fetch_opt_state(opt_state):
+    """Host copy of an optimizer state tree.
+
+    Plain np.asarray covers single-process runs and replicated leaves;
+    leaves sharded ACROSS processes (ZeRO-1 moments on a multi-host mesh)
+    need a gather — which is a COLLECTIVE: in multi-process runs every
+    rank must call this, even though only rank 0 writes resume.pkl
+    (trainer.fit orders it so)."""
+
+    def to_host(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(to_host, opt_state)
+
+
 class CheckpointManager:
     """Rolling + best checkpoint management under `<ckpt_dir>/models/`.
 
@@ -150,19 +171,27 @@ class CheckpointManager:
                     extra={"step": step, self.monitor: val},
                 )
 
-    def save_resume_state(self, state, epoch: int) -> None:
+    def save_resume_state(self, state, epoch: int,
+                          opt_state_host=None) -> None:
         """Resume state: trainable leaves + optimizer (frozen CLIP weights
         are re-derivable from the CLIP checkpoint at startup, so they are
         not fetched/stored — a ViT-L/14 resume file stays MBs, and the
-        device->host fetch stays off the training critical path)."""
+        device->host fetch stays off the training critical path).
+
+        opt_state_host: pre-fetched host copy of state.opt_state. Required
+        in ZeRO-1 multi-process runs, where the data-sharded moments are
+        not addressable from rank 0 alone — every rank must join the
+        gather (fetch_opt_state) BEFORE the rank-0-only file write."""
         trainable = trainable_subtree(
             state.params, trainable_mask(self.cfg, state.params)
         )
+        if opt_state_host is None:
+            opt_state_host = fetch_opt_state(state.opt_state)
         blob = {
             "step": int(state.step),
             "epoch": epoch,
             "params": _flatten(trainable),
-            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
+            "opt_state": opt_state_host,
             "rng": np.asarray(state.rng),
             "best_metric": self.best_metric,
         }

@@ -499,20 +499,34 @@ class EventCLIPTrainer:
             val_stats = None
             if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
                 val_stats = self.evaluate()
-            if ((epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs) \
-                    and self.is_main:
-                # fetch only trainable leaves (the frozen CLIP tower is GBs
-                # and never changes; fetching it per save dominates epochs);
-                # process 0 only — replicated leaves are host-fetchable
-                # without collectives, so workers may skip this entirely
-                from ..models.partition import trainable_mask, trainable_subtree
+            if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
+                # ZeRO-1 multi-process: the data-sharded moments are not
+                # addressable from rank 0 alone, so fetching them is a
+                # collective EVERY rank must join — before the is_main gate
+                host_opt = None
+                if self.zero1 and jax.process_count() > 1:
+                    from .checkpoint import fetch_opt_state
 
-                host_trainable = jax.device_get(trainable_subtree(
-                    self.state.params,
-                    trainable_mask(self.cls_cfg, self.state.params),
-                ))
-                self.ckpt.save(host_trainable, int(self.state.step), val_stats)
-                self.ckpt.save_resume_state(self.state, epoch + 1)
+                    host_opt = fetch_opt_state(self.state.opt_state)
+                if self.is_main:
+                    # fetch only trainable leaves (the frozen CLIP tower is
+                    # GBs and never changes; fetching it per save dominates
+                    # epochs); process 0 only — replicated leaves are
+                    # host-fetchable without collectives, so workers may
+                    # skip this part entirely
+                    from ..models.partition import (
+                        trainable_mask,
+                        trainable_subtree,
+                    )
+
+                    host_trainable = jax.device_get(trainable_subtree(
+                        self.state.params,
+                        trainable_mask(self.cls_cfg, self.state.params),
+                    ))
+                    self.ckpt.save(host_trainable, int(self.state.step),
+                                   val_stats)
+                    self.ckpt.save_resume_state(self.state, epoch + 1,
+                                                opt_state_host=host_opt)
 
     def evaluate(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         # keep per-batch counters on-device; one host sync at the end

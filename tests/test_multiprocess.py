@@ -186,3 +186,40 @@ def test_two_process_gradient_accumulation(tmp_path):
     assert stats and stats[-1]["steps"] == 2, stats
     exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
     assert os.path.exists(os.path.join(exp_dir, "models", "best.npz"))
+
+
+@pytest.mark.e2e
+def test_two_process_zero1(tmp_path):
+    """ZeRO-1 under a REAL 2-process run: the optimizer moments shard over
+    a data axis that SPANS hosts, so (a) the rank-0 resume save must first
+    gather them collectively (checkpoint.fetch_opt_state — np.asarray alone
+    raises on non-addressable leaves), with BOTH ranks joining the gather
+    before the is_main gate, and (b) resume must re-place the full host
+    copy back onto the cross-process sharding
+    (restore_placement + device_put to a non-addressable NamedSharding)."""
+    tree = make_tree(str(tmp_path / "tree"))
+    ckpt_base = str(tmp_path / "ckpt")
+    port = _free_port()
+    procs = [_launch(r, port, tree, ckpt_base, max_epochs=2,
+                     extra=("--zero1", "--san_check_val_step", "0"))
+             for r in (0, 1)]
+    outs = _communicate(procs, "zero1-train")
+    out0 = outs[0][1]
+    assert "devices=4 data=4 model=1 host_shard=0/2" in out0
+    stats = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
+             for l in out0.splitlines() if l.startswith("[train]")]
+    assert stats and stats[-1]["steps"] == 8, stats
+    exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
+    assert os.path.exists(os.path.join(exp_dir, "models", "resume.pkl"))
+
+    # preemption resume keeps training under the sharded-moment layout
+    port2 = _free_port()
+    procs = [_launch(r, port2, tree, ckpt_base, max_epochs=3,
+                     extra=("--zero1", "--san_check_val_step", "0"))
+             for r in (0, 1)]
+    outs2 = _communicate(procs, "zero1-resume")
+    out0 = outs2[0][1]
+    assert "Resumed full state from epoch 2" in out0
+    resumed = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
+               for l in out0.splitlines() if l.startswith("[train]")]
+    assert len(resumed) == 1 and resumed[0]["steps"] == 12, resumed
