@@ -86,6 +86,7 @@ def test_train_cli_override_rules(tmp_path):
         profile = 0
         fp32 = True
         accum = 0
+        zero1 = False
 
     params, exp = load_and_override(A())
     assert params.quantize_args["N"] == 5000  # thousands (train.py:121-123)
@@ -98,6 +99,12 @@ def test_train_cli_override_rules(tmp_path):
 
     params, _ = load_and_override(A2())
     assert params.accum_steps == 4  # --accum lands in the config
+
+    class A3(A):
+        zero1 = True
+
+    params, _ = load_and_override(A3())
+    assert params.zero1 is True  # --zero1 lands in the config
 
     class B(A):
         N = -1
