@@ -308,6 +308,7 @@ def main():
         _packed_eval(bench, cfg, params, spec, pp, N)
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)
         _nin_input_feed(bench, rng)
+        _host_item_pipeline(bench)
         _feed_overlap(bench)
         _serve_latency(bench, rng, arch)
 
@@ -493,6 +494,51 @@ def _nin_input_feed(bench, rng):
         f"incl. H2D of {mb:.0f} MB/step packed int16 (relay-tunnel-bound "
         "on this machine; ~3 ms on real PCIe)",
     )
+
+
+def _host_item_pipeline(bench):
+    """Per-item host half of the loader (the work torch DataLoader workers
+    do in the reference): center + augment + window pack at N-ImageNet
+    stream geometry, numpy path vs the native fused kernel
+    (eventclip_tpu/native). Host-only — no device involved."""
+    from eventclip_tpu import native
+    from eventclip_tpu.data import host_ops
+
+    rng = np.random.default_rng(0)
+    H, W, N = 480, 640, 70000
+    n = 600_000
+    ev = np.stack([
+        rng.integers(0, W, n), rng.integers(0, H, n),
+        np.sort(rng.random(n) * 0.06), rng.choice([-1.0, 1.0], n),
+    ], 1).astype(np.float32)
+
+    def item():
+        r = np.random.default_rng(1)
+        out = host_ops.prepare_stream(ev, (H, W), rng=r, augment=True,
+                                      flip_time=True, max_shift=20)
+        return host_ops.gather_event_windows(out, N, 2, rng=r, packed=True)
+
+    saved = os.environ.get("EVENTCLIP_NATIVE")
+    try:
+        for mode, flag in (("numpy", "0"), ("native", "1")):
+            os.environ["EVENTCLIP_NATIVE"] = flag
+            native.reset_for_tests()
+            if mode == "native" and not native.available():
+                bench.record("host_item_native_events_per_sec", 0.0,
+                             "events/s", "native library unavailable")
+                continue
+            dt = bench.run(lambda: item(), lambda _: None, iters=10)
+            bench.record(
+                f"host_item_{mode}_events_per_sec", n / dt, "events/s",
+                f"per-item center+augment+pack, {n} ev -> 2x{N} packed; "
+                f"{dt * 1e3:.2f} ms/item",
+            )
+    finally:
+        if saved is None:
+            os.environ.pop("EVENTCLIP_NATIVE", None)
+        else:
+            os.environ["EVENTCLIP_NATIVE"] = saved
+        native.reset_for_tests()
 
 
 def _packed_eval(bench, cfg, params, spec, pp, N):

@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .host_ops import center_events, hflip_events, shift_events, tflip_events
+from .host_ops import prepare_stream
 
 ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
 
@@ -187,26 +187,18 @@ class NCaltech101:
     def _load_events(event_path: str) -> np.ndarray:
         return np.load(event_path).astype(np.float32)
 
-    def _augment_events(self, events: np.ndarray, rng) -> np.ndarray:
-        if self.flip_time:
-            events = tflip_events(events, rng=rng)
-        events = shift_events(
-            events, max_shift=self.max_shift, resolution=self.resolution,
-            rng=rng,
-        )
-        events = hflip_events(events, resolution=self.resolution, rng=rng)
-        return events
-
     def __getitem__(self, idx: int):
         rng = self._item_rng(idx)
         path = str(self.labeled_files[idx])
         label = int(self.labels[idx])
         events = self._load_events(path)
-        # N-Caltech events can occupy a sub-box of the frame; centering keeps
-        # them inside the center crop (caltech.py:172-175)
-        events = center_events(events, resolution=self.resolution)
-        if self.augmentation:
-            events = self._augment_events(events, rng)
+        # centering keeps N-Caltech's sub-box events inside the center crop
+        # (caltech.py:172-175); augmentations per _augment contracts
+        # (utils.py:4-35). One fused host pass (native) when available.
+        events = prepare_stream(
+            events, self.resolution, rng=rng, augment=self.augmentation,
+            flip_time=self.flip_time, max_shift=self.max_shift,
+        )
         if events.shape[0] == 0:
             # augmentation can shift everything out of frame; resample
             return self[int(rng.integers(0, len(self)))]

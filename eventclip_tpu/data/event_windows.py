@@ -22,7 +22,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from .host_ops import gather_event_windows, hflip_events, max_views, tflip_events
+from .host_ops import gather_event_windows, max_views, tta_variants
 
 
 def parse_quantize_args(quantize_args, resolution, max_n, hard_limit=None):
@@ -110,13 +110,9 @@ class EventWindowDataset:
 
     def _load_tta_item(self, data: Dict[str, Any], rng) -> Dict[str, Any]:
         events = data.pop("events")
-        # hflip mutates in place (hence the copy); tflip at p=1 always
-        # returns a fresh array, so its inputs need no defensive copy
-        h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
-        t = tflip_events(events, p=1.0)
-        ht = tflip_events(h, p=1.0)
         wins, valids = zip(*[
-            self._events2windows(e, rng) for e in (events, h, t, ht)
+            self._events2windows(e, rng)
+            for e in tta_variants(events, self.resolution)
         ])
         data["windows"] = np.stack(wins)  # [4, V, N, 3] int16 packed
         data["valid_mask"] = np.stack(valids)  # [4, V]

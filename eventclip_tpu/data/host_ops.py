@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from .. import native
 from ..ops.windows import event_count_windows
 
 
@@ -46,8 +47,15 @@ def shift_events(
     rng: np.random.Generator,
 ) -> np.ndarray:
     """Random spatial shift; events pushed out of frame are dropped."""
-    H, W = resolution
     dx, dy = rng.integers(-max_shift, max_shift + 1, size=2)
+    return shift_events_by(events, int(dx), int(dy), resolution)
+
+
+def shift_events_by(
+    events: np.ndarray, dx: int, dy: int, resolution: Tuple[int, int]
+) -> np.ndarray:
+    """Deterministic spatial shift; events pushed out of frame are dropped."""
+    H, W = resolution
     events[:, 0] += dx
     events[:, 1] += dy
     keep = (
@@ -83,6 +91,79 @@ def tflip_events(
         events[:, 2] = events[0, 2] - events[:, 2]
         events[:, 3] = -events[:, 3]
     return events
+
+
+def draw_augment(
+    rng: np.random.Generator, flip_time: bool, max_shift: int
+) -> Tuple[bool, int, int, bool]:
+    """Draw the (tflip, dx, dy, hflip) augmentation parameters.
+
+    Consumes the generator stream with exactly the calls the in-op draws
+    made (tflip_events' rng.random(), shift_events' rng.integers(size=2),
+    hflip_events' rng.random(), in _augment_events order), so replays keyed
+    on (seed, epoch, idx) stay reproducible across the numpy and native
+    paths and across framework versions."""
+    tflip = bool(rng.random() < 0.5) if flip_time else False
+    dx, dy = (int(v) for v in rng.integers(-max_shift, max_shift + 1, size=2))
+    hflip = bool(rng.random() < 0.5)
+    return tflip, dx, dy, hflip
+
+
+def prepare_stream(
+    events: np.ndarray,
+    resolution: Tuple[int, int],
+    rng: Optional[np.random.Generator] = None,
+    augment: bool = False,
+    flip_time: bool = False,
+    max_shift: int = 0,
+) -> np.ndarray:
+    """center_events (+ the training augmentations) in one call.
+
+    Single entry point for the per-item stream pipeline: dispatches to the
+    fused native kernel (native/event_ops.cpp — one pass, GIL released)
+    when the library is available, falling back to the numpy ops above.
+    Never mutates `events`; both paths are bit-identical
+    (tests/test_native.py)."""
+    if augment:
+        tflip, dx, dy, hflip = draw_augment(rng, flip_time, max_shift)
+    if native.available():
+        if not augment:
+            return native.transform_events(events, resolution, center=True)
+        return native.transform_events(
+            events, resolution, center=True, tflip=tflip, shift=(dx, dy),
+            hflip=hflip,
+        )
+    events = center_events(events.astype(np.float32, copy=True), resolution)
+    if not augment:
+        return events
+    if tflip:
+        events = tflip_events(events, p=1.0)
+    events = shift_events_by(events, dx, dy, resolution)
+    if hflip:
+        events = hflip_events(events, resolution=resolution, p=1.0)
+    return events
+
+
+def tta_variants(
+    events: np.ndarray, resolution: Tuple[int, int]
+) -> Tuple[np.ndarray, ...]:
+    """The 4-way TTA family (id, h-flip, t-flip, h+t-flip) of an
+    already-centered stream (reference datasets/event2img.py:94-112).
+    h-flip and t-flip touch disjoint columns, so the fused kernel's
+    tflip-then-hflip order is bit-identical to the reference's
+    tflip(hflip(.)) composition."""
+    if native.available():
+        from functools import partial
+
+        tr = partial(native.transform_events, events, resolution)
+        return events, tr(hflip=True), tr(tflip=True), tr(tflip=True,
+                                                          hflip=True)
+    h = hflip_events(events.copy(), resolution=resolution, p=1.0)
+    # hflip mutates in place (hence the copy); tflip at p=1 always returns
+    # a fresh array, so its inputs need no defensive copy
+    t = tflip_events(events, p=1.0)
+    ht = tflip_events(h, p=1.0)
+    return events, h, t, ht
 
 
 def max_views(max_n: int, window: int, hard_limit: int) -> int:
@@ -128,14 +209,17 @@ def gather_event_windows(
         sel = rng.permutation(len(spans))[:num_views]
         spans = [spans[i] for i in sel]
     valid = np.zeros((num_views,), dtype=bool)
+    valid[: len(spans)] = True
+    if native.available():
+        out = native.pack_spans(events, spans, num_views, window,
+                                packed=packed)
+        return out, valid
     if packed:
         out = np.zeros((num_views, window, 3), dtype=np.int16)
         for i, (a, b) in enumerate(spans):
             out[i, : b - a] = events[a:b, (0, 1, 3)]  # x, y, p (t dropped)
-            valid[i] = True
         return out, valid
     out = np.zeros((num_views, window, 4), dtype=np.float32)
     for i, (a, b) in enumerate(spans):
         out[i, : b - a] = events[a:b]
-        valid[i] = True
     return out, valid

@@ -1,0 +1,157 @@
+"""ctypes bindings for the native host data path (event_ops.cpp).
+
+The compute path of this framework is JAX/XLA on the TPU; the host half of
+the data pipeline (per-item stream transforms + window packing, the work the
+reference hands to torch's C++ DataLoader workers) is native C++ here. This
+module loads `libevent_ops.so`, building it on first use when a compiler is
+present (a single translation unit, no dependencies), and exposes numpy
+wrappers. Every caller falls back to the pure-numpy implementation in
+data/host_ops.py when the library is unavailable, and
+`tests/test_native.py` pins bit parity between the two.
+
+Environment:
+    EVENTCLIP_NATIVE=0   never load/build/use the native kernels
+    EVENTCLIP_NATIVE=1   (or unset) use them when loadable; auto-build once
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import warnings
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(_HERE, "event_ops.cpp")
+LIB = os.path.join(_HERE, "libevent_ops.so")
+
+_lib = None
+_tried = False
+
+
+def build(out_path: str = LIB, quiet: bool = True) -> bool:
+    """Compile event_ops.cpp -> out_path. Atomic (tmp + rename), so racing
+    processes each produce a valid library and the last rename wins."""
+    compiler = os.environ.get("CXX", "g++")
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    cmd = [compiler, "-O3", "-std=c++17", "-shared", "-fPIC", SRC, "-o", tmp]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            if not quiet:
+                warnings.warn(
+                    f"native build failed ({' '.join(cmd)}):\n{proc.stderr}"
+                )
+            return False
+        os.replace(tmp, out_path)
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if not quiet:
+            warnings.warn(f"native build failed: {e}")
+        return False
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("EVENTCLIP_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(LIB):
+        # source newer than nothing: first use on this checkout — build once
+        if not build(quiet=True):
+            return None
+    elif os.path.getmtime(SRC) > os.path.getmtime(LIB):
+        # stale artifact from an older source revision; rebuild (fall back to
+        # the existing .so if the toolchain has since disappeared)
+        build(quiet=True)
+    try:
+        lib = ctypes.CDLL(LIB)
+    except OSError as e:
+        warnings.warn(f"native event_ops present but unloadable: {e}")
+        return None
+    lib.ec_transform.restype = ctypes.c_int64
+    lib.ec_transform.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.ec_pack_spans.restype = None
+    lib.ec_pack_spans.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.ec_pack_spans_f32.restype = None
+    lib.ec_pack_spans_f32.argtypes = lib.ec_pack_spans.argtypes
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def reset_for_tests() -> None:
+    """Drop the cached handle so tests can exercise load/build states."""
+    global _lib, _tried
+    _lib, _tried = None, False
+
+
+def _ptr(a: np.ndarray) -> ctypes.c_void_p:
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+def transform_events(
+    events: np.ndarray,
+    resolution: Tuple[int, int],
+    *,
+    center: bool = False,
+    tflip: bool = False,
+    shift: Optional[Tuple[int, int]] = None,
+    hflip: bool = False,
+) -> np.ndarray:
+    """Fused center -> tflip -> shift(+drop) -> hflip over an [n, 4] float32
+    stream; bit-identical to applying data/host_ops.py's center_events /
+    tflip_events / shift_events / hflip_events in that order. Returns a new
+    array (the input is never mutated, unlike the in-place numpy ops)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable; guard on available()"
+    ev = np.ascontiguousarray(events, dtype=np.float32)
+    n = len(ev)
+    out = np.empty_like(ev)
+    H, W = resolution
+    dx, dy = shift if shift is not None else (0, 0)
+    m = lib.ec_transform(
+        _ptr(ev), n, int(H), int(W), int(center), int(tflip),
+        int(shift is not None), int(dx), int(dy), int(hflip), _ptr(out),
+    )
+    return out[:m]
+
+
+def pack_spans(
+    events: np.ndarray, spans, num_views: int, window: int,
+    packed: bool = True,
+) -> np.ndarray:
+    """Gather window spans into the padded view tensor
+    ([num_views, window, 3] int16 or [num_views, window, 4] float32),
+    zero-padded like host_ops.gather_event_windows."""
+    lib = _load()
+    assert lib is not None, "native library unavailable; guard on available()"
+    ev = np.ascontiguousarray(events, dtype=np.float32)
+    sp = np.ascontiguousarray(spans, dtype=np.int64).reshape(-1, 2)
+    if packed:
+        out = np.zeros((num_views, window, 3), dtype=np.int16)
+        lib.ec_pack_spans(_ptr(ev), _ptr(sp), len(sp), window, _ptr(out))
+    else:
+        out = np.zeros((num_views, window, 4), dtype=np.float32)
+        lib.ec_pack_spans_f32(_ptr(ev), _ptr(sp), len(sp), window, _ptr(out))
+    return out

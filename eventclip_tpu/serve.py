@@ -230,10 +230,10 @@ class Predictor:
         """Validate + canonicalize one stream -> (centered events, rng)."""
         import zlib
 
-        from .data.host_ops import center_events
+        from .data.host_ops import prepare_stream
 
-        # own copy: center_events works in place and must never mutate the
-        # caller's array (or the content hash below)
+        # own copy: the polarity remap below is in place and must never
+        # mutate the caller's array (or the content hash)
         events = np.array(events, dtype=np.float32, copy=True)
         assert events.ndim == 2 and events.shape[1] == 4, (
             f"expected [n, 4] x/y/t/p events, got {events.shape}"
@@ -256,7 +256,7 @@ class Predictor:
         rng = np.random.default_rng(
             zlib.crc32(np.ascontiguousarray(events).tobytes())
         )
-        events = center_events(events, resolution=self.resolution)
+        events = prepare_stream(events, self.resolution)
         return events, rng
 
     def _windows(self, events: np.ndarray) -> tuple:
@@ -278,22 +278,13 @@ class Predictor:
         result is NOT the mean of 4 standalone per-variant predict()
         calls (each of those would reseed from its own flipped content);
         for shorter streams the two formulations coincide."""
-        from .data.host_ops import (
-            gather_event_windows,
-            hflip_events,
-            tflip_events,
-        )
+        from .data.host_ops import gather_event_windows, tta_variants
 
         events, rng = self._prep(events)
-        # hflip mutates in place (hence the copy); tflip at p=1 always
-        # returns a fresh array, so its inputs need no defensive copy
-        h = hflip_events(events.copy(), resolution=self.resolution, p=1.0)
-        t = tflip_events(events, p=1.0)
-        ht = tflip_events(h, p=1.0)
         pairs = [
             gather_event_windows(v, self.window, self.views, rng=rng,
                                  packed=True)
-            for v in (events, h, t, ht)
+            for v in tta_variants(events, self.resolution)
         ]
         return (np.stack([w for w, _ in pairs]),
                 np.stack([m for _, m in pairs]))

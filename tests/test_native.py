@@ -1,0 +1,181 @@
+"""Native host data path (eventclip_tpu/native) vs the numpy reference path.
+
+Bit parity is the contract: the fused C++ kernel must reproduce
+data/host_ops.py's center/tflip/shift/hflip chain and window packing
+EXACTLY (those numpy ops are themselves bit-parity-tested against the
+reference's imported code in test_reference_parity.py, so transitively the
+native path carries the same guarantee).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from eventclip_tpu import native
+from eventclip_tpu.data import host_ops
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+@pytest.fixture
+def force_path(monkeypatch):
+    """Switch the host-ops dispatch between numpy and native."""
+
+    def _set(mode: str):
+        monkeypatch.setenv("EVENTCLIP_NATIVE", "1" if mode == "native" else "0")
+        native.reset_for_tests()
+
+    yield _set
+    native.reset_for_tests()
+
+
+def random_stream(rng, n, H=180, W=240, tmax=0.3):
+    return np.stack([
+        rng.integers(0, W, n).astype(np.float32),
+        rng.integers(0, H, n).astype(np.float32),
+        np.sort(rng.random(n).astype(np.float32)) * tmax,
+        rng.choice([-1.0, 1.0], n).astype(np.float32),
+    ], 1)
+
+
+def numpy_chain(ev, H, W, tflip, dx, dy, hflip, do_shift=True):
+    out = host_ops.center_events(ev.copy(), (H, W))
+    if tflip:
+        out = host_ops.tflip_events(out, p=1.0)
+    if do_shift:
+        out = host_ops.shift_events_by(out, dx, dy, (H, W))
+    if hflip:
+        out = host_ops.hflip_events(out, resolution=(H, W), p=1.0)
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 2, 37, 5000])
+def test_transform_matches_numpy_chain(n):
+    rng = np.random.default_rng(n)
+    H, W = 180, 240
+    for _ in range(40):
+        ev = random_stream(rng, n, H, W)
+        tflip, hflip = bool(rng.random() < 0.5), bool(rng.random() < 0.5)
+        dx, dy = (int(v) for v in rng.integers(-20, 21, size=2))
+        want = numpy_chain(ev, H, W, tflip, dx, dy, hflip)
+        got = native.transform_events(
+            ev, (H, W), center=True, tflip=tflip, shift=(dx, dy), hflip=hflip
+        )
+        assert want.dtype == got.dtype == np.float32
+        assert want.shape == got.shape
+        assert (want == got).all()
+
+
+def test_transform_center_only_and_input_unmutated():
+    rng = np.random.default_rng(0)
+    ev = random_stream(rng, 500)
+    before = ev.copy()
+    got = native.transform_events(ev, (180, 240), center=True)
+    assert (ev == before).all(), "native transform must not mutate its input"
+    assert (got == host_ops.center_events(ev.copy(), (180, 240))).all()
+
+
+def test_transform_can_drop_everything():
+    # a tight cluster shifted far out of frame: every event dropped, like
+    # shift_events' out-of-bounds rule (the dataset resamples on empty)
+    ev = np.tile(np.array([[5.0, 5.0, 0.0, 1.0]], np.float32), (64, 1))
+    ev[:, 2] = np.linspace(0, 1, 64)
+    got = native.transform_events(
+        ev, (32, 32), center=False, shift=(100, 100)
+    )
+    assert got.shape == (0, 4)
+
+
+def test_tta_variants_both_paths_agree(force_path):
+    rng = np.random.default_rng(7)
+    ev = host_ops.center_events(random_stream(rng, 3000), (180, 240))
+    force_path("numpy")
+    a = host_ops.tta_variants(ev, (180, 240))
+    force_path("native")
+    b = host_ops.tta_variants(ev, (180, 240))
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        assert (x == y).all()
+
+
+@pytest.mark.parametrize("packed", [True, False])
+@pytest.mark.parametrize("n,window,views", [
+    (50, 100, 3),      # single short window
+    (950, 100, 5),     # subsample (9 full + tail > 5 slots)
+    (230, 100, 5),     # tail-window rule (rem 30 <= N/2: no tail)
+    (260, 100, 5),     # tail-window rule (rem 60 > N/2: tail)
+])
+def test_gather_windows_both_paths_agree(force_path, packed, n, window, views):
+    rng = np.random.default_rng(n)
+    ev = random_stream(rng, n)
+    force_path("numpy")
+    w1, v1 = host_ops.gather_event_windows(
+        ev, window, views, rng=np.random.default_rng(1), packed=packed)
+    force_path("native")
+    w2, v2 = host_ops.gather_event_windows(
+        ev, window, views, rng=np.random.default_rng(1), packed=packed)
+    assert w1.dtype == w2.dtype and (w1 == w2).all()
+    assert (v1 == v2).all()
+
+
+def test_dataset_items_identical_across_paths(force_path, tmp_path):
+    """End-to-end per-item parity: an augmenting NCaltech101 item (load ->
+    center -> tflip/shift/hflip -> window pack) is bit-identical whichever
+    path serves it — including the rng draw sequence (draw_augment)."""
+    from eventclip_tpu.data.datasets import NCaltech101
+    from eventclip_tpu.data.event_windows import EventWindowDataset
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "train"
+    for cls in ("a", "b"):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            np.save(d / f"s{i}.npy", random_stream(rng, 400))
+
+    def snapshot():
+        ds = NCaltech101(str(root), augmentation=True, seed=0)
+        ds.flip_time = True  # exercise every augment branch
+        wds = EventWindowDataset(
+            ds, {"N": 120, "split_method": "event_count", "max_imgs": 3},
+            seed=0,
+        )
+        return [wds[i] for i in range(len(wds))]
+
+    force_path("numpy")
+    a = snapshot()
+    force_path("native")
+    b = snapshot()
+    for x, y in zip(a, b):
+        assert x["label"] == y["label"]
+        assert (x["windows"] == y["windows"]).all()
+        assert (x["valid_mask"] == y["valid_mask"]).all()
+
+
+def test_numpy_fallback_when_disabled(force_path):
+    force_path("numpy")
+    assert not native.available()
+    rng = np.random.default_rng(0)
+    ev = random_stream(rng, 64)
+    out = host_ops.prepare_stream(ev, (180, 240))
+    assert (out == host_ops.center_events(ev.copy(), (180, 240))).all()
+
+
+def test_build_is_idempotent(tmp_path):
+    out = tmp_path / "lib.so"
+    assert native.build(str(out), quiet=False)
+    assert native.build(str(out), quiet=False)
+    assert out.exists()
+
+
+def test_stale_source_triggers_rebuild(monkeypatch):
+    """A .so older than event_ops.cpp is rebuilt on load (upgrades of the
+    checkout must not silently serve an old kernel)."""
+    st = os.stat(native.LIB)
+    os.utime(native.LIB, (st.st_atime, os.path.getmtime(native.SRC) - 10))
+    native.reset_for_tests()
+    assert native.available()
+    assert os.path.getmtime(native.LIB) >= os.path.getmtime(native.SRC)
