@@ -222,15 +222,24 @@ class NCars(NCaltech101):
 
 
 def load_event_npz(event_path: str) -> np.ndarray:
-    """N-ImageNet structured npz -> [N, 4] float (imagenet.py:8-27)."""
+    """N-ImageNet structured npz -> [N, 4] float32 (imagenet.py:8-27).
+
+    Column-wise decode straight into the float32 layout the pipeline
+    consumes — bit-identical to the reference chain (stack -> float64 ->
+    µs/1e6 -> ±1 remap -> float32 downcast; t runs through the same
+    float64 divide before the downcast) but ~8x faster: the reference
+    shape materialises the stream twice in float64
+    (tests/test_datasets.py::test_nin_npz_decode_parity pins equality)."""
     event = np.load(event_path)["event_data"]
-    event = np.stack(
-        [event["x"], event["y"], event["t"], event["p"].astype(np.uint8)], 1
-    ).astype(np.float64)
-    event[:, 2] /= 1e6  # int microseconds -> seconds
-    if event[:, 3].min() >= -0.5:  # 0/1 polarity -> -1/+1
-        event[:, 3][event[:, 3] <= 0.5] = -1
-    return event
+    out = np.empty((len(event), 4), np.float32)
+    out[:, 0] = event["x"]
+    out[:, 1] = event["y"]
+    out[:, 2] = event["t"].astype(np.float64) / 1e6  # int µs -> s
+    p = event["p"].astype(np.uint8).astype(np.float32)
+    if p.min() >= -0.5:  # 0/1 polarity -> -1/+1
+        np.copyto(p, -1.0, where=p <= 0.5)
+    out[:, 3] = p
+    return out
 
 
 class NImageNet(NCaltech101):
@@ -250,7 +259,7 @@ class NImageNet(NCaltech101):
 
     @staticmethod
     def _load_events(event_path: str) -> np.ndarray:
-        return load_event_npz(event_path).astype(np.float32)
+        return load_event_npz(event_path)
 
 
 # N-ImageNet (Mini) 100-class subset, from arXiv 2308.09383 (reference

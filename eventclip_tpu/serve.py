@@ -695,7 +695,7 @@ def load_event_file(path: str) -> np.ndarray:
                 )
         from .data.datasets import load_event_npz
 
-        return load_event_npz(path).astype(np.float32)
+        return load_event_npz(path)  # already float32
     return np.load(path).astype(np.float32)
 
 

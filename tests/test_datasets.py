@@ -393,3 +393,40 @@ def test_view_pack_buckets_and_pack_view_batch():
     # a batch that exceeds every bucket stays unpacked (padded path correct)
     full = {"windows": windows, "valid_mask": np.ones((B, T), bool)}
     assert "view_src" not in pack_view_batch(full, [8, 12])
+
+
+def test_nin_npz_decode_parity(tmp_path):
+    """load_event_npz's column-wise float32 decode is bit-identical to the
+    reference-shaped chain (imagenet.py:8-27: stack -> float64 -> t/1e6 ->
+    0/1->±1 remap -> float32 downcast) for every polarity encoding."""
+    from eventclip_tpu.data.datasets import load_event_npz
+
+    def reference_chain(ev):
+        out = np.stack(
+            [ev["x"], ev["y"], ev["t"], ev["p"].astype(np.uint8)], 1
+        ).astype(np.float64)
+        out[:, 2] /= 1e6
+        if out[:, 3].min() >= -0.5:
+            out[:, 3][out[:, 3] <= 0.5] = -1
+        return out.astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    for pol in ("bool", "pm1"):
+        ev = np.zeros(
+            n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                      ("p", "?" if pol == "bool" else "<i1")],
+        )
+        ev["x"] = rng.integers(0, 640, n)
+        ev["y"] = rng.integers(0, 480, n)
+        # large timestamps exercise the float64-divide-then-downcast rounding
+        ev["t"] = np.sort(rng.integers(0, 10**9, n))
+        if pol == "bool":
+            ev["p"] = rng.integers(0, 2, n).astype(bool)
+        else:
+            ev["p"] = rng.choice(np.array([-1, 1], np.int8), n)
+        path = tmp_path / f"{pol}.npz"
+        np.savez(path, event_data=ev)
+        got = load_event_npz(str(path))
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, reference_chain(ev))
