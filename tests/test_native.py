@@ -179,3 +179,28 @@ def test_stale_source_triggers_rebuild(monkeypatch):
     native.reset_for_tests()
     assert native.available()
     assert os.path.getmtime(native.LIB) >= os.path.getmtime(native.SRC)
+
+
+def test_threaded_items_match_serial():
+    """The ctypes kernels run GIL-free on loader threads; concurrent calls
+    must produce the same bytes as serial access (no shared scratch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(11)
+    streams = [random_stream(rng, int(rng.integers(500, 4000)))
+               for _ in range(32)]
+
+    def work(i):
+        ev = native.transform_events(
+            streams[i], (180, 240), center=True, tflip=bool(i % 2),
+            shift=(i % 7 - 3, i % 5 - 2), hflip=bool(i % 3 == 0),
+        )
+        return native.pack_spans(
+            ev, [(0, min(len(ev), 300))], 2, 300, packed=True
+        )
+
+    serial = [work(i) for i in range(32)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        threaded = list(ex.map(work, range(32)))
+    for a, b in zip(serial, threaded):
+        assert (a == b).all()
