@@ -1,10 +1,15 @@
-"""Host-side event array operations (numpy).
+"""Host-side event array operations.
 
 The TPU pipeline splits work by cost class: O(n) index arithmetic over raw
 event streams stays on the host (this module); all O(H*W) image work runs
 on-device (eventclip_tpu.ops). The host therefore only ever ships the
-selected windows -- [T, N, 4] per sample -- across PCIe, never full streams
-or frames.
+selected windows -- [T, N, 3] int16 per sample -- across PCIe, never full
+streams or frames.
+
+The numpy implementations below are the behavioral reference; the hot
+per-item entry points (prepare_stream, tta_variants, gather_event_windows)
+dispatch to the fused native C++ kernels (eventclip_tpu/native) when the
+library is available, bit-identically (tests/test_native.py).
 
 Behavioral contracts (reference):
 - center_events            datasets/utils.py:38-57
