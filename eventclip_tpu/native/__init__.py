@@ -37,10 +37,14 @@ def build(out_path: str = LIB, quiet: bool = True) -> bool:
     """Compile event_ops.cpp -> out_path. Atomic (tmp + rename), so racing
     processes each produce a valid library and the last rename wins."""
     compiler = os.environ.get("CXX", "g++")
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
-    os.close(fd)
-    cmd = [compiler, "-O3", "-std=c++17", "-shared", "-fPIC", SRC, "-o", tmp]
+    tmp = None
     try:
+        # inside the try: a read-only package dir (pip install into a
+        # root-owned site-packages) must fall back to numpy, not raise
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(out_path))
+        os.close(fd)
+        cmd = [compiler, "-O3", "-std=c++17", "-shared", "-fPIC", SRC,
+               "-o", tmp]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if proc.returncode != 0:
             if not quiet:
@@ -55,7 +59,7 @@ def build(out_path: str = LIB, quiet: bool = True) -> bool:
             warnings.warn(f"native build failed: {e}")
         return False
     finally:
-        if os.path.exists(tmp):
+        if tmp and os.path.exists(tmp):
             os.unlink(tmp)
 
 
@@ -71,9 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
         if not build(quiet=True):
             return None
     elif os.path.getmtime(SRC) > os.path.getmtime(LIB):
-        # stale artifact from an older source revision; rebuild (fall back to
-        # the existing .so if the toolchain has since disappeared)
-        build(quiet=True)
+        # stale artifact from an older source revision; rebuild. Loading the
+        # outdated kernel anyway could silently break the bit-parity
+        # contract, so a failed rebuild is loud (unlike the build-from-
+        # nothing case, where the numpy fallback is exact by definition)
+        if not build(quiet=True):
+            warnings.warn(
+                f"{LIB} is older than {SRC} and the rebuild failed; using "
+                "the STALE native kernels — set EVENTCLIP_NATIVE=0 or fix "
+                "the toolchain if event_ops.cpp semantics changed"
+            )
     try:
         lib = ctypes.CDLL(LIB)
     except OSError as e:
@@ -148,6 +159,14 @@ def pack_spans(
     assert lib is not None, "native library unavailable; guard on available()"
     ev = np.ascontiguousarray(events, dtype=np.float32)
     sp = np.ascontiguousarray(spans, dtype=np.int64).reshape(-1, 2)
+    # preserve the numpy implementation's loud failure mode: without these,
+    # bad spans would be silent out-of-bounds writes/reads in C
+    if len(sp) > num_views:
+        raise ValueError(f"{len(sp)} spans for {num_views} view slots")
+    if len(sp) and ((sp[:, 1] - sp[:, 0]).max() > window
+                    or sp[:, 0].min() < 0 or sp[:, 1].max() > len(ev)):
+        raise ValueError(f"span out of bounds for window={window}, "
+                         f"n={len(ev)}: {sp.tolist()}")
     if packed:
         out = np.zeros((num_views, window, 3), dtype=np.int16)
         lib.ec_pack_spans(_ptr(ev), _ptr(sp), len(sp), window, _ptr(out))

@@ -204,3 +204,42 @@ def test_threaded_items_match_serial():
         threaded = list(ex.map(work, range(32)))
     for a, b in zip(serial, threaded):
         assert (a == b).all()
+
+
+def test_pack_spans_rejects_bad_spans():
+    """Out-of-bounds spans must raise like the numpy path did, not write
+    past the output buffer in C."""
+    rng = np.random.default_rng(0)
+    ev = random_stream(rng, 100)
+    with pytest.raises(ValueError, match="view slots"):
+        native.pack_spans(ev, [(0, 50), (50, 100), (0, 100)], 2, 100)
+    with pytest.raises(ValueError, match="out of bounds"):
+        native.pack_spans(ev, [(0, 200)], 2, 100)  # span longer than window
+    with pytest.raises(ValueError, match="out of bounds"):
+        native.pack_spans(ev, [(80, 130)], 2, 100)  # past end of stream
+    with pytest.raises(ValueError, match="out of bounds"):
+        native.pack_spans(ev, [(-10, 40)], 2, 100)  # negative start
+
+
+def test_build_failure_falls_back_not_raises(tmp_path):
+    """An unwritable package dir (read-only install) must degrade to the
+    numpy path, not crash the first loader item. (chmod can't model
+    read-only for root, so a nonexistent dir stands in — same OSError
+    from mkstemp.)"""
+    target = tmp_path / "no" / "such" / "dir" / "lib.so"
+    assert native.build(str(target), quiet=True) is False
+
+
+def test_stale_rebuild_failure_warns(monkeypatch):
+    """If the .so is older than the source and the rebuild fails, the stale
+    kernel loads with a LOUD warning (silent staleness could break the
+    bit-parity contract)."""
+    st = os.stat(native.LIB)
+    os.utime(native.LIB, (st.st_atime, os.path.getmtime(native.SRC) - 10))
+    monkeypatch.setattr(native, "build", lambda *a, **k: False)
+    native.reset_for_tests()
+    with pytest.warns(UserWarning, match="STALE native kernels"):
+        assert native.available()  # still loads the old .so
+    native.reset_for_tests()
+    native.build()  # restore a fresh artifact for later tests
+    native.reset_for_tests()
