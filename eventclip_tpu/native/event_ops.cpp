@@ -130,4 +130,46 @@ void ec_pack_spans_f32(const float* ev, const int64_t* spans, int64_t k,
     }
 }
 
+// N-ImageNet structured-record decode (data/datasets.py::load_event_npz):
+// one pass over the raw record buffer of np.load(...)["event_data"] into
+// the [n, 4] float32 (x, y, t, p) layout. Per-element semantics mirror the
+// reference chain exactly (imagenet.py:8-27): x/y via the float64
+// intermediate, t = (double)raw / 1e6 then float32, p through numpy's
+// astype(uint8) truncation (an int8 -1 becomes 255, reference-identical)
+// followed by the 0/1 -> -1/+1 remap (after the uint8 cast p >= 0 always,
+// so the reference's min() guard is unconditionally true).
+//
+// Field type codes (set by the Python wrapper from the numpy dtype):
+// 0=u1/bool 1=i1 2=u2 3=i2 4=u4 5=i4 6=u8 7=i8 8=f4 9=f8
+
+static inline double ec_read(const uint8_t* p, int code) {
+    switch (code) {
+        case 0: { uint8_t v; __builtin_memcpy(&v, p, 1); return v; }
+        case 1: { int8_t v; __builtin_memcpy(&v, p, 1); return v; }
+        case 2: { uint16_t v; __builtin_memcpy(&v, p, 2); return v; }
+        case 3: { int16_t v; __builtin_memcpy(&v, p, 2); return v; }
+        case 4: { uint32_t v; __builtin_memcpy(&v, p, 4); return v; }
+        case 5: { int32_t v; __builtin_memcpy(&v, p, 4); return v; }
+        case 6: { uint64_t v; __builtin_memcpy(&v, p, 8); return (double)v; }
+        case 7: { int64_t v; __builtin_memcpy(&v, p, 8); return (double)v; }
+        case 8: { float v; __builtin_memcpy(&v, p, 4); return v; }
+        case 9: { double v; __builtin_memcpy(&v, p, 8); return v; }
+    }
+    return 0.0;
+}
+
+extern "C" void ec_decode_struct(
+    const uint8_t* base, int64_t n, int64_t stride,
+    int64_t xo, int xc, int64_t yo, int yc,
+    int64_t to, int tc, int64_t po, int pc, float* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* rec = base + i * stride;
+        out[4 * i] = (float)ec_read(rec + xo, xc);
+        out[4 * i + 1] = (float)ec_read(rec + yo, yc);
+        out[4 * i + 2] = (float)(ec_read(rec + to, tc) / 1e6);
+        const uint8_t pu = (uint8_t)(int64_t)ec_read(rec + po, pc);
+        out[4 * i + 3] = pu == 0 ? -1.0f : (float)pu;
+    }
+}
+
 }  // extern "C"

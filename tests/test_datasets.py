@@ -430,3 +430,30 @@ def test_nin_npz_decode_parity(tmp_path):
         got = load_event_npz(str(path))
         assert got.dtype == np.float32
         np.testing.assert_array_equal(got, reference_chain(ev))
+
+
+def test_read_npz_member_raw_vs_zipfile(tmp_path):
+    """The raw STORED-member reader returns the exact bytes np.load would,
+    and degrades to None (np.load fallback) for compressed archives."""
+    from eventclip_tpu.data.datasets import _read_npz_member, load_event_npz
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    ev = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                            ("p", "?")])
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["t"] = np.sort(rng.integers(0, 10 ** 8, n))
+    ev["p"] = rng.integers(0, 2, n).astype(bool)
+    plain, comp = str(tmp_path / "a.npz"), str(tmp_path / "c.npz")
+    np.savez(plain, event_data=ev)
+    np.savez_compressed(comp, event_data=ev)
+
+    raw = _read_npz_member(plain, "event_data.npy")
+    np.testing.assert_array_equal(raw, np.load(plain)["event_data"])
+    assert _read_npz_member(comp, "event_data.npy") is None  # falls back
+    assert _read_npz_member(plain, "nope.npy") is None
+    assert _read_npz_member(str(tmp_path / "missing.npz"), "x.npy") is None
+    # end to end: both archive flavours decode identically
+    np.testing.assert_array_equal(load_event_npz(plain),
+                                  load_event_npz(comp))

@@ -243,3 +243,69 @@ def test_stale_rebuild_failure_warns(monkeypatch):
     native.reset_for_tests()
     native.build()  # restore a fresh artifact for later tests
     native.reset_for_tests()
+
+
+def _reference_npz_chain(ev):
+    out = np.stack(
+        [ev["x"], ev["y"], ev["t"], ev["p"].astype(np.uint8)], 1
+    ).astype(np.float64)
+    out[:, 2] /= 1e6
+    if out[:, 3].min() >= -0.5:
+        out[:, 3][out[:, 3] <= 0.5] = -1
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize("dt", [
+    [("x", "<u2"), ("y", "<u2"), ("t", "<i8"), ("p", "?")],    # real N-IN
+    [("x", "<i4"), ("y", "<i4"), ("t", "<u8"), ("p", "<i1")],  # ±1 int8
+    [("x", "<f4"), ("y", "<f8"), ("t", "<f8"), ("p", "<u1")],  # float coords
+    [("x", "<u2"), ("y", "<u2"), ("t", "<i4"), ("p", "<i2")],
+])
+def test_decode_struct_matches_reference_chain(dt):
+    rng = np.random.default_rng(len(dt[3][1]))
+    n = 5000
+    ev = np.zeros(n, dtype=dt)
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    tmax = 10 ** 9 if np.dtype(dict(dt)["t"]).itemsize == 8 else 10 ** 6
+    ev["t"] = np.sort(rng.integers(0, tmax, n))
+    pk = np.dtype(dict(dt)["p"]).kind
+    if pk == "b":
+        ev["p"] = rng.integers(0, 2, n).astype(bool)
+    else:
+        ev["p"] = rng.choice([-1, 1] if pk == "i" else [0, 1], n)
+    got = native.decode_struct(ev)
+    assert got is not None and got.dtype == np.float32
+    np.testing.assert_array_equal(got, _reference_npz_chain(ev))
+
+
+def test_decode_struct_falls_back_outside_envelope():
+    # float polarity: numpy's negative-float->uint8 cast is platform-defined
+    evf = np.zeros(8, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                             ("p", "<f4")])
+    assert native.decode_struct(evf) is None
+    # missing field
+    evm = np.zeros(8, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8")])
+    assert native.decode_struct(evm) is None
+    # non-structured input
+    assert native.decode_struct(np.zeros((8, 4), np.float32)) is None
+
+
+def test_load_event_npz_native_and_numpy_agree(force_path, tmp_path):
+    from eventclip_tpu.data.datasets import load_event_npz
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    ev = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                            ("p", "?")])
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["t"] = np.sort(rng.integers(0, 10 ** 9, n))
+    ev["p"] = rng.integers(0, 2, n).astype(bool)
+    path = str(tmp_path / "a.npz")
+    np.savez(path, event_data=ev)
+    force_path("native")
+    a = load_event_npz(path)
+    force_path("numpy")
+    b = load_event_npz(path)
+    np.testing.assert_array_equal(a, b)
