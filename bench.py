@@ -498,21 +498,31 @@ def _nin_input_feed(bench, rng):
 
 def _host_item_pipeline(bench):
     """Per-item host half of the loader (the work torch DataLoader workers
-    do in the reference): center + augment + window pack at N-ImageNet
-    stream geometry, numpy path vs the native fused kernel
-    (eventclip_tpu/native). Host-only — no device involved."""
+    do in the reference) at N-ImageNet geometry: npz member read +
+    structured-record decode + center/augment + window pack. Measured on
+    the numpy path vs the native fast path (eventclip_tpu/native fused
+    kernels + datasets._read_npz_member). Host-only — no device involved."""
+    import tempfile
+
     from eventclip_tpu import native
     from eventclip_tpu.data import host_ops
+    from eventclip_tpu.data.datasets import load_event_npz
 
     rng = np.random.default_rng(0)
     H, W, N = 480, 640, 70000
     n = 600_000
-    ev = np.stack([
-        rng.integers(0, W, n), rng.integers(0, H, n),
-        np.sort(rng.random(n) * 0.06), rng.choice([-1.0, 1.0], n),
-    ], 1).astype(np.float32)
+    rec = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                             ("p", "?")])
+    rec["x"] = rng.integers(0, W, n)
+    rec["y"] = rng.integers(0, H, n)
+    rec["t"] = np.sort(rng.integers(0, 60_000, n))
+    rec["p"] = rng.random(n) < 0.5
+    tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+    np.savez(tmp, event_data=rec)
+    tmp.close()
 
     def item():
+        ev = load_event_npz(tmp.name)
         r = np.random.default_rng(1)
         out = host_ops.prepare_stream(ev, (H, W), rng=r, augment=True,
                                       flip_time=True, max_shift=20)
@@ -527,11 +537,14 @@ def _host_item_pipeline(bench):
                 bench.record("host_item_native_events_per_sec", 0.0,
                              "events/s", "native library unavailable")
                 continue
-            dt = bench.run(lambda: item(), lambda _: None, iters=10)
+            # the numpy decode alone is ~240 ms/item; fewer iters keep the
+            # stage bounded without hurting best-of-repeats stability
+            dt = bench.run(lambda: item(), lambda _: None,
+                           iters=3 if mode == "numpy" else 10)
             bench.record(
                 f"host_item_{mode}_events_per_sec", n / dt, "events/s",
-                f"per-item center+augment+pack, {n} ev -> 2x{N} packed; "
-                f"{dt * 1e3:.2f} ms/item",
+                f"full item: npz read+decode+augment+pack, {n} ev -> "
+                f"2x{N} packed; {dt * 1e3:.2f} ms/item",
             )
     finally:
         if saved is None:
@@ -539,6 +552,7 @@ def _host_item_pipeline(bench):
         else:
             os.environ["EVENTCLIP_NATIVE"] = saved
         native.reset_for_tests()
+        os.unlink(tmp.name)
 
 
 def _packed_eval(bench, cfg, params, spec, pp, N):
