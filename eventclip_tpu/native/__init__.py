@@ -187,6 +187,11 @@ def transform_events(
     assert lib is not None, "native library unavailable; guard on available()"
     ev = np.ascontiguousarray(events, dtype=np.float32)
     n = len(ev)
+    if center and n == 0:
+        # match the numpy path: center_events reduces over the stream and
+        # numpy raises on an empty reduction (corrupt input should be loud,
+        # not silently resampled)
+        raise ValueError("cannot center an empty event stream")
     out = np.empty_like(ev)
     H, W = resolution
     dx, dy = shift if shift is not None else (0, 0)

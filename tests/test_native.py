@@ -309,3 +309,17 @@ def test_load_event_npz_native_and_numpy_agree(force_path, tmp_path):
     force_path("numpy")
     b = load_event_npz(path)
     np.testing.assert_array_equal(a, b)
+
+
+def test_empty_stream_center_raises_like_numpy():
+    """Corrupt (0-event) inputs: the numpy path raises from the empty
+    .min() reduction in center_events; the native path must be equally
+    loud, not silently return an empty stream."""
+    empty = np.zeros((0, 4), np.float32)
+    with pytest.raises(ValueError):
+        host_ops.center_events(empty.copy(), (180, 240))
+    with pytest.raises(ValueError):
+        native.transform_events(empty, (180, 240), center=True)
+    # without centering an empty stream is legal (post-shift emptiness is
+    # the dataset's documented resample case)
+    assert native.transform_events(empty, (180, 240)).shape == (0, 4)
