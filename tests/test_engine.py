@@ -632,3 +632,57 @@ def test_zero1_matches_replicated_and_shards_moments(rng, tmp_path):
         and DATA_AXIS in tuple(leaf.sharding.spec)
         for leaf in jax.tree_util.tree_leaves(st.opt_state)
     ), "no Adam moment carries the data axis"
+
+
+def test_zero1_composes_with_accum(rng):
+    """--zero1 --accum together (the memory-constrained recipe for the
+    reference's global-128 N-IN config on small chips) must equal the
+    plain full-batch step: accumulation is pure batch splitting, ZeRO-1 is
+    pure moment layout, and their composition may change neither update.
+    The driver's dryrun executes this combination; this pins the math."""
+    import dataclasses
+
+    import optax
+
+    from eventclip_tpu.parallel import shard_opt_state
+
+    cfg = tiny_fs_config()
+    cfg = dataclasses.replace(
+        cfg, adapter=dataclasses.replace(cfg.adapter, dropout=0.0)
+    )
+    tx = optax.sgd(0.1, momentum=0.9)  # persistent trace, linear updates
+    mesh = make_mesh(n_data=4, n_model=2)
+    B = 8
+    batch = make_batch(rng, B=B)
+
+    def run(accum, zero1):
+        p = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                   n_classes=N_CLS)
+        state = create_train_state(
+            shard_params(p, mesh), tx, jax.random.PRNGKey(1)
+        )
+        if zero1:
+            state = state._replace(
+                opt_state=shard_opt_state(state.opt_state, mesh)
+            )
+        step = make_train_step(cfg, tx, mesh, accum_steps=accum,
+                               zero1=zero1)
+        b = batch if accum == 1 else {
+            k: v.reshape((accum, B // accum) + v.shape[1:])
+            for k, v in batch.items()
+        }
+        b = shard_batch(b, mesh, microbatched=accum > 1)
+        for _ in range(3):
+            state, metrics = step(state, b)
+        return jax.device_get(state.params), metrics
+
+    plain, _ = run(1, False)
+    both, m = run(2, True)
+    assert np.isfinite(float(m["total_loss"]))
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(plain)
+    flat_b = jax.tree_util.tree_leaves(both)
+    for (path, f), a in zip(flat_p, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(f), rtol=2e-4, atol=1e-6,
+            err_msg=str(path),
+        )
