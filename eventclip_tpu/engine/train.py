@@ -48,9 +48,11 @@ def create_train_state(
     )
 
 
-def _batch_images(batch, pipeline, augment_rng=None):
+def _batch_images(batch, pipeline, augment_rng=None, mesh=None):
     """Resolve model inputs: either precomputed 'img' or on-device
-    rasterization of raw event 'windows' (the TPU-native hot path)."""
+    rasterization of raw event 'windows' (the TPU-native hot path).
+    `mesh` routes multi-device rasterization through shard_map so the
+    fused Pallas histogram serves every shard (ops/rasterize.py)."""
     if "img" in batch:
         return batch["img"]
     spec, pp = pipeline
@@ -58,10 +60,10 @@ def _batch_images(batch, pipeline, augment_rng=None):
         from ..ops.rasterize import rasterize_augment_for_clip
 
         return rasterize_augment_for_clip(spec, pp, batch["windows"],
-                                          augment_rng)
+                                          augment_rng, mesh=mesh)
     from ..ops.rasterize import rasterize_for_clip
 
-    return rasterize_for_clip(spec, pp, batch["windows"])
+    return rasterize_for_clip(spec, pp, batch["windows"], mesh=mesh)
 
 
 def make_train_step(
@@ -113,13 +115,15 @@ def make_train_step(
 
     tp = make_tp_context(mesh)
     zero1_mesh = mesh if (zero1 and mesh.devices.size > 1) else None
+    raster_mesh = mesh if mesh.devices.size > 1 else None
     del mesh  # shardings flow from the input arrays
     loss_weights = dict(loss_weights or {})
 
     def loss_fn(params, batch, rng):
         rng_aug, rng = jax.random.split(rng)
         imgs = _batch_images(
-            batch, pipeline, augment_rng=rng_aug if augment else None
+            batch, pipeline, augment_rng=rng_aug if augment else None,
+            mesh=raster_mesh,
         )
         out = classifier_forward(
             params, cfg, imgs, batch["valid_mask"], train=True, rng=rng,
@@ -216,6 +220,7 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh,
     from ..parallel.sharding import make_tp_context
 
     tp = make_tp_context(mesh)
+    raster_mesh = mesh if mesh.devices.size > 1 else None
     del mesh
 
     def step_fn(params, batch):
@@ -227,13 +232,16 @@ def make_eval_step(cfg: ClassifierConfig, mesh: Mesh,
             from ..ops.rasterize import rasterize_for_clip
 
             spec, pp = pipeline
-            imgs = rasterize_for_clip(spec, pp, batch["windows"])
+            # packed bucket sizes need not divide the data axis; the
+            # meshed route falls back to the GSPMD formulation then
+            imgs = rasterize_for_clip(spec, pp, batch["windows"],
+                                      mesh=raster_mesh)
             out = classifier_forward_packed(
                 params, cfg, imgs, batch["view_src"], batch["valid_mask"],
                 tp=tp,
             )
         else:
-            imgs = _batch_images(batch, pipeline)
+            imgs = _batch_images(batch, pipeline, mesh=raster_mesh)
             out = classifier_forward(
                 params, cfg, imgs, batch["valid_mask"], train=False, tp=tp
             )

@@ -30,6 +30,7 @@ same program.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Tuple, Union
 
@@ -176,18 +177,23 @@ def _vmem(interpret: bool):
     return pltpu.VMEM if not interpret else None
 
 
-def _use_pallas_histograms() -> bool:
-    # Single-device processes only (see ops/pallas_gate.py): the
-    # train/eval steps run under jit with GSPMD propagating batch
-    # shardings, and a Mosaic kernel there cannot be partitioned along
-    # the sharded window axis. Multi-chip meshes take the XLA
+def _use_pallas_histograms(sharded: bool = False) -> bool:
+    # Default call sites are single-device processes only (see
+    # ops/pallas_gate.py): the train/eval steps run under jit with GSPMD
+    # propagating batch shardings, and a Mosaic kernel there cannot be
+    # partitioned along the sharded window axis. Multi-device meshes
+    # reach the kernel per shard via _rasterize_chw's shard_map route
+    # (sharded=True, operands local); outside it they take the XLA
     # one-hot-matmul formulation below, which GSPMD splits cleanly.
     from .pallas_gate import pallas_ok
 
-    return pl is not None and pallas_ok(extra_env="EVENTCLIP_NO_PALLAS_RASTER")
+    return pl is not None and pallas_ok(
+        sharded=sharded, extra_env="EVENTCLIP_NO_PALLAS_RASTER"
+    )
 
 
-def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
+def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray,
+                        sharded: bool = False) -> jnp.ndarray:
     """[M, N, 4|3] event windows -> [M, 2, H, W] float32 count histograms.
 
     Accepts both window layouts: [.., 4] float32 (x, y, t, p) and the packed
@@ -198,7 +204,7 @@ def _batched_histograms(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
     batched matmul (partials summed afterwards) — loop-free, so the TPU
     compile stays fast and the MXU sees a single large einsum.
     """
-    if _use_pallas_histograms():
+    if _use_pallas_histograms(sharded):
         return _pallas_histograms(spec, windows)
 
     H, W = spec.height, spec.width
@@ -302,14 +308,71 @@ def _finish_frames_chw(spec: RasterSpec, hist: jnp.ndarray, cmap: jnp.ndarray) -
     return jnp.round(img)
 
 
-def _rasterize_chw(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
+def _rasterize_chw(spec: RasterSpec, windows: jnp.ndarray,
+                   sharded: bool = False) -> jnp.ndarray:
     """[..., N, 4] -> [..., 3, H, W] float32 frames (integer-valued 0..255)."""
     lead = windows.shape[:-2]
     flat = windows.reshape((-1,) + windows.shape[-2:])
     cmap = jnp.asarray(spec.colormap())
-    hists = _batched_histograms(spec, flat)  # [M, 2, H, W]
+    hists = _batched_histograms(spec, flat, sharded)  # [M, 2, H, W]
     frames = _finish_frames_chw(spec, hists, cmap)
     return frames.reshape(lead + frames.shape[-3:])
+
+
+def _shardmap_raster_ok(windows: jnp.ndarray, mesh) -> bool:
+    """Route the rasterizer through shard_map over the mesh data axis?
+
+    Only worth it when the per-shard body will actually run the Mosaic
+    kernel (a TPU backend with Pallas enabled) — on every other backend
+    the plain GSPMD-partitioned XLA formulation is equivalent and avoids
+    the extra program structure. EVENTCLIP_SHARDMAP_RASTER=force|off
+    overrides (force lets CPU-mesh tests and the driver dryrun execute
+    the shard_map wiring with the XLA body inside)."""
+    if mesh is None:
+        return False
+    from ..parallel.sharding import DATA_AXIS
+
+    n_data = dict(mesh.shape).get(DATA_AXIS, 1)
+    if n_data <= 1 or windows.shape[0] % n_data:
+        return False
+    mode = os.environ.get("EVENTCLIP_SHARDMAP_RASTER", "auto")
+    if mode == "force":
+        return True
+    if mode == "off":
+        return False
+    if (os.environ.get("EVENTCLIP_NO_PALLAS")
+            or os.environ.get("EVENTCLIP_NO_PALLAS_RASTER")):
+        return False
+    return pl is not None and jax.default_backend() == "tpu"
+
+
+def _rasterize_chw_meshed(spec: RasterSpec, windows: jnp.ndarray,
+                          mesh) -> jnp.ndarray:
+    """_rasterize_chw, per-device via shard_map when the mesh allows it.
+
+    A Mosaic program is an opaque custom call GSPMD cannot split along
+    the sharded batch axis, so on multi-device meshes the fused Pallas
+    histogram (+25% N-Caltech / +79% N-ImageNet over the XLA formulation
+    on chip, BASELINE.md) is reached by shard_mapping the whole
+    rasterize over the data axis: every shard runs the single-device
+    kernel on its local [B/n, ...] windows — the same pattern the
+    tensor-parallel attention uses (ops/attention.py). Per-sample math
+    only, so no collectives and bit-identical outputs."""
+    if not _shardmap_raster_ok(windows, mesh):
+        return _rasterize_chw(spec, windows)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import DATA_AXIS
+
+    nd = windows.ndim
+    return shard_map(
+        lambda w: _rasterize_chw(spec, w, sharded=True),
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, *([None] * (nd - 1))),
+        out_specs=P(DATA_AXIS, *([None] * nd)),  # out gains a channel dim
+        check_vma=False,
+    )(windows)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -330,8 +393,9 @@ def rasterize_windows(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(frames, -3, -1).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("mesh",))
+def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray, *,
+                       mesh=None) -> jnp.ndarray:
     """Fused production path: event windows -> CLIP-normalized images.
 
     Equivalent to `preprocess_frames(pp, rasterize_windows(spec, windows))`
@@ -345,17 +409,22 @@ def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray) -> jnp.ndarra
         spec: rasterization parameters (frame geometry must match `pp`).
         pp: a `ClipPreprocess` for (spec.height, spec.width).
         windows: [..., N, 4] float32 padded event windows.
+        mesh: optional jax.sharding.Mesh the enclosing step is sharded
+            over; on multi-device data-parallel meshes the histogram then
+            runs per shard via shard_map so the fused Pallas kernel stays
+            in play (see _rasterize_chw_meshed).
 
     Returns:
         [..., 3, S, S] float32 CLIP-normalized images.
     """
-    frames = _rasterize_chw(spec, windows)
+    frames = _rasterize_chw_meshed(spec, windows, mesh)
     return preprocess_frames_chw(pp, frames)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("mesh",))
 def rasterize_augment_for_clip(
-    spec: RasterSpec, pp, windows: jnp.ndarray, rng: jax.Array
+    spec: RasterSpec, pp, windows: jnp.ndarray, rng: jax.Array, *,
+    mesh=None
 ) -> jnp.ndarray:
     """Training-path variant of `rasterize_for_clip` with RandAugment.
 
@@ -363,8 +432,10 @@ def rasterize_augment_for_clip(
     transforms (datasets/event2img.py:120-127); here the augmentation runs
     on-device between the rasterizer and the resize, on [B, T, 3, H, W]
     integer-valued frames, with the white fill matching the background mode.
+    Only the rasterize itself is shard_mapped under `mesh` — RandAugment
+    keeps the global batch view so its rng draw semantics are unchanged.
     """
-    frames = _rasterize_chw(spec, windows)  # [B, T, 3, H, W]
+    frames = _rasterize_chw_meshed(spec, windows, mesh)  # [B, T, 3, H, W]
     fill = 255.0 if spec.background_mask else 0.0
     if spec.grayscale:
         # grayscale colormaps emit R=G=B exactly and every RandAugment op

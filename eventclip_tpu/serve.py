@@ -169,7 +169,8 @@ class Predictor:
 
         @jax.jit
         def step(p, windows, valid):
-            x = rasterize_for_clip(self._spec, pp, windows)
+            x = rasterize_for_clip(self._spec, pp, windows,
+                                       mesh=self._mesh)
             return classifier_forward(p, self._cfg, x, valid)["probs"]
 
         self._step = step
@@ -184,7 +185,8 @@ class Predictor:
 
             @jax.jit
             def embed_step(p, windows, valid):
-                x = rasterize_for_clip(self._spec, pp, windows)
+                x = rasterize_for_clip(self._spec, pp, windows,
+                                       mesh=self._mesh)
                 out = classifier_forward(p, self._cfg, x, valid)
                 # per-view features at the text-matmul point; normalize
                 # uniformly (ZS features arrive raw), zero the padding,
@@ -217,7 +219,8 @@ class Predictor:
 
             @jax.jit
             def step_packed(p, windows, view_src, valid):
-                x = rasterize_for_clip(self._spec, pp, windows)
+                x = rasterize_for_clip(self._spec, pp, windows,
+                                       mesh=self._mesh)
                 return classifier_forward_packed(
                     p, self._cfg, x, view_src, valid
                 )["probs"]

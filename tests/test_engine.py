@@ -686,3 +686,64 @@ def test_zero1_composes_with_accum(rng):
             np.asarray(a), np.asarray(f), rtol=2e-4, atol=1e-6,
             err_msg=str(path),
         )
+
+
+def test_train_step_with_meshed_rasterize_matches(rng, monkeypatch):
+    """The windows-pipeline train step with the shard_map'ed rasterize
+    route (EVENTCLIP_SHARDMAP_RASTER=force — on TPU meshes this is what
+    keeps the fused Pallas histogram in play) must produce the same
+    update as the plain GSPMD formulation, including under gradient
+    accumulation (the shard_map then sits inside the microbatch scan)."""
+    import dataclasses
+
+    import optax
+
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec
+
+    cfg = tiny_fs_config()
+    cfg = dataclasses.replace(
+        cfg, adapter=dataclasses.replace(cfg.adapter, dropout=0.0)
+    )
+    tx = optax.sgd(0.1)
+    mesh = make_mesh(n_data=4, n_model=2)
+    H, W, N = 48, 64, 128
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=32)
+    B, T = 8, 2
+    windows = np.stack([
+        rng.integers(0, W, size=(B, T, N)),
+        rng.integers(0, H, size=(B, T, N)),
+        rng.choice([-1, 1], size=(B, T, N)),
+    ], axis=-1).astype(np.int16)
+    batch = {
+        "windows": windows,
+        "valid_mask": np.ones((B, T), bool),
+        "label": rng.integers(0, N_CLS, size=(B,)).astype(np.int32),
+    }
+
+    def run(accum):
+        p = init_classifier_params(jax.random.PRNGKey(0), cfg,
+                                   n_classes=N_CLS)
+        state = create_train_state(
+            shard_params(p, mesh), tx, jax.random.PRNGKey(1)
+        )
+        step = make_train_step(cfg, tx, mesh, pipeline=(spec, pp),
+                               accum_steps=accum)
+        b = batch if accum == 1 else {
+            k: v.reshape((accum, B // accum) + v.shape[1:])
+            for k, v in batch.items()
+        }
+        b = shard_batch(b, mesh, microbatched=accum > 1)
+        state, metrics = step(state, b)
+        return jax.device_get(state.params), metrics
+
+    plain, _ = run(1)
+    monkeypatch.setenv("EVENTCLIP_SHARDMAP_RASTER", "force")
+    meshed, m = run(1)
+    assert np.isfinite(float(m["total_loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(plain),
+                    jax.tree_util.tree_leaves(meshed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    acc, m2 = run(2)  # forced + accum: shard_map inside the scan body
+    assert np.isfinite(float(m2["total_loss"]))

@@ -235,3 +235,51 @@ def test_scan_path_matches_batched_path(rng):
         finally:
             RZ._PARTIALS_LIMIT = orig
         np.testing.assert_array_equal(batched, scanned)
+
+
+def test_meshed_rasterize_matches_plain(rng, monkeypatch):
+    """shard_map'ed rasterize (the route that keeps the Pallas histogram
+    in play on multi-device meshes) is bit-identical to the plain GSPMD
+    formulation, for both the inference and the RandAugment train paths
+    (the augment rng stays global — only the rasterize is per-shard), and
+    falls back cleanly when the leading dim does not divide the data axis
+    (packed-eval buckets)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import (
+        RasterSpec,
+        rasterize_augment_for_clip,
+        rasterize_for_clip,
+    )
+    from eventclip_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    spec = RasterSpec(height=48, width=64, window=500)
+    pp = ClipPreprocess(in_height=48, in_width=64, image_size=32)
+    B, T, N = 8, 2, 500
+    win = np.zeros((B, T, N, 3), np.int16)
+    win[..., 0] = rng.integers(0, 64, (B, T, N))
+    win[..., 1] = rng.integers(0, 48, (B, T, N))
+    win[..., 2] = rng.choice(np.array([-1, 1], np.int16), (B, T, N))
+    dev = jax.device_put(jnp.asarray(win), NamedSharding(mesh, P("data")))
+
+    plain = np.asarray(rasterize_for_clip(spec, pp, dev))
+    monkeypatch.setenv("EVENTCLIP_SHARDMAP_RASTER", "force")
+    meshed = np.asarray(rasterize_for_clip(spec, pp, dev, mesh=mesh))
+    np.testing.assert_array_equal(meshed, plain)
+
+    key = jax.random.PRNGKey(3)
+    a_plain = np.asarray(rasterize_augment_for_clip(spec, pp, dev, key))
+    a_meshed = np.asarray(
+        rasterize_augment_for_clip(spec, pp, dev, key, mesh=mesh)
+    )
+    np.testing.assert_array_equal(a_meshed, a_plain)
+
+    # 12 % 4 == 0 but exercise a genuinely indivisible lead: 6 % 4 != 0
+    odd = jnp.asarray(win[:3].reshape(3 * T, N, 3))
+    out = rasterize_for_clip(spec, pp, odd, mesh=mesh)
+    ref = rasterize_for_clip(spec, pp, odd)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
