@@ -39,8 +39,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch(rank, port, tree, ckpt_base, max_epochs=2, extra=()):
+def _launch(rank, port, tree, ckpt_base, max_epochs=2, extra=(),
+            env_extra=None):
     env = dict(os.environ)
+    env.update(env_extra or {})
     env.pop("JAX_PLATFORMS", None)  # --cpu pins the platform in-process
     # 2 local devices per process -> a 4-device global data mesh
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -200,8 +202,14 @@ def test_two_process_zero1(tmp_path):
     tree = make_tree(str(tmp_path / "tree"))
     ckpt_base = str(tmp_path / "ckpt")
     port = _free_port()
+    # force the shard_map rasterize route too: on a real pod this is the
+    # path that keeps the Pallas histogram per device; here it proves the
+    # shard_map program partitions across actual PROCESSES (gloo), not
+    # just across one process's virtual devices
+    smr = {"EVENTCLIP_SHARDMAP_RASTER": "force"}
     procs = [_launch(r, port, tree, ckpt_base, max_epochs=2,
-                     extra=("--zero1", "--san_check_val_step", "0"))
+                     extra=("--zero1", "--san_check_val_step", "0"),
+                     env_extra=smr)
              for r in (0, 1)]
     outs = _communicate(procs, "zero1-train")
     out0 = outs[0][1]
