@@ -539,7 +539,7 @@ def _host_item_pipeline(bench):
                 continue
             # the numpy decode alone is ~240 ms/item; fewer iters keep the
             # stage bounded without hurting best-of-repeats stability
-            dt = bench.run(lambda: item(), lambda _: None,
+            dt = bench.run(item, lambda _: None,
                            iters=3 if mode == "numpy" else 10)
             bench.record(
                 f"host_item_{mode}_events_per_sec", n / dt, "events/s",

@@ -232,33 +232,35 @@ def _read_npz_member(path: str, name: str) -> Optional[np.ndarray]:
     import zipfile
 
     try:
-        with zipfile.ZipFile(path) as z:
-            info = z.getinfo(name)
-            if info.compress_type != zipfile.ZIP_STORED:
+        with open(path, "rb") as f:
+            with zipfile.ZipFile(f) as z:
+                info = z.getinfo(name)
+                if info.compress_type != zipfile.ZIP_STORED:
+                    return None
+            # one file handle: past the zip directory walk, read the member
+            # region directly
+            f.seek(info.header_offset)
+            hdr = f.read(30)
+            if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
                 return None
-            with open(path, "rb") as f:
-                f.seek(info.header_offset)
-                hdr = f.read(30)
-                if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
-                    return None
-                nlen, elen = struct.unpack("<HH", hdr[26:30])
-                f.seek(info.header_offset + 30 + nlen + elen)
-                version = np.lib.format.read_magic(f)
-                if version == (1, 0):
-                    shape, fortran, dtype = \
-                        np.lib.format.read_array_header_1_0(f)
-                elif version == (2, 0):
-                    shape, fortran, dtype = \
-                        np.lib.format.read_array_header_2_0(f)
-                else:
-                    return None
-                if fortran or dtype.hasobject:
-                    return None
-                count = int(np.prod(shape)) * dtype.itemsize
-                data = f.read(count)
-                if len(data) != count:
-                    return None
-                return np.frombuffer(data, dtype=dtype).reshape(shape)
+            nlen, elen = struct.unpack("<HH", hdr[26:30])
+            f.seek(info.header_offset + 30 + nlen + elen)
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = \
+                    np.lib.format.read_array_header_1_0(f)
+            elif version == (2, 0):
+                shape, fortran, dtype = \
+                    np.lib.format.read_array_header_2_0(f)
+            else:
+                return None
+            if fortran or dtype.hasobject:
+                return None
+            count = int(np.prod(shape)) * dtype.itemsize
+            data = f.read(count)
+            if len(data) != count:
+                return None
+            return np.frombuffer(data, dtype=dtype).reshape(shape)
     except (OSError, KeyError, ValueError, zipfile.BadZipFile):
         return None
 

@@ -158,11 +158,11 @@ def tta_variants(
     tflip-then-hflip order is bit-identical to the reference's
     tflip(hflip(.)) composition."""
     if native.available():
-        from functools import partial
-
-        tr = partial(native.transform_events, events, resolution)
-        return events, tr(hflip=True), tr(tflip=True), tr(tflip=True,
-                                                          hflip=True)
+        tr = native.transform_events
+        return (events,
+                tr(events, resolution, hflip=True),
+                tr(events, resolution, tflip=True),
+                tr(events, resolution, tflip=True, hflip=True))
     h = hflip_events(events.copy(), resolution=resolution, p=1.0)
     # hflip mutates in place (hence the copy); tflip at p=1 always returns
     # a fresh array, so its inputs need no defensive copy

@@ -150,8 +150,7 @@ def decode_struct(records: np.ndarray) -> Optional[np.ndarray]:
     out = np.empty((len(rec), 4), np.float32)
     lib.ec_decode_struct(
         ctypes.c_void_p(rec.ctypes.data), len(rec), rec.dtype.itemsize,
-        fields[0], fields[1], fields[2], fields[3],
-        fields[4], fields[5], fields[6], fields[7], _ptr(out),
+        *fields, _ptr(out),
     )
     return out
 
