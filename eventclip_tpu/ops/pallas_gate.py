@@ -8,8 +8,9 @@ one a call site compiles:
 - Non-TPU backends always take the XLA path (the kernels themselves fall
   back to interpret mode when invoked directly, e.g. from tests).
 - A call site already running per-device inside shard_map (the
-  tensor-parallel attention) always keeps the kernel: the operands it
-  sees are local.
+  tensor-parallel attention; the rasterize histogram via
+  rasterize._rasterize_chw_meshed) always keeps the kernel: the
+  operands it sees are local.
 - Everywhere else the kernel would sit inside a jit whose operand
   shardings GSPMD propagates. A Mosaic kernel there is an opaque custom
   call the partitioner cannot split along a sharded batch axis, so it is
