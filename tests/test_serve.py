@@ -106,6 +106,26 @@ def test_data_parallel_predictor_matches_single(predictor):
     )
 
 
+def test_data_parallel_predictor_with_shardmap_raster(predictor,
+                                                      monkeypatch):
+    """DP serving with the shard_map rasterize route forced (the layout a
+    multi-chip TPU server runs: each device rasterizes its local batch
+    shard) must still match single-device predictions."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    monkeypatch.setenv("EVENTCLIP_SHARDMAP_RASTER", "force")
+    dp = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
+                   smoke=True, batch_size=8, data_parallel=True)
+    rng = np.random.default_rng(12)
+    streams = _streams(rng, n=5)
+    np.testing.assert_allclose(
+        dp.predict(streams)["probs"],
+        predictor.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_pruned_predictor_runs():
     # fast path: int8 + token pruning stacked (tiny tower: 16 patches -> 8)
     pred = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
