@@ -878,7 +878,7 @@ if __name__ == "__main__":
                  else _device_alive())
     if diagnosis is not None:
         print(json.dumps({
-            "metric": "event2img_events_per_s", "value": 0.0,
+            "metric": "event2img_events_per_sec", "value": 0.0,
             "unit": "events/s", "vs_baseline": 0.0,
             "error": f"accelerator unreachable: {diagnosis}",
         }))
