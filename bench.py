@@ -873,9 +873,31 @@ def _device_alive(timeout_s: float = 180.0):
             f"the environment): {' | '.join(tail)}")
 
 
+def _device_alive_with_wait():
+    """_device_alive, retried across a bounded recovery window.
+
+    Relay wedges clear on their own (15-240+ min); when bench is the
+    round's one shot at real numbers, failing instantly on a wedge that
+    clears five minutes later throws the round away. Retry the probe for
+    up to BENCH_PROBE_WAIT_S (default 20 min, 0 = fail fast) — but only
+    for the wedge signature; a fast non-zero exit is an environment
+    problem no amount of waiting fixes."""
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_PROBE_WAIT_S", "1200"))
+    while True:
+        diagnosis = _device_alive()
+        if diagnosis is None or "timed out" not in diagnosis:
+            return diagnosis
+        if time.monotonic() >= deadline:
+            return diagnosis
+        print(f"# probe: {diagnosis}; retrying until the wait budget ends",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
     diagnosis = (None if os.environ.get("BENCH_SKIP_PROBE", "") == "1"
-                 else _device_alive())
+                 else _device_alive_with_wait())
     if diagnosis is not None:
         print(json.dumps({
             "metric": "event2img_events_per_sec", "value": 0.0,

@@ -138,7 +138,11 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
     row = jnp.where(live, y + H * (p < 0).astype(jnp.int32), -1)
     col = jnp.where(live, x, -1)
 
-    E = min(_EVENT_CHUNK, max(-(-N // 128) * 128, 128))
+    # bigger chunks amortize the fixed per-grid-step cost (program dispatch,
+    # DMA setup) over more MXU work; the VMEM loop below still halves E when
+    # the one-hot tiles would not fit, so the knob only widens small frames
+    chunk = int(os.environ.get("EVENTCLIP_PALLAS_CHUNK", _EVENT_CHUNK))
+    E = min(chunk, max(-(-N // 128) * 128, 128))
     while E > 128 and (2 * H + W) * E * 2 + 2 * H * W * 4 > _PALLAS_VMEM_BUDGET:
         E = max(128, (E // 2) // 128 * 128)  # keep the 128-lane alignment
     pad = (-N) % E

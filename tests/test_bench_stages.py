@@ -76,3 +76,31 @@ def test_serve_latency_stage_smoke(monkeypatch):
             "serve_throughput_streams_per_sec"} <= metrics
     assert all(np.isfinite(r["value"]) and r["value"] > 0
                for r in b.records)
+
+
+def test_probe_wait_retries_wedge_then_recovers(monkeypatch):
+    """The round-end probe must ride out a transient relay wedge: wedge
+    signatures retry inside the BENCH_PROBE_WAIT_S budget, recovery ends
+    the loop, and non-wedge failures (env problems) return immediately."""
+    calls = []
+    answers = ["tiny-matmul probe timed out after 180s — relay wedged",
+               "tiny-matmul probe timed out after 180s — relay wedged",
+               None]
+    monkeypatch.setattr(bench, "_device_alive",
+                        lambda: calls.append(1) or answers[len(calls) - 1])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", "1200")
+    assert bench._device_alive_with_wait() is None
+    assert len(calls) == 3
+
+    calls.clear()
+    answers[:] = ["tiny-matmul probe exited 1 (NOT a wedge — fix the "
+                  "environment): ImportError"]
+    assert "NOT a wedge" in bench._device_alive_with_wait()
+    assert len(calls) == 1
+
+    calls.clear()
+    answers[:] = ["tiny-matmul probe timed out after 180s — relay wedged"]
+    monkeypatch.setenv("BENCH_PROBE_WAIT_S", "0")
+    assert "relay wedged" in bench._device_alive_with_wait()
+    assert len(calls) == 1

@@ -191,6 +191,30 @@ def test_pallas_histograms_match_xla(rng):
         np.testing.assert_array_equal(xla, fused)
 
 
+def test_pallas_chunk_env_knob_is_bit_exact(rng, monkeypatch):
+    """EVENTCLIP_PALLAS_CHUNK resizes the kernel's event chunk (the on-chip
+    sweep knob for amortizing per-grid-step overhead) without changing any
+    output bit. 300-event windows under chunk=128 force K=3 accumulation
+    steps; chunk=512 collapses them to K=1."""
+    import jax.numpy as jnp
+
+    from eventclip_tpu.data.host_ops import gather_event_windows
+    from eventclip_tpu.ops import rasterize as RZ
+
+    if RZ.pl is None:
+        pytest.skip("pallas unavailable")
+
+    spec = RasterSpec(height=20, width=24, window=300)
+    ev = synth_events(rng, 1900, 20, 24)
+    wins, _ = gather_event_windows(ev, 300, 6, rng=None, packed=True)
+    w = jnp.asarray(wins)
+    xla = np.asarray(RZ._batched_histograms(spec, w))
+    for chunk in ("128", "512"):
+        monkeypatch.setenv("EVENTCLIP_PALLAS_CHUNK", chunk)
+        fused = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
+        np.testing.assert_array_equal(xla, fused)
+
+
 def test_pallas_vmem_budget_shrinks_chunk(rng):
     """Huge frames must shrink the event chunk to fit the VMEM budget —
     and the shrink must keep E a multiple of 128. 720p with N=1900 makes
