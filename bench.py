@@ -529,9 +529,14 @@ def _host_item_pipeline(bench):
         return host_ops.gather_event_windows(out, N, 2, rng=r, packed=True)
 
     saved = os.environ.get("EVENTCLIP_NATIVE")
+    saved_fast = os.environ.get("EVENTCLIP_NO_FAST_NPZ")
     try:
         for mode, flag in (("numpy", "0"), ("native", "1")):
             os.environ["EVENTCLIP_NATIVE"] = flag
+            # the numpy column reproduces the reference-shaped baseline:
+            # full np.load member read, not the raw-region fast path
+            os.environ["EVENTCLIP_NO_FAST_NPZ"] = \
+                "1" if mode == "numpy" else "0"
             native.reset_for_tests()
             if mode == "native" and not native.available():
                 bench.record("host_item_native_events_per_sec", 0.0,
@@ -551,6 +556,10 @@ def _host_item_pipeline(bench):
             os.environ.pop("EVENTCLIP_NATIVE", None)
         else:
             os.environ["EVENTCLIP_NATIVE"] = saved
+        if saved_fast is None:
+            os.environ.pop("EVENTCLIP_NO_FAST_NPZ", None)
+        else:
+            os.environ["EVENTCLIP_NO_FAST_NPZ"] = saved_fast
         native.reset_for_tests()
         os.unlink(tmp.name)
 

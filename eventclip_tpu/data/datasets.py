@@ -227,10 +227,14 @@ def _read_npz_member(path: str, name: str) -> Optional[np.ndarray]:
     file region, skipping zipfile's per-chunk Python loop and CRC pass
     (~13x on N-ImageNet records; the data is re-validated downstream by
     shape/dtype checks and, in training, by the loss). Returns None for
-    compressed/odd archives — caller falls back to np.load."""
+    compressed/odd archives — caller falls back to np.load.
+    EVENTCLIP_NO_FAST_NPZ=1 forces the np.load path (used by bench.py's
+    host_item numpy stage to reproduce the reference-shaped baseline)."""
     import struct
     import zipfile
 
+    if os.environ.get("EVENTCLIP_NO_FAST_NPZ", "") == "1":
+        return None
     try:
         with open(path, "rb") as f:
             with zipfile.ZipFile(f) as z:
@@ -277,6 +281,11 @@ def load_event_npz(event_path: str) -> np.ndarray:
     event = _read_npz_member(event_path, "event_data.npy")
     if event is None:
         event = np.load(event_path)["event_data"]
+    if len(event) == 0:
+        # keep corrupt archives loud on BOTH decode paths: the numpy chain
+        # would trip over p.min() on the empty stream anyway, but the
+        # native pass would silently return a (0, 4) array
+        raise ValueError(f"empty event_data in {event_path}")
     dec = native.decode_struct(event)  # one fused native pass when loadable
     if dec is not None:
         return dec

@@ -140,8 +140,11 @@ def _pallas_histograms(spec: RasterSpec, windows: jnp.ndarray,
 
     # bigger chunks amortize the fixed per-grid-step cost (program dispatch,
     # DMA setup) over more MXU work; the VMEM loop below still halves E when
-    # the one-hot tiles would not fit, so the knob only widens small frames
+    # the one-hot tiles would not fit, so the knob only widens small frames.
+    # The [.., Es, 128] block reshape needs 128-lane alignment, so odd env
+    # values are floored to it rather than crashing mid-sweep
     chunk = int(os.environ.get("EVENTCLIP_PALLAS_CHUNK", _EVENT_CHUNK))
+    chunk = max(128, (chunk // 128) * 128)
     E = min(chunk, max(-(-N // 128) * 128, 128))
     while E > 128 and (2 * H + W) * E * 2 + 2 * H * W * 4 > _PALLAS_VMEM_BUDGET:
         E = max(128, (E // 2) // 128 * 128)  # keep the 128-lane alignment
@@ -332,7 +335,9 @@ def _shardmap_raster_ok(windows: jnp.ndarray, mesh) -> bool:
     the extra program structure. EVENTCLIP_SHARDMAP_RASTER=force|off
     overrides (force lets CPU-mesh tests and the driver dryrun execute
     the shard_map wiring with the XLA body inside)."""
-    if mesh is None:
+    if mesh is None or windows.ndim < 3:
+        # rank 2 is a single unbatched [N, ch] window: sharding axis 0
+        # would split the EVENT axis and concatenate per-shard frames
         return False
     from ..parallel.sharding import DATA_AXIS
 
@@ -379,7 +384,31 @@ def _rasterize_chw_meshed(spec: RasterSpec, windows: jnp.ndarray,
     )(windows)
 
 
-@partial(jax.jit, static_argnums=0)
+def _raster_env_key() -> tuple:
+    """Snapshot of every env knob the traced rasterize program depends on.
+
+    Env reads inside a jitted function bind at TRACE time, and the trace
+    cache keys only on (static args, avals) — so without this, toggling a
+    knob mid-process (tests, on-chip EVENTCLIP_PALLAS_CHUNK sweeps) would
+    silently reuse the previous program. The snapshot rides every public
+    entry point as an extra static arg; a changed knob changes the key and
+    forces a retrace. Jit-of-jit inlining reuses the inner jaxpr cache, so
+    this also re-keys enclosing train/serve steps that trace fresh."""
+    return (
+        os.environ.get("EVENTCLIP_PALLAS_CHUNK", ""),
+        os.environ.get("EVENTCLIP_SHARDMAP_RASTER", "auto"),
+        os.environ.get("EVENTCLIP_NO_PALLAS", ""),
+        os.environ.get("EVENTCLIP_NO_PALLAS_RASTER", ""),
+        os.environ.get("EVENTCLIP_PALLAS", "auto"),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _rasterize_windows_jit(spec, windows, env_key):
+    frames = _rasterize_chw(spec, windows)
+    return jnp.moveaxis(frames, -3, -1).astype(jnp.uint8)
+
+
 def rasterize_windows(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
     """Rasterize event windows into frames (reference oracle layout).
 
@@ -393,11 +422,15 @@ def rasterize_windows(spec: RasterSpec, windows: jnp.ndarray) -> jnp.ndarray:
         [..., H, W, 3] uint8 frames. (For the training/eval hot path prefer
         `rasterize_for_clip`, which never materializes this HWC layout.)
     """
-    frames = _rasterize_chw(spec, windows)
-    return jnp.moveaxis(frames, -3, -1).astype(jnp.uint8)
+    return _rasterize_windows_jit(spec, windows, _raster_env_key())
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("mesh",))
+@partial(jax.jit, static_argnums=(0, 1, 3), static_argnames=("mesh",))
+def _rasterize_for_clip_jit(spec, pp, windows, env_key, *, mesh=None):
+    frames = _rasterize_chw_meshed(spec, windows, mesh)
+    return preprocess_frames_chw(pp, frames)
+
+
 def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray, *,
                        mesh=None) -> jnp.ndarray:
     """Fused production path: event windows -> CLIP-normalized images.
@@ -421,11 +454,26 @@ def rasterize_for_clip(spec: RasterSpec, pp, windows: jnp.ndarray, *,
     Returns:
         [..., 3, S, S] float32 CLIP-normalized images.
     """
-    frames = _rasterize_chw_meshed(spec, windows, mesh)
+    return _rasterize_for_clip_jit(spec, pp, windows, _raster_env_key(),
+                                   mesh=mesh)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4), static_argnames=("mesh",))
+def _rasterize_augment_for_clip_jit(spec, pp, windows, rng, env_key, *,
+                                    mesh=None):
+    frames = _rasterize_chw_meshed(spec, windows, mesh)  # [B, T, 3, H, W]
+    fill = 255.0 if spec.background_mask else 0.0
+    if spec.grayscale:
+        # grayscale colormaps emit R=G=B exactly and every RandAugment op
+        # preserves channel equality, so the whole augment chain runs on one
+        # channel (3x less warp/histogram work) and broadcasts after
+        aug = randaugment(frames[:, :, :1], rng, 2, fill)
+        frames = jnp.broadcast_to(aug, frames.shape[:2] + (3,) + aug.shape[3:])
+    else:
+        frames = randaugment(frames, rng, 2, fill)
     return preprocess_frames_chw(pp, frames)
 
 
-@partial(jax.jit, static_argnums=(0, 1), static_argnames=("mesh",))
 def rasterize_augment_for_clip(
     spec: RasterSpec, pp, windows: jnp.ndarray, rng: jax.Array, *,
     mesh=None
@@ -439,14 +487,5 @@ def rasterize_augment_for_clip(
     Only the rasterize itself is shard_mapped under `mesh` — RandAugment
     keeps the global batch view so its rng draw semantics are unchanged.
     """
-    frames = _rasterize_chw_meshed(spec, windows, mesh)  # [B, T, 3, H, W]
-    fill = 255.0 if spec.background_mask else 0.0
-    if spec.grayscale:
-        # grayscale colormaps emit R=G=B exactly and every RandAugment op
-        # preserves channel equality, so the whole augment chain runs on one
-        # channel (3x less warp/histogram work) and broadcasts after
-        aug = randaugment(frames[:, :, :1], rng, 2, fill)
-        frames = jnp.broadcast_to(aug, frames.shape[:2] + (3,) + aug.shape[3:])
-    else:
-        frames = randaugment(frames, rng, 2, fill)
-    return preprocess_frames_chw(pp, frames)
+    return _rasterize_augment_for_clip_jit(spec, pp, windows, rng,
+                                           _raster_env_key(), mesh=mesh)

@@ -457,3 +457,41 @@ def test_read_npz_member_raw_vs_zipfile(tmp_path):
     # end to end: both archive flavours decode identically
     np.testing.assert_array_equal(load_event_npz(plain),
                                   load_event_npz(comp))
+
+
+def test_load_event_npz_empty_stream_raises_on_both_paths(tmp_path,
+                                                          monkeypatch):
+    """A zero-event archive must fail loudly and IDENTICALLY on the native
+    and numpy decode paths (round-3 review: the native pass used to return
+    a silent (0, 4) array where numpy tripped over an empty reduction)."""
+    from eventclip_tpu.data.datasets import load_event_npz
+
+    ev = np.zeros(0, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                            ("p", "?")])
+    path = str(tmp_path / "empty.npz")
+    np.savez(path, event_data=ev)
+    for flag in ("0", "1"):
+        monkeypatch.setenv("EVENTCLIP_NATIVE", flag)
+        with pytest.raises(ValueError, match="empty event_data"):
+            load_event_npz(path)
+
+
+def test_no_fast_npz_env_forces_nploader(tmp_path, monkeypatch):
+    """EVENTCLIP_NO_FAST_NPZ=1 (bench.py's numpy-baseline mode) must route
+    around the raw STORED-member reader while decoding identically."""
+    from eventclip_tpu.data.datasets import _read_npz_member, load_event_npz
+
+    rng = np.random.default_rng(3)
+    n = 256
+    ev = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"), ("t", "<i8"),
+                            ("p", "?")])
+    ev["x"] = rng.integers(0, 640, n)
+    ev["y"] = rng.integers(0, 480, n)
+    ev["t"] = np.sort(rng.integers(0, 10 ** 8, n))
+    ev["p"] = rng.integers(0, 2, n).astype(bool)
+    path = str(tmp_path / "a.npz")
+    np.savez(path, event_data=ev)
+    fast = load_event_npz(path)
+    monkeypatch.setenv("EVENTCLIP_NO_FAST_NPZ", "1")
+    assert _read_npz_member(path, "event_data.npy") is None
+    np.testing.assert_array_equal(fast, load_event_npz(path))

@@ -740,7 +740,17 @@ def test_train_step_with_meshed_rasterize_matches(rng, monkeypatch):
 
     plain, _ = run(1)
     monkeypatch.setenv("EVENTCLIP_SHARDMAP_RASTER", "force")
+    # prove the forced route is actually traced: env knobs bind at trace
+    # time, so a reused trace would silently compare plain vs plain
+    # (round-3 review); the env-keyed rasterize jit forces the retrace
+    from eventclip_tpu.ops import rasterize as RZ
+    routed = []
+    gate = RZ._shardmap_raster_ok
+    monkeypatch.setattr(
+        RZ, "_shardmap_raster_ok",
+        lambda w, m: routed.append(gate(w, m)) or routed[-1])
     meshed, m = run(1)
+    assert any(routed), "forced shard_map route was never traced"
     assert np.isfinite(float(m["total_loss"]))
     for a, b in zip(jax.tree_util.tree_leaves(plain),
                     jax.tree_util.tree_leaves(meshed)):

@@ -195,7 +195,8 @@ def test_pallas_chunk_env_knob_is_bit_exact(rng, monkeypatch):
     """EVENTCLIP_PALLAS_CHUNK resizes the kernel's event chunk (the on-chip
     sweep knob for amortizing per-grid-step overhead) without changing any
     output bit. 300-event windows under chunk=128 force K=3 accumulation
-    steps; chunk=512 collapses them to K=1."""
+    steps; chunk=512 collapses them to K=1; misaligned values (200) and
+    too-small ones (64) must clamp to the 128-lane grid, not crash."""
     import jax.numpy as jnp
 
     from eventclip_tpu.data.host_ops import gather_event_windows
@@ -209,7 +210,7 @@ def test_pallas_chunk_env_knob_is_bit_exact(rng, monkeypatch):
     wins, _ = gather_event_windows(ev, 300, 6, rng=None, packed=True)
     w = jnp.asarray(wins)
     xla = np.asarray(RZ._batched_histograms(spec, w))
-    for chunk in ("128", "512"):
+    for chunk in ("128", "512", "200", "64"):
         monkeypatch.setenv("EVENTCLIP_PALLAS_CHUNK", chunk)
         fused = np.asarray(RZ._pallas_histograms(spec, w, interpret=True))
         np.testing.assert_array_equal(xla, fused)

@@ -110,12 +110,22 @@ def test_data_parallel_predictor_with_shardmap_raster(predictor,
                                                       monkeypatch):
     """DP serving with the shard_map rasterize route forced (the layout a
     multi-chip TPU server runs: each device rasterizes its local batch
-    shard) must still match single-device predictions."""
+    shard) must still match single-device predictions. The route gate is
+    recorded to prove the forced trace actually happened — env knobs bind
+    at trace time, so without the env-keyed jit this test would silently
+    reuse the unforced trace of the DP test above (round-3 review)."""
     import jax
+
+    from eventclip_tpu.ops import rasterize as RZ
 
     if jax.device_count() < 2:
         pytest.skip("needs the multi-device CPU mesh")
     monkeypatch.setenv("EVENTCLIP_SHARDMAP_RASTER", "force")
+    routed = []
+    orig = RZ._shardmap_raster_ok
+    monkeypatch.setattr(
+        RZ, "_shardmap_raster_ok",
+        lambda w, m: routed.append(orig(w, m)) or routed[-1])
     dp = Predictor(_TinyZS(), class_names=["airplanes", "ant", "brain"],
                    smoke=True, batch_size=8, data_parallel=True)
     rng = np.random.default_rng(12)
@@ -124,6 +134,7 @@ def test_data_parallel_predictor_with_shardmap_raster(predictor,
         dp.predict(streams)["probs"],
         predictor.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
     )
+    assert any(routed), "forced shard_map route was never traced"
 
 
 def test_pruned_predictor_runs():
