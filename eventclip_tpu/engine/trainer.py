@@ -418,7 +418,69 @@ class EventCLIPTrainer:
             }
         return make_global_batch(keep, self.mesh, microbatched=accum > 1)
 
+    def _boundary_save(self, epoch: int, val_stats) -> None:
+        """Checkpoint + resume state at an epoch boundary (all ranks call)."""
+        # ZeRO-1 multi-process: the data-sharded moments are not
+        # addressable from rank 0 alone, so fetching them is a
+        # collective EVERY rank must join — before the is_main gate
+        host_opt = None
+        if self.zero1 and jax.process_count() > 1:
+            from .checkpoint import fetch_opt_state
+
+            host_opt = fetch_opt_state(self.state.opt_state)
+        if self.is_main:
+            # fetch only trainable leaves (the frozen CLIP tower is
+            # GBs and never changes; fetching it per save dominates
+            # epochs); process 0 only — replicated leaves are
+            # host-fetchable without collectives, so workers may
+            # skip this part entirely
+            from ..models.partition import trainable_mask, trainable_subtree
+
+            host_trainable = jax.device_get(trainable_subtree(
+                self.state.params,
+                trainable_mask(self.cls_cfg, self.state.params),
+            ))
+            self.ckpt.save(host_trainable, int(self.state.step), val_stats)
+            self.ckpt.save_resume_state(self.state, epoch + 1,
+                                        opt_state_host=host_opt)
+
+    def _on_preempt_signal(self, signum, frame) -> None:
+        self._preempt_signum = signum
+        if self.is_main:
+            print(f"[preempt] caught signal {signum}; will checkpoint at "
+                  "the epoch boundary and exit")
+
+    def _reraise_preempt_signal(self) -> None:
+        """Die by the original signal so schedulers/watchdogs resubmit.
+
+        EVENTCLIP_PREEMPT_EXIT=0 returns instead (in-process tests)."""
+        import signal
+
+        if os.environ.get("EVENTCLIP_PREEMPT_EXIT", "1") == "0":
+            return
+        signal.signal(self._preempt_signum, signal.SIG_DFL)
+        os.kill(os.getpid(), self._preempt_signum)
+
     def fit(self, resume_from: str = "", san_check_val_step: int = 2) -> None:
+        import signal
+
+        self._preempt_signum = None
+        # handlers only installable on the main thread; anywhere else the
+        # default disposition (immediate kill) simply remains in effect
+        saved_handlers = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGUSR1):
+                saved_handlers[sig] = signal.signal(
+                    sig, self._on_preempt_signal)
+        except ValueError:
+            saved_handlers = {}
+        try:
+            self._fit(resume_from, san_check_val_step)
+        finally:
+            for sig, h in saved_handlers.items():
+                signal.signal(sig, h)
+
+    def _fit(self, resume_from: str = "", san_check_val_step: int = 2) -> None:
         start_epoch = 0
         restored = self.ckpt.load_resume_state(self.state)
         if restored is not None:
@@ -499,34 +561,30 @@ class EventCLIPTrainer:
             val_stats = None
             if (epoch + 1) % eval_interval == 0 or epoch + 1 == max_epochs:
                 val_stats = self.evaluate()
-            if (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs:
-                # ZeRO-1 multi-process: the data-sharded moments are not
-                # addressable from rank 0 alone, so fetching them is a
-                # collective EVERY rank must join — before the is_main gate
-                host_opt = None
-                if self.zero1 and jax.process_count() > 1:
-                    from .checkpoint import fetch_opt_state
+            saved = (epoch + 1) % save_interval == 0 or epoch + 1 == max_epochs
+            if saved:
+                self._boundary_save(epoch, val_stats)
+            # graceful preemption: SIGTERM/SIGUSR1 (slurm grace period, TPU-VM
+            # maintenance) finishes the in-flight epoch, force-saves the
+            # boundary even off save_interval, then re-raises the signal so
+            # the scheduler/watchdog resubmits and resume continues from HERE
+            # instead of the last interval save. The flag is agreed across
+            # processes (delivery skews across ranks; a lone exiting rank
+            # would hang the others in ZeRO-1's collective fetch).
+            from ..parallel.distributed import any_process_flag
 
-                    host_opt = fetch_opt_state(self.state.opt_state)
+            if any_process_flag(self._preempt_signum is not None):
+                if not saved:
+                    self._boundary_save(epoch, val_stats)
                 if self.is_main:
-                    # fetch only trainable leaves (the frozen CLIP tower is
-                    # GBs and never changes; fetching it per save dominates
-                    # epochs); process 0 only — replicated leaves are
-                    # host-fetchable without collectives, so workers may
-                    # skip this part entirely
-                    from ..models.partition import (
-                        trainable_mask,
-                        trainable_subtree,
-                    )
-
-                    host_trainable = jax.device_get(trainable_subtree(
-                        self.state.params,
-                        trainable_mask(self.cls_cfg, self.state.params),
-                    ))
-                    self.ckpt.save(host_trainable, int(self.state.step),
-                                   val_stats)
-                    self.ckpt.save_resume_state(self.state, epoch + 1,
-                                                opt_state_host=host_opt)
+                    print(f"[preempt] saved epoch {epoch + 1}; exiting on "
+                          f"signal {self._preempt_signum}")
+                _log_jsonl(self.log_file, {
+                    "run_id": self.run_id, "split": "preempt",
+                    "epoch": epoch, "signal": int(self._preempt_signum or 0),
+                })
+                self._reraise_preempt_signal()
+                return
 
     def evaluate(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         # keep per-batch counters on-device; one host sync at the end

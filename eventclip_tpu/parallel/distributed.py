@@ -42,6 +42,22 @@ def host_shard_info() -> Tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def any_process_flag(flag: bool) -> bool:
+    """True on every process iff ANY process passed True.
+
+    A deterministic collective — every process must call it at the same
+    program point. The trainer uses it at epoch boundaries to agree on
+    graceful-preemption exit: signal delivery skews across ranks, and a
+    rank that exits alone would leave the others hanging in ZeRO-1's
+    collective checkpoint fetch. Single-process: plain passthrough."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    return bool(np.asarray(multihost_utils.process_allgather(
+        np.asarray([flag], dtype=np.bool_))).any())
+
+
 def make_global_batch(
     batch: Dict[str, np.ndarray], mesh: Mesh, microbatched: bool = False
 ) -> Dict[str, jax.Array]:

@@ -696,6 +696,91 @@ def test_hard_kill_mid_training_resumes_cleanly(tree, tmp_path):
                                        "models", "best.npz"))
 
 
+def test_sigterm_graceful_preemption_saves_and_resumes(tree, tmp_path):
+    """Graceful preemption: SIGTERM mid-run must finish the in-flight
+    epoch, FORCE a boundary save even off save_interval (here 100, so
+    without the preempt path no resume.pkl would exist at all), log a
+    'preempt' record, die by the signal (so watchdogs resubmit), and
+    resume from the preempted epoch on relaunch."""
+    import re
+    import signal
+    import time
+
+    with open(os.path.join(REPO, "configs/debug/fsclip_tiny_params.py")) as f:
+        src = f.read()
+    src += ("\n\nEventCLIPParams.max_epochs = 12\n"
+            "EventCLIPParams.save_interval = 100\n"
+            "EventCLIPParams.eval_interval = 100\n"
+            "EventCLIPParams.n_samples = 0\n")
+    cfg = str(tmp_path / "fsclip_preempt_params.py")
+    with open(cfg, "w") as f:
+        f.write(src)
+
+    ckpt_base = str(tmp_path / "ck")
+    args = [
+        "train.py", "--params", cfg, "--data_root", tree, "--cpu",
+        "--ckpt_base", ckpt_base, "--san_check_val_step", "0",
+    ]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1-device CPU: fast epochs
+    exp = os.path.join(ckpt_base, "fsclip_preempt_params")
+    metrics = os.path.join(exp, "metrics.jsonl")
+
+    def read_recs():
+        try:
+            with open(metrics) as f:
+                lines = f.readlines()
+        except FileNotFoundError:
+            return []
+        recs = []
+        for ln in lines:
+            try:
+                recs.append(json.loads(ln))
+            except json.JSONDecodeError:
+                pass
+        return recs
+
+    proc = subprocess.Popen(
+        [sys.executable] + args, cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if any(r.get("split") == "train" and r.get("epoch", 0) >= 1
+                   for r in read_recs()):
+                break
+            assert proc.poll() is None, "trainer exited before the signal"
+            time.sleep(0.05)
+        else:
+            pytest.fail("never saw epoch-1 train metrics")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=60)
+    assert rc == -signal.SIGTERM, f"expected death by SIGTERM, got {rc}"
+
+    recs = read_recs()
+    preempts = [r for r in recs if r.get("split") == "preempt"]
+    assert len(preempts) == 1 and preempts[0]["signal"] == signal.SIGTERM
+    stopped_after = preempts[0]["epoch"] + 1
+    assert 1 <= stopped_after < 12
+    assert os.path.exists(os.path.join(exp, "models", "resume.pkl"))
+
+    r = run(args, single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = re.search(r"Resumed full state from epoch (\d+)", r.stdout)
+    assert m and int(m.group(1)) == stopped_after, r.stdout[-2000:]
+    recs = read_recs()
+    train_epochs = [rec["epoch"] for rec in recs if rec["split"] == "train"]
+    assert set(train_epochs) == set(range(12))
+    assert sorted(train_epochs) == sorted(set(train_epochs))  # no redo
+    assert len({rec["run_id"] for rec in recs if "run_id" in rec}) == 1
+
+
 ZS_SERVER_CONFIG = """
 from eventclip_tpu.utils.config import Params
 
