@@ -83,16 +83,22 @@ class MicroBatcher:
     gathering) stays on each request's own handler thread; only the
     device phase is fused.
 
-    A worker thread collects pending requests adaptively: it keeps
-    waiting while new requests are still arriving (each quiet
-    ``idle_gap_ms`` with no arrival closes the batch) up to a hard
-    ``max_wait_ms`` cap or ``max_streams`` total, then runs ONE
-    ``Predictor.predict_windows`` call and slices the probabilities back
-    per request. A lone request therefore waits only ~idle_gap_ms, while
-    a burst whose arrivals straggle (host windowing runs on each
-    request's own thread) still fuses into one batch instead of
-    splitting at a fixed window. Per-request ``top_k`` is honored by
-    recomputing the cheap argsort on the host.
+    A request REGISTERS with the worker the instant it arrives, then
+    windows its streams on its own handler thread and flips to ready.
+    The worker's batch-closing clock therefore runs on request
+    *arrivals*, not on windowing *completions*: a 32-request burst is
+    visible as 32 registrations within a millisecond, and the worker
+    holds the batch open while any of them is still windowing (GIL
+    contention staggers completions over tens of ms — closing on a
+    completion gap used to fire a 1-row batch that cost a full padded
+    forward and serialized the other 31 behind it). The batch closes
+    when every registered request is ready and a quiet ``idle_gap_ms``
+    passes with no new arrival, or at the hard ``max_wait_ms`` cap
+    (taking only the ready ones), or at ``max_streams`` ready. One
+    ``Predictor.predict_windows`` call then serves the whole batch and
+    the probabilities are sliced back per request. A lone request waits
+    only ~idle_gap_ms. Per-request ``top_k`` is honored by recomputing
+    the cheap argsort on the host.
     """
 
     def __init__(self, predictor, max_wait_ms: float = 2.0,
@@ -115,6 +121,7 @@ class MicroBatcher:
                         or 8 * predictor.batch_size // rows_per_stream or 1)
         self._cond = threading.Condition()
         self._pending: list = []
+        self._arrivals = 0  # monotone registration counter (gap clock)
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -128,18 +135,33 @@ class MicroBatcher:
     def submit(self, event_streams, top_k: int = 1):
         """Blocking predict through the fuser; same contract as
         Predictor.predict (including the indexed ValueError on bad
-        streams, raised here before anything is enqueued)."""
+        streams, raised from submit itself — a bad request never reaches
+        the device phase and never fails its batchmates)."""
         if not len(event_streams):
             return self._pred.predict([], top_k=top_k)
-        wins, valids = self._pred.gather_windows(event_streams)
-        # with TTA each stream spans 4 device rows; predict_windows
-        # collapses them, so result slicing goes by stream count
-        req = _Request(wins=wins, valids=valids, top_k=int(top_k),
+        # register BEFORE windowing so the worker's gap clock sees the
+        # arrival now; the windowing (host-side, GIL-contended under
+        # concurrent load) happens on this thread, then flips ready
+        req = _Request(wins=None, valids=None, top_k=int(top_k),
                        n_streams=len(event_streams))
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._pending.append(req)
+            self._arrivals += 1
+            self._cond.notify_all()
+        try:
+            # with TTA each stream spans 4 device rows; predict_windows
+            # collapses them, so result slicing goes by stream count
+            req.wins, req.valids = self._pred.gather_windows(event_streams)
+        except BaseException:
+            with self._cond:  # un-register: the worker never takes a
+                if req in self._pending:  # non-ready request
+                    self._pending.remove(req)
+                self._cond.notify_all()
+            raise
+        with self._cond:
+            req.ready = True
             self._cond.notify_all()
         req.done.wait()
         if req.err is not None:
@@ -149,25 +171,47 @@ class MicroBatcher:
     def _run(self) -> None:
         while True:
             with self._cond:
-                while not self._pending and not self._closed:
+                # sleep until some request is READY to run (registrations
+                # alone can't start a batch — there is nothing to encode
+                # yet) or the batcher is closed and drained
+                while True:
+                    if any(r.ready for r in self._pending):
+                        break
+                    if self._closed and not self._pending:
+                        return
                     self._cond.wait()
-                if not self._pending:  # closed and drained
-                    return
                 deadline = time.monotonic() + self._wait
-                # cap on STREAMS (the documented unit) — len(r.wins) would
-                # count device rows, quartering the effective cap under TTA
-                seen = sum(r.n_streams for r in self._pending)
-                while not self._closed and seen < self._max:
-                    left = deadline - time.monotonic()
-                    if left <= 0:
-                        break
-                    self._cond.wait(min(left, self._gap) if self._gap > 0
-                                    else left)
-                    now = sum(r.n_streams for r in self._pending)
-                    if now == seen:  # a full idle gap with no arrival
-                        break
-                    seen = now
-                batch, self._pending = self._pending, []
+                seen = self._arrivals
+                last_arrival = time.monotonic()
+                while not self._closed:
+                    now = time.monotonic()
+                    if self._arrivals > seen:  # new registration: the
+                        seen = self._arrivals  # burst is still arriving
+                        last_arrival = now
+                    # caps count STREAMS (the documented unit) —
+                    # len(r.wins) would count device rows, quartering the
+                    # effective cap under TTA
+                    n_ready = sum(r.n_streams for r in self._pending
+                                  if r.ready)
+                    n_total = sum(r.n_streams for r in self._pending)
+                    if n_ready >= self._max:
+                        break  # a full fused call's worth is ready
+                    if now >= deadline and n_ready:
+                        break  # hard cap: run the ready ones, leave the
+                        # still-windowing stragglers for the next batch
+                    waits = [deadline - now]
+                    if n_ready == n_total:
+                        # nobody is mid-windowing: close after one quiet
+                        # gap with no new arrival
+                        quiet = now - last_arrival
+                        if quiet >= self._gap:
+                            break
+                        waits.append(self._gap - quiet)
+                    self._cond.wait(max(min(waits), 0.0))
+                batch = [r for r in self._pending if r.ready]
+                if not batch:  # closed while every pending request was
+                    continue   # still windowing — wait for readiness
+                self._pending = [r for r in self._pending if not r.ready]
             try:
                 with self._device_lock:
                     out = self._pred.predict_windows(
@@ -204,7 +248,7 @@ class MicroBatcher:
 
 class _Request:
     __slots__ = ("wins", "valids", "top_k", "n_streams", "result", "err",
-                 "done")
+                 "done", "ready")
 
     def __init__(self, wins, valids, top_k, n_streams=None):
         self.wins, self.valids, self.top_k = wins, valids, top_k
@@ -212,6 +256,7 @@ class _Request:
         self.result = None
         self.err: Optional[Exception] = None
         self.done = threading.Event()
+        self.ready = wins is not None  # flips True once windowing lands
 
 
 def resolve_class_names(params, classes_file: str = "",

@@ -345,6 +345,95 @@ def test_microbatcher_adaptive_gap_lone_request_fast():
         mb.close()
 
 
+def test_microbatcher_fuses_staggered_burst_into_one_call():
+    # Round-3 regression: the gap clock ran on windowing COMPLETIONS, so
+    # a burst whose host windowing staggered >idle_gap fired a 1-row
+    # batch (one full padded forward) and serialized the rest behind it
+    # (canonical bench: 11.2 streams/s, below the no-batching floor).
+    # Registrations must hold the batch open while peers still window.
+    import time
+
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=8)
+    streams = _streams(np.random.default_rng(41), 8)
+    pred.predict(streams)  # compile/warm
+
+    calls = []
+    inner = pred.gather_windows
+
+    def slow_gather(evs):  # stagger completions well past the idle gap
+        out = inner(evs)
+        time.sleep(0.03)
+        return out
+
+    def spy_predict_windows(wins, valids, **kw):
+        calls.append(len(wins))
+        return Predictor.predict_windows(pred, wins, valids, **kw)
+
+    pred.gather_windows = slow_gather
+    pred.predict_windows = spy_predict_windows
+    mb = MicroBatcher(pred, max_wait_ms=5_000.0, idle_gap_ms=10.0)
+    try:
+        ts = [threading.Thread(target=mb.submit, args=([s],))
+              for s in streams]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        mb.close()
+        pred.gather_windows = inner
+        del pred.predict_windows
+    assert calls == [8], (
+        f"burst split into batches of {calls} rows instead of one fused 8")
+
+
+def test_microbatcher_hard_cap_leaves_stragglers_for_next_batch():
+    # at max_wait the worker must run the READY requests rather than
+    # wait forever on a still-windowing straggler — and the straggler
+    # must still be served by a later batch, not dropped
+    import time
+
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    streams = _streams(np.random.default_rng(43), 3)
+    pred.predict(streams)  # warm
+    inner = pred.gather_windows
+    release = threading.Event()
+
+    def gated_gather(evs):
+        out = inner(evs)
+        if len(evs) == 1 and evs[0] is streams[2]:
+            release.wait(timeout=30)  # the straggler
+        return out
+
+    pred.gather_windows = gated_gather
+    mb = MicroBatcher(pred, max_wait_ms=100.0, idle_gap_ms=20.0)
+    results = {}
+
+    def go(i):
+        results[i] = mb.submit([streams[i]])
+
+    try:
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        time.sleep(0.5)  # past the cap: 0 and 1 must already be done
+        assert 0 in results and 1 in results and 2 not in results
+        release.set()
+        for t in ts:
+            t.join(timeout=30)
+    finally:
+        release.set()
+        mb.close()
+        pred.gather_windows = inner
+    direct = pred.predict([streams[2]])
+    np.testing.assert_allclose(results[2]["probs"], direct["probs"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_npz_positional_keys_preserve_request_order(served):
     # np.savez(buf, *streams) names arrays arr_0..arr_11; sorted() would
     # scramble arr_10 before arr_2 — the decode must use archive order
