@@ -736,9 +736,32 @@ def _feed_overlap(bench):
     dt_pre = timed_loop(prefetched)
     bench.record(
         "nin_lora_loop_prefetch_ms", dt_pre * 1e3, "ms/step",
-        f"device_prefetch loop (trainer.fit); max(feed, step)="
+        f"device_prefetch depth-2 loop; max(feed, step)="
         f"{max(dt_feed, dt_step) * 1e3:,.1f} ms, feed+step="
         f"{(dt_feed + dt_step) * 1e3:,.1f} ms",
+    )
+
+    # the loop trainer.fit actually runs: adaptive_prefetch A/Bs depth 2
+    # vs 1 on the first steps, then sticks with the measured winner — the
+    # steady state must track min(serialized, prefetch) within noise
+    from eventclip_tpu.data.loader import adaptive_prefetch
+
+    choice: dict = {}
+
+    def adaptive(n):
+        out = None
+        for b in adaptive_prefetch((host_batch() for _ in range(n)),
+                                   place, choice, warmup=1, probe=2):
+            holder["state"], m = step(holder["state"], b)
+            out = m["total_loss"]
+        _sync(out)
+
+    adaptive(6)  # decide once (warmup 1 + 2x2 probe), then reuse
+    dt_auto = timed_loop(adaptive)
+    bench.record(
+        "nin_lora_loop_auto_ms", dt_auto * 1e3, "ms/step",
+        f"adaptive_prefetch (trainer.fit) steady state; measured winner: "
+        f"depth {choice.get('depth', '?')}",
     )
 
 

@@ -15,7 +15,9 @@ nerv's BaseDataModule). Design for TPU input pipelines:
 from __future__ import annotations
 
 import queue
+import statistics
 import threading
+import time
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -47,6 +49,64 @@ def device_prefetch(host_batches, place, depth: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def adaptive_prefetch(host_batches, place, choice: Optional[dict] = None,
+                      warmup: int = 2, probe: int = 4):
+    """device_prefetch whose depth is MEASURED, not assumed.
+
+    jit dispatch is asynchronous, so the plain place-then-dispatch loop
+    (depth 1) is already double-buffered: the device runs step k while the
+    host places batch k+1. Holding an extra placed batch (depth 2) only
+    helps when placement itself is async relative to the device stream;
+    through a synchronous link (the axon relay) the extra in-flight
+    transfer CONTENDS with the step's dispatch instead — measured 417 vs
+    315 ms/step on the N-IN LoRA geometry (BENCH_STAGES round 3), while on
+    a real PCIe host depth 2 is the textbook win. Rather than hardcode
+    either machine's answer, the first `warmup` steps run untimed (compile
+    + first dispatch), the next `probe` steps run at depth 2, the `probe`
+    after at depth 1, and the median-faster depth is stored in
+    ``choice['depth']`` and used for every step after — later epochs (the
+    trainer passes a persistent dict) skip straight to the winner. Epochs
+    too short to finish the A/B stay at the safe depth-1 tail and leave
+    the choice open.
+    """
+    if choice is None:
+        choice = {}
+    if choice.get("depth"):
+        yield from device_prefetch(host_batches, place, choice["depth"])
+        return
+
+    from collections import deque
+
+    it = iter(host_batches)
+    buf: deque = deque()
+    times = {1: [], 2: []}
+    step = 0
+    exhausted = False
+    t_prev = None
+    while True:
+        if choice.get("depth"):
+            mode = choice["depth"]
+        else:
+            mode = 2 if step < warmup + probe else 1
+        while not exhausted and len(buf) < mode:
+            try:
+                buf.append(place(next(it)))
+            except StopIteration:
+                exhausted = True
+        if not buf:
+            return
+        yield buf.popleft()
+        now = time.perf_counter()
+        if t_prev is not None and step >= warmup and not choice.get("depth"):
+            times[mode].append(now - t_prev)
+        t_prev = now
+        step += 1
+        if (not choice.get("depth") and len(times[1]) >= probe
+                and len(times[2]) >= probe):
+            choice["depth"] = (1 if statistics.median(times[1])
+                               <= statistics.median(times[2]) else 2)
 
 
 def view_pack_buckets(total_views: int, align: int = 8) -> List[int]:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import PrefetchLoader, device_prefetch
+from ..data import PrefetchLoader, adaptive_prefetch, device_prefetch
 from ..data.loader import eval_pack_buckets, pack_view_batch
 from ..models.classifier import (
     DEFAULT_PROMPT,
@@ -249,6 +249,9 @@ class EventCLIPTrainer:
         # sequential microbatches — keeps a config's global batch (the
         # parity spec) when it exceeds chip memory / device count
         self.accum = max(int(params.get("accum_steps", 1)), 1)
+        # prefetch depth measured on the first epoch, reused afterwards
+        # (adaptive_prefetch fills in 'depth'; see fit())
+        self._prefetch_choice: dict = {}
         # loaders (global batch sharded over the data axis by shard_batch);
         # every microbatch (global/accum) must itself split over the data axis
         self.global_batch = int(params.train_batch_size)
@@ -514,11 +517,16 @@ class EventCLIPTrainer:
             # metrics stay on-device until epoch end: a float() per step would
             # force a host sync every step and serialize the input pipeline
             metric_hist = []
-            # device-side double buffering: batch k+1's H2D copy overlaps
-            # batch k's (async-dispatched) step instead of serializing
-            for dev_batch in device_prefetch(
+            # double buffering with a MEASURED depth: the first epoch A/Bs
+            # holding an extra placed batch (depth 2) against plain
+            # place-then-dispatch (depth 1 — itself overlapped, since the
+            # dispatched step is async) and every later epoch reuses the
+            # winner; through the synchronous axon relay depth 1 wins,
+            # on real PCIe depth 2 does (data/loader.py::adaptive_prefetch)
+            for dev_batch in adaptive_prefetch(
                 self.train_loader.epoch(epoch),
                 lambda b: self._device_batch(b, accum=self.accum),
+                choice=self._prefetch_choice,
             ):
                 if self.profile_steps and epoch == 0 \
                         and n_batches == profile_warmup:

@@ -29,7 +29,11 @@ def test_feed_overlap_stage_smoke(monkeypatch):
     assert {
         "nin_lora_feed_ms", "nin_lora_step_ms",
         "nin_lora_loop_serialized_ms", "nin_lora_loop_prefetch_ms",
+        "nin_lora_loop_auto_ms",
     } <= metrics
+    auto = next(r for r in b.records
+                if r["metric"] == "nin_lora_loop_auto_ms")
+    assert "depth 1" in auto["note"] or "depth 2" in auto["note"]
     assert all(np.isfinite(r["value"]) and r["value"] > 0
                for r in b.records)
 

@@ -359,6 +359,51 @@ def test_device_prefetch_overlaps_one_batch_ahead():
     assert list(device_prefetch(iter([]), place, depth=2)) == []
 
 
+def test_adaptive_prefetch_decides_and_reuses_depth():
+    """adaptive_prefetch must (a) deliver every batch exactly once in
+    order while A/B-probing, (b) land a depth decision in the shared
+    choice dict once both probe windows fill, and (c) skip straight to
+    device_prefetch at the decided depth on later epochs — the contract
+    trainer.fit relies on to pay the A/B only once per run."""
+    from eventclip_tpu.data import adaptive_prefetch
+
+    choice: dict = {}
+    placed = []
+
+    def place(b):
+        placed.append(b)
+        return b * 10
+
+    out = list(adaptive_prefetch(iter(range(12)), place, choice,
+                                 warmup=1, probe=2))
+    assert out == [b * 10 for b in range(12)]
+    assert placed == list(range(12))
+    assert choice.get("depth") in (1, 2)
+
+    # a decided dict must bypass probing entirely and respect the depth
+    placed.clear()
+    forced = {"depth": 1}
+    gen = adaptive_prefetch(iter(range(5)), place, forced)
+    first = next(gen)
+    assert first == 0 and placed == [0]  # depth 1: no eager extra fill
+    assert list(gen) == [10, 20, 30, 40]
+    assert forced == {"depth": 1}
+
+
+def test_adaptive_prefetch_short_epoch_leaves_choice_open():
+    # an epoch too short to finish both probe windows must still deliver
+    # everything and leave the decision for the next epoch
+    from eventclip_tpu.data import adaptive_prefetch
+
+    choice: dict = {}
+    out = list(adaptive_prefetch(iter(range(3)), place=lambda b: b,
+                                 choice=choice, warmup=2, probe=4))
+    assert out == [0, 1, 2]
+    assert "depth" not in choice
+    # choice=None (one-off callers) must not crash
+    assert list(adaptive_prefetch(iter(range(3)), lambda b: b)) == [0, 1, 2]
+
+
 def test_view_pack_buckets_and_pack_view_batch():
     from eventclip_tpu.data.loader import pack_view_batch, view_pack_buckets
 
