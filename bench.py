@@ -304,6 +304,29 @@ def main():
                      f"--int8 --prune_tokens {K} (of "
                      f"{clip_cfg.vision.grid ** 2}); {B * T / dt:,.1f} img/s")
 
+    # --- stage 4d: pseudo-label teacher (gen_data.py's TTA forward) --------
+    # the heaviest inference job in the reference workflow: the full
+    # training split x 4 TTA flip variants through the teacher tower
+    # (reference gen_data.py:69-280); gen_data.py shards this same jit over
+    # the data mesh, so per-chip throughput is what this stage pins
+    tB = max(B // 2, 1)
+    wt = jnp.asarray(make_event_batch(rng, tB * 4, T, N, H, W)).reshape(
+        (tB, 4, T, N, 4))
+    vt = jnp.ones((tB, 4, T), dtype=bool)
+
+    @jax.jit
+    def teacher(p, w, v):
+        flat_w = w.reshape((-1,) + w.shape[-3:])
+        flat_v = v.reshape((-1,) + v.shape[-1:])
+        x = rasterize_for_clip(spec, pp, flat_w)
+        out = classifier_forward(p, cfg, x, flat_v)
+        return out["probs"].reshape(w.shape[:2] + (-1,))
+
+    dt = bench.run(lambda: teacher(params, wt, vt), _sync, iters)
+    bench.record("gen_data_teacher_samples_per_sec", tB / dt, "samples/s",
+                 f"4-way TTA teacher forward (gen_data.py), {arch} "
+                 f"B={tB} T={T}; {4 * tB * T / dt:,.1f} img/s")
+
     if level == "full":
         _packed_eval(bench, cfg, params, spec, pp, N)
         _train_steps(bench, rng, spec, pp, clip_cfg, H, W, N)

@@ -58,6 +58,32 @@ def any_process_flag(flag: bool) -> bool:
         np.asarray([flag], dtype=np.bool_))).any())
 
 
+def gather_objects(obj):
+    """Every process's `obj`, as a list indexed by process id.
+
+    A host-side allgather for small Python objects (selection dicts,
+    counters): pickle, two-phase `process_allgather` (sizes, then padded
+    byte rows), unpickle. Deterministic collective — every process must
+    call it at the same program point. Single-process: `[obj]`.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([payload.size], dtype=np.int64))).reshape(-1)
+    row = np.zeros(int(sizes.max()), dtype=np.uint8)
+    row[: payload.size] = payload
+    rows = np.asarray(multihost_utils.process_allgather(row))
+    return [
+        pickle.loads(rows[i, : int(sizes[i])].tobytes())
+        for i in range(len(sizes))
+    ]
+
+
 def make_global_batch(
     batch: Dict[str, np.ndarray], mesh: Mesh, microbatched: bool = False
 ) -> Dict[str, jax.Array]:

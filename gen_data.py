@@ -127,11 +127,14 @@ def main(params, args):
     # ground-truth few-shot labels of the teacher (not pseudo-labeled again)
     gt_data = {}
     if args.weight:
-        assert not is_zs, "Zero-shot models should not have pre-trained weight"
+        assert not is_zs, (
+            "--weight is for few-shot teachers; a zero-shot teacher "
+            "carries no checkpoint"
+        )
         model_params, _ = load_checkpoint(args.weight, target=model_params)
         print(f"Loading weight: {args.weight}")
         assert args.gt_shots > 0, (
-            "Should specify the num_shots used to pre-train the model"
+            "pass --gt_shots = the shot count the teacher was trained with"
         )
         assert f"{args.gt_shots}shot" in args.weight or \
             f"{args.gt_shots}-shot" in args.weight
@@ -156,25 +159,52 @@ def main(params, args):
     spec = test_set.raster_spec()
     pp = ClipPreprocess(in_height=spec.height, in_width=spec.width,
                         image_size=clip_cfg.vision.image_size)
-    model_params = jax.device_put(model_params)
+
+    # teacher labeling is the heaviest inference job in the reference
+    # workflow (the full training split x 4 TTA views through ViT towers,
+    # reference gen_data.py:69-280 runs it on the 4-GPU node) — run it
+    # data-parallel over the whole mesh like test.py/serve.py: params
+    # replicated, batch sharded, probs fetched back replicated-per-host.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from eventclip_tpu.parallel import (
+        DATA_AXIS, make_global_batch, make_mesh, shard_params,
+    )
+    from eventclip_tpu.parallel.distributed import host_shard_info
+
+    shard_index, num_shards = host_shard_info()
+    mesh = make_mesh()  # all devices on the data axis (pure DP teacher)
+    n_data = mesh.shape[DATA_AXIS]
+    raster_mesh = mesh if mesh.devices.size > 1 else None
+    model_params = shard_params(model_params, mesh)
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=())
+    jit_kwargs = {}
+    if raster_mesh is not None:
+        # pin the output layout so each host can read back exactly its own
+        # shard's rows (addressable shards) without a cross-host gather
+        jit_kwargs["out_shardings"] = NamedSharding(mesh, P(DATA_AXIS))
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def probs_step(mp, windows, valid):
         lead = windows.shape[:-3]  # [B] or [B, 4]
         flat_w = windows.reshape((-1,) + windows.shape[-3:])
         flat_v = valid.reshape((-1,) + valid.shape[-1:])
-        imgs = rasterize_for_clip(spec, pp, flat_w)
+        imgs = rasterize_for_clip(spec, pp, flat_w, mesh=raster_mesh)
         out = classifier_forward(mp, cls_cfg, imgs, flat_v)
         return out["probs"].reshape(lead + (len(class_names),))
 
     bs = max(int(params.get("val_batch_size", 32)), 1)
     if tta:
         bs = max(bs // 4, 1)
+    # the global batch dim must divide the data axis (num_shards divides
+    # n_data: every host contributes the same device count)
+    bs = max(bs - bs % n_data, n_data)
     loader = PrefetchLoader(
         test_set, bs, pad_last=True,
         num_workers=params.get("num_workers", 8),
+        shard_index=shard_index, num_shards=num_shards,
     )
 
     n_correct, n_total = 0, 0
@@ -230,18 +260,49 @@ def main(params, args):
     # filtering runs one batch BEHIND the dispatch so the [B, n_cls] fetch
     # never syncs on the step it just launched
     def place(batch):
-        dev = (jnp.asarray(batch["windows"]), jnp.asarray(batch["valid_mask"]))
+        dev = make_global_batch(
+            {"windows": batch["windows"], "valid_mask": batch["valid_mask"]},
+            mesh,
+        )
         host = (batch["label"], batch["sample_mask"], batch["data_idx"])
         return dev, host
 
+    def fetch_local(arr):
+        """This host's rows of the data-sharded [B(,4), n_cls] probs."""
+        if num_shards == 1:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     pending = None
-    for (windows, valid), host in device_prefetch(loader, place):
-        probs_dev = probs_step(model_params, windows, valid)
+    for dev, host in device_prefetch(loader, place):
+        probs_dev = probs_step(model_params, dev["windows"],
+                               dev["valid_mask"])
         if pending is not None:
-            consume(np.asarray(pending[0]), *pending[1])
+            consume(fetch_local(pending[0]), *pending[1])
         pending = (probs_dev, host)
     if pending is not None:
-        consume(np.asarray(pending[0]), *pending[1])
+        consume(fetch_local(pending[0]), *pending[1])
+
+    # multi-host: every process labeled 1/num_shards of the split — merge
+    # the selections so the report/topk/symlink stages below see the global
+    # picture, then let rank 0 own the side effects
+    if num_shards > 1:
+        from eventclip_tpu.parallel.distributed import gather_objects
+
+        parts = gather_objects((n_correct, n_total, sel_class_cnt,
+                                sel_correct_class_cnt, pred_path2cls))
+        n_correct = sum(p[0] for p in parts)
+        n_total = sum(p[1] for p in parts)
+        for name in class_names:
+            sel_class_cnt[name] = sum(p[2][name] for p in parts)
+            sel_correct_class_cnt[name] = sum(p[3][name] for p in parts)
+        pred_path2cls = {}
+        for p in parts:  # shards are disjoint slices of the split
+            pred_path2cls.update(p[4])
+        if jax.process_index() != 0:
+            return
 
     report_selection(args, class_names, gt_class_cnt, sel_class_cnt,
                      sel_correct_class_cnt)

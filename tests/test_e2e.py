@@ -524,6 +524,7 @@ class EventCLIPParams(Params):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Saved pseudo labels" in r.stdout
+    gen_stdout_8dev = r.stdout
     # symlinked training tree with all class dirs
     train_dir = os.path.join(pseudo, "training")
     assert sorted(os.listdir(train_dir)) == ["airplanes", "ant", "brain"]
@@ -544,6 +545,33 @@ class EventCLIPParams(Params):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Using pseudo" not in r.stderr  # no crash; dataset detected via root
+
+    # the run above labeled on the 8-virtual-device mesh (gen_data shards
+    # the TTA teacher forward over the data axis); the SAME command on one
+    # device must select the SAME pseudo labels — per-sample math only, so
+    # the mesh cannot change a single selection
+    pseudo1 = str(tmp_path / "pseudo_nc_1dev")
+    r = run([
+        "gen_data.py", "--params", str(cfg), "--cpu",
+        "--save_path", pseudo1, "--conf_thresh", "0.3",
+        "--tta", "--tta_consistent", "--tta_min_prob", "--topk", "2",
+    ], single_device=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def tree_links(root):
+        return {
+            os.path.relpath(os.path.join(dp, f), root):
+                os.path.realpath(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "training"))
+            for f in fs
+        }
+
+    assert tree_links(pseudo1) == tree_links(pseudo)
+    # the printed per-class selection report must match too (counts + acc)
+    stats = lambda out: out[  # noqa: E731
+        out.index("Class stats:"):out.index("Saved pseudo labels")]
+    assert stats(r.stdout) == stats(gen_stdout_8dev)
+
 
 @pytest.mark.e2e
 def test_gen_data_few_shot_teacher_merges_gt(tmp_path):
