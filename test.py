@@ -47,7 +47,8 @@ def parse_args():
     parser.add_argument("--int8", action="store_true",
                         help="quantize the ViT tower to W8A8 int8 for eval "
                         "(~1.3x faster encode on v5e; <0.5%% typical top-1 "
-                        "cost; single-chip only)")
+                        "cost; composes with data parallelism, not with "
+                        "--n_model tensor parallelism)")
     parser.add_argument("--prune_tokens", type=int, default=0,
                         help="keep only the K highest-variance ViT patches "
                         "per frame (event frames are mostly background); "
@@ -161,7 +162,12 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
     if getattr(args, "int8", False):
         from eventclip_tpu.ops.quant import quantize_classifier_params
 
-        assert args.n_model == 1, "--int8 is a single-chip inference path"
+        # data parallelism composes (the quantized tree replicates over the
+        # mesh like any eval tree); TP does not — the shard_map attention
+        # expects sharded fp weights, not {'q','s'} dicts
+        assert args.n_model == 1, (
+            "--int8 composes with data parallelism only; drop --n_model"
+        )
         try:
             model_params = quantize_classifier_params(model_params)
         except ValueError as e:

@@ -165,3 +165,35 @@ def test_fast_path_preserves_learned_predictions():
     assert fast >= full - 0.15, (
         f"fast path lost the learned accuracy: full={full} fast={fast}"
     )
+
+
+def test_int8_composes_with_data_parallel_eval(rng):
+    """--int8 must ride the data mesh (test.py sweeps): the quantized tree
+    placed with shard_params over the 8-device mesh + a data-sharded batch
+    must reproduce the single-device quantized predictions."""
+    from eventclip_tpu.models.classifier import (
+        ClassifierConfig,
+        classifier_forward,
+        init_classifier_params,
+    )
+    from eventclip_tpu.ops.quant import quantize_classifier_params
+    from eventclip_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    cfg = _tiny_cfg()
+    ccfg = ClassifierConfig(model="ZSCLIP", clip=cfg, dtype=jnp.float32)
+    params = init_classifier_params(jax.random.PRNGKey(3), ccfg, n_classes=7)
+    qparams = quantize_classifier_params(params)
+    B = jax.device_count()
+    imgs = rng.normal(size=(B, 2, 3, 64, 64)).astype(np.float32)
+    valid = np.ones((B, 2), dtype=bool)
+    ref = np.asarray(classifier_forward(
+        qparams, ccfg, jnp.asarray(imgs), jnp.asarray(valid))["probs"])
+
+    mesh = make_mesh()
+    sq = shard_params(qparams, mesh)
+    batch = shard_batch({"imgs": imgs, "valid": valid}, mesh)
+    fwd = jax.jit(lambda p, i, v: classifier_forward(p, ccfg, i, v)["probs"])
+    got = np.asarray(fwd(sq, batch["imgs"], batch["valid"]))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

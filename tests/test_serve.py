@@ -428,3 +428,23 @@ def test_stream_session_trim_property(rng):
             want = np.concatenate(everything)[-200:]
             assert got_n == sess.n_events == len(want)
             np.testing.assert_array_equal(sess.events(), want)
+
+
+def test_int8_data_parallel_matches_single_device():
+    """--int8 and data-parallel serving must compose: the two throughput
+    features multiply exactly on the sweep/serving workloads."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    names = ["airplanes", "ant", "brain"]
+    single = Predictor(_TinyZS(), class_names=names, smoke=True, int8=True,
+                       batch_size=8)
+    dp = Predictor(_TinyZS(), class_names=names, smoke=True, int8=True,
+                   batch_size=8, data_parallel=True)
+    rng = np.random.default_rng(13)
+    streams = _streams(rng, n=5)
+    np.testing.assert_allclose(
+        dp.predict(streams)["probs"],
+        single.predict(streams)["probs"], rtol=1e-4, atol=1e-5,
+    )
