@@ -131,44 +131,64 @@ def eval_pack_buckets(batch_size: int, max_imgs: int, n_data: int,
     """The ONE policy for when/how eval view-packing applies.
 
     Used by both trainer.evaluate and the test.py CLI so they can never
-    diverge. Returns None (padded eval) when EVENTCLIP_NO_PACK_EVAL is set
-    or the run is multi-process — the bucket choice is per-batch and two
-    hosts could pick different K for the same global batch.
+    diverge. Returns None (padded eval) only when EVENTCLIP_NO_PACK_EVAL
+    is set. Multi-process runs pack too: pack_view_batch agrees on the
+    bucket across hosts (one tiny allgather per batch), so the sweep
+    workhorse keeps the packing win on pods. Buckets are multiples of
+    lcm(8, n_data) and num_shards divides n_data (every host contributes
+    the same device count), so each host's slice K/num_shards is whole.
     """
     import math
     import os
 
-    if num_shards != 1 or os.environ.get("EVENTCLIP_NO_PACK_EVAL"):
+    if os.environ.get("EVENTCLIP_NO_PACK_EVAL"):
         return None
     return view_pack_buckets(batch_size * max_imgs,
                              align=math.lcm(8, max(n_data, 1)))
 
 
 def pack_view_batch(batch: Dict[str, np.ndarray],
-                    buckets: List[int]) -> Dict[str, np.ndarray]:
+                    buckets: List[int],
+                    shard_index: int = 0,
+                    num_shards: int = 1) -> Dict[str, np.ndarray]:
     """Compact a padded-view eval batch so only REAL views get encoded.
 
-    In: 'windows' [B, T, N, ...] + 'valid_mask' [B, T] (plus labels etc.).
-    Out: the same dict with 'windows' [K, N, ...] holding the valid views
-    packed across the batch and 'view_src' [K] int32 flat [B*T] slot ids
-    (sentinel B*T = packing padding). K is the smallest bucket that fits;
-    a batch needing more views than max(buckets) is returned unpacked
-    (the padded forward is always correct). Consumed by
+    In: 'windows' [B, T, N, ...] + 'valid_mask' [B, T] (plus labels etc.),
+    this host's shard of the global batch. Out: the same dict with
+    'windows' [K/num_shards, N, ...] holding this shard's valid views and
+    'view_src' [K/num_shards] int32 GLOBAL flat [B_global*T] slot ids
+    (sentinel B_global*T = packing padding). K is the smallest bucket
+    whose per-shard slice fits every host's view count; a batch needing
+    more views than max(buckets) is returned unpacked on every host (the
+    padded forward is always correct). Consumed by
     models.classifier.classifier_forward_packed.
+
+    Multi-process: SPMD needs every host to enqueue the SAME program for
+    the same global batch, so the bucket is agreed with one tiny host
+    allgather of the per-shard view counts before any array is formed —
+    deterministic by construction, and the only cross-host traffic the
+    packing adds.
     """
     valid = np.asarray(batch["valid_mask"], dtype=bool)
-    B, T = valid.shape
+    B, T = valid.shape  # this host's shard of the global batch
     idx = np.flatnonzero(valid.reshape(-1)).astype(np.int32)
-    fitting = [k for k in buckets if k >= max(len(idx), 1)]
+    need = max(len(idx), 1)
+    if num_shards > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([need], dtype=np.int64))
+        need = int(np.asarray(counts).max())
+    fitting = [k for k in buckets if k // num_shards >= need]
     if not fitting:
         return batch
-    K = fitting[0]
+    K = fitting[0] // num_shards  # this host's slice of the packed axis
     windows = np.asarray(batch["windows"])
     flat = windows.reshape((B * T,) + windows.shape[2:])
     packed = np.zeros((K,) + flat.shape[1:], dtype=flat.dtype)
     packed[: len(idx)] = flat[idx]
-    src = np.full((K,), B * T, dtype=np.int32)
-    src[: len(idx)] = idx
+    src = np.full((K,), num_shards * B * T, dtype=np.int32)
+    src[: len(idx)] = idx + shard_index * B * T
     out = dict(batch)
     out["windows"] = packed
     out["view_src"] = src

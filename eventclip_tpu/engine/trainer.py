@@ -606,7 +606,10 @@ class EventCLIPTrainer:
 
         def prep(batch):
             if self._eval_buckets and "windows" in batch:
-                batch = pack_view_batch(batch, self._eval_buckets)
+                batch = pack_view_batch(
+                    batch, self._eval_buckets,
+                    self.val_loader.shard_index, self.val_loader.num_shards,
+                )
             return self._device_batch(batch)
 
         for dev_batch in device_prefetch(host_iter, prep):

@@ -131,9 +131,9 @@ def build_eval_context(params, args):
     # views of each batch — the sweep workhorse never pays for padded slots
     from eventclip_tpu.data.loader import eval_pack_buckets
 
-    # pass the real process count: the policy disables packing multi-process
-    # (per-batch bucket choice could diverge across hosts), and test.py must
-    # not hardcode the single-process assumption the policy exists to check
+    # multi-process packing agrees on buckets across hosts inside
+    # pack_view_batch; test.py itself is a single-controller CLI (the
+    # loader above is unsharded), so the shard args below stay defaults
     buckets = eval_pack_buckets(bs, val_set.max_imgs, n_data,
                                 num_shards=jax.process_count())
     return {

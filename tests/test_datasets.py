@@ -540,3 +540,47 @@ def test_no_fast_npz_env_forces_nploader(tmp_path, monkeypatch):
     monkeypatch.setenv("EVENTCLIP_NO_FAST_NPZ", "1")
     assert _read_npz_member(path, "event_data.npy") is None
     np.testing.assert_array_equal(fast, load_event_npz(path))
+
+
+def test_pack_view_batch_sharded_mechanics(monkeypatch):
+    """Multi-process packing: every host must pick the bucket that fits
+    the BUSIEST shard (agreed via allgather), pack into its K/num_shards
+    slice, and emit GLOBAL flat slot ids with the global sentinel."""
+    from jax.experimental import multihost_utils
+
+    from eventclip_tpu.data.loader import pack_view_batch, view_pack_buckets
+
+    B, T, N = 4, 5, 16  # per-shard rows; global batch = 8
+    rng = np.random.default_rng(4)
+    counts = [5, 11]
+    shards = []
+    for count in counts:
+        windows = rng.integers(-50, 50, size=(B, T, N, 3)).astype(np.int16)
+        valid = np.zeros(B * T, dtype=bool)
+        valid[rng.choice(B * T, count, replace=False)] = True
+        shards.append({"windows": windows,
+                       "valid_mask": valid.reshape(B, T)})
+    # both "hosts" see the allgathered per-shard counts
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x: np.asarray([[c] for c in counts], dtype=np.int64),
+    )
+    buckets = view_pack_buckets(2 * B * T, align=8)  # [8, 16, 24, 32, 40]
+    outs = [pack_view_batch(s, buckets, shard_index=i, num_shards=2)
+            for i, s in enumerate(shards)]
+    # global max is 11 -> smallest bucket with k//2 >= 11 is 24 -> 12/shard
+    for i, (out, count) in enumerate(zip(outs, counts)):
+        assert out["windows"].shape == (12, N, 3)
+        idx = np.flatnonzero(shards[i]["valid_mask"].reshape(-1))
+        np.testing.assert_array_equal(out["view_src"][:count],
+                                      idx + i * B * T)
+        assert (out["view_src"][count:] == 2 * B * T).all()  # global sentinel
+        flat = shards[i]["windows"].reshape(B * T, N, 3)
+        np.testing.assert_array_equal(out["windows"][:count], flat[idx])
+    # a global batch that exceeds every bucket stays unpacked on EVERY host
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x: np.asarray([[B * T], [B * T]], dtype=np.int64),
+    )
+    for i, s in enumerate(shards):
+        assert "view_src" not in pack_view_batch(s, [8, 16], i, 2)

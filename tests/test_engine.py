@@ -757,3 +757,67 @@ def test_train_step_with_meshed_rasterize_matches(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     acc, m2 = run(2)  # forced + accum: shard_map inside the scan body
     assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_sharded_packed_eval_matches_padded(rng, monkeypatch):
+    """The multi-process packed batch — each host packs its shard into its
+    K/num_shards slice with global slot ids, then the slices concatenate
+    into the global arrays (make_array_from_process_local_data's layout) —
+    must reproduce the padded eval counters exactly."""
+    from jax.experimental import multihost_utils
+
+    from eventclip_tpu.data.loader import pack_view_batch, view_pack_buckets
+    from eventclip_tpu.ops.preprocess import ClipPreprocess
+    from eventclip_tpu.ops.rasterize import RasterSpec
+
+    cfg = tiny_fs_config()
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = shard_params(
+        init_classifier_params(jax.random.PRNGKey(0), cfg, n_classes=N_CLS),
+        mesh,
+    )
+    H, W, N = 48, 64, 128
+    spec = RasterSpec(height=H, width=W, window=N)
+    pp = ClipPreprocess(in_height=H, in_width=W, image_size=32)
+    ev = make_eval_step(cfg, mesh, pipeline=(spec, pp))
+
+    B, T = 8, 4
+    windows = np.stack([
+        rng.integers(0, W, size=(B, T, N)),
+        rng.integers(0, H, size=(B, T, N)),
+        rng.choice([-1, 1], size=(B, T, N)),
+    ], axis=-1).astype(np.int16)
+    valid = np.zeros((B, T), dtype=bool)
+    for b in range(B):
+        valid[b, : 1 + b % T] = True  # ragged: shard 0 and 1 differ
+    batch = {
+        "windows": windows, "valid_mask": valid,
+        "label": rng.integers(0, N_CLS, size=(B,)).astype(np.int32),
+        "sample_mask": np.ones(B, bool),
+    }
+    plain = {k: float(v)
+             for k, v in ev(params, shard_batch(batch, mesh)).items()}
+
+    Bl = B // 2
+    halves = [{k: v[:Bl] for k, v in batch.items()},
+              {k: v[Bl:] for k, v in batch.items()}]
+    counts = [int(h["valid_mask"].sum()) for h in halves]
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x: np.asarray([[c] for c in counts], dtype=np.int64),
+    )
+    buckets = view_pack_buckets(B * T, align=8)
+    packed_halves = [pack_view_batch(h, buckets, i, 2)
+                     for i, h in enumerate(halves)]
+    assert all("view_src" in h for h in packed_halves)
+    global_packed = {
+        k: np.concatenate([h[k] for h in packed_halves], axis=0)
+        for k in packed_halves[0]
+    }
+    assert global_packed["windows"].shape[0] < B * T
+    packed = {k: float(v)
+              for k, v in ev(params, shard_batch(global_packed, mesh)).items()}
+    for k in plain:
+        assert np.isclose(packed[k], plain[k], rtol=1e-4, atol=1e-5), (
+            k, packed[k], plain[k]
+        )

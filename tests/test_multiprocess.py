@@ -231,3 +231,30 @@ def test_two_process_zero1(tmp_path):
     resumed = [json.loads(l.split("[train] ", 1)[1].replace("'", '"'))
                for l in out0.splitlines() if l.startswith("[train]")]
     assert len(resumed) == 1 and resumed[0]["steps"] == 12, resumed
+
+
+@pytest.mark.e2e
+def test_two_process_packed_eval_matches_padded(tmp_path):
+    """Packed eval under a REAL 2-process run: pack_view_batch's cross-host
+    bucket agreement (one allgather per batch) must produce the SAME val
+    metrics as the padded forward — the 1.25x eval win now applies to the
+    sweep workhorse on pods instead of silently disabling."""
+    tree = make_tree(str(tmp_path / "tree"))
+
+    def val_metrics(ckpt_base, env_extra):
+        port = _free_port()
+        procs = [_launch(r, port, tree, ckpt_base, max_epochs=1,
+                         env_extra=env_extra) for r in (0, 1)]
+        _communicate(procs, "packed-eval")
+        exp_dir = os.path.join(ckpt_base, "fsclip_tiny_params")
+        with open(os.path.join(exp_dir, "metrics.jsonl")) as f:
+            return [json.loads(l) for l in f if '"val"' in l]
+
+    packed = val_metrics(str(tmp_path / "ck_packed"), {})
+    padded = val_metrics(str(tmp_path / "ck_padded"),
+                         {"EVENTCLIP_NO_PACK_EVAL": "1"})
+    assert packed and len(packed) == len(padded)
+    for rp, rd in zip(packed, padded):
+        for k in ("probs_acc", "logits_acc", "n"):
+            assert abs(rp[k] - rd[k]) < 1e-6, (k, rp, rd)
+        assert abs(rp["ce_loss"] - rd["ce_loss"]) < 1e-4, (rp, rd)
