@@ -39,8 +39,10 @@ def check_state_dict_tower_parity(sd, rng, tol=2e-3):
     Dispatches on the checkpoint's tower family (ViT vs ModifiedResNet) the
     way `infer_config_from_state_dict` does, so the same body validates any
     of the 8 sweep arches (reference scripts/test_all_arch.sh:6). Called by
-    the conditional real-asset test below AND by an always-on synthetic
-    test, so the dispatch itself cannot rot while assets are absent.
+    the conditional real-asset test below, an always-on synthetic test (so
+    the dispatch itself cannot rot while assets are absent), and the
+    one-command harness `scripts/parity_check.py`. Returns the measured
+    max-abs feature diffs after asserting them within `tol`.
     """
     import torch
 
@@ -104,6 +106,12 @@ def check_state_dict_tower_parity(sd, rng, tol=2e-3):
                                     jnp.asarray(toks)))
     ref_t = encode_text_torch(sd, toks, cfg.text.heads, cfg.text.layers)
     np.testing.assert_allclose(ours_t, ref_t, rtol=tol, atol=tol)
+    return {
+        "arch": cfg.name,
+        "image_max_abs_diff": float(np.max(np.abs(ours - ref))),
+        "text_max_abs_diff": float(np.max(np.abs(ours_t - ref_t))),
+        "tol": tol,
+    }
 
 
 @pytest.mark.skipif(not _HAS_CKPT, reason="set CLIP_CKPT=/path/to/*.pt")

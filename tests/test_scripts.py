@@ -8,6 +8,9 @@ testable anywhere.
 import os
 import subprocess
 
+import numpy as np
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SUBMIT = os.path.join(REPO, "scripts", "submit_run.sh")
 
@@ -324,3 +327,40 @@ def test_convert_checkpoint_cli(tmp_path):
     # wrong arity prints usage and exits non-zero
     r = subprocess.run(["python", script], capture_output=True, text=True)
     assert r.returncode == 1 and "convert_checkpoint" in r.stdout
+
+
+@pytest.mark.e2e
+def test_parity_check_harness_synthetic(tmp_path):
+    """scripts/parity_check.py end to end on a synthetic tiny .pt: the
+    one-command harness must convert, verify tower parity vs the torch
+    oracle, skip the asset-gated stages loudly, and emit
+    PARITY_RESULT.json — so the day real assets land it cannot rot."""
+    import json
+    import sys
+
+    import torch
+
+    from .test_e2e import make_tree
+    from .torch_oracle import random_clip_state_dict
+
+    tree = make_tree(str(tmp_path / "tree"))
+    ckpt = tmp_path / "tiny_clip.pt"
+    torch.save(random_clip_state_dict(np.random.default_rng(7)), ckpt)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "parity_check.py"),
+         "--clip_ckpt", str(ckpt), "--data_root", tree, "--bs", "8",
+         "--cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    with open(tmp_path / "PARITY_RESULT.json") as f:
+        res = json.load(f)
+    assert res["ok"] is True
+    assert res["tower_parity"]["ok"] is True
+    assert res["tower_parity"]["image_max_abs_diff"] < 2e-3
+    assert os.path.exists(res["converted_npz"])
+    # asset-gated stages skip with notes, never silently pass
+    assert res["tokenizer"]["ok"] is None and "BPE" in res["tokenizer"]["note"]
+    assert res["zero_shot"]["ok"] is None
