@@ -648,10 +648,13 @@ def _feed_overlap(bench):
     Four rows answer 'does the input feed serialize with the step?':
       - step-only (device-resident batch)
       - feed-only (H2D of the packed int16 windows)
-      - serialized loop: place-then-dispatch each iteration (the trainer
-        loop BEFORE double buffering)
-      - prefetched loop: data.loader.device_prefetch (trainer.fit today)
-    Steady state for the prefetched loop should be ~max(feed, step), not
+      - serialized loop: place-then-dispatch each iteration
+      - prefetched loop: data.loader.device_prefetch depth-2
+    plus a fifth row, the auto loop (nin_lora_loop_auto_ms): what
+    trainer.fit actually runs — data.loader.adaptive_prefetch probes both
+    depths and keeps the measured winner (round-3 verdict: prefetch lost
+    32% through the relay tunnel; it must never again be unconditional).
+    Steady state for either loop should be ~max(feed, step), not
     feed+step. On this machine the feed is relay-tunnel-bound (CLAUDE.md);
     on a real TPU host the copy is ~3 ms and the loop collapses to the
     step row — these measurements replace that extrapolation with data.
