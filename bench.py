@@ -280,6 +280,18 @@ def main():
         dt = bench.run(lambda: enc(qvisual, imgs), _sync, iters)
         bench.record(f"encode_int8_{arch.replace('/', '')}_img_per_sec",
                      eB / dt, "img/s", f"W8A8 B={eB}")
+
+        # calibrated static activation scales (--int8 --int8_calib N):
+        # drops the per-token max-abs reduce from the hot loop
+        from eventclip_tpu.ops.quant import calibrate_visual_amax
+
+        amax = calibrate_visual_amax(visual, clip_cfg.vision, imgs,
+                                     dtype=jnp.bfloat16)
+        qsvisual = quantize_visual(visual, act_amax=amax)
+        dt = bench.run(lambda: enc(qsvisual, imgs), _sync, iters)
+        bench.record(f"encode_int8_static_{arch.replace('/', '')}_img_per_sec",
+                     eB / dt, "img/s",
+                     f"W8A8 + calibrated static act scales B={eB}")
         qparams = quantize_classifier_params(params)
         dt = bench.run(lambda: e2e(qparams, windows, valid), _sync, iters)
         bench.record("e2e_int8_events_per_sec", events_per_batch / dt,

@@ -104,6 +104,7 @@ def attention(
     mask: Optional[jnp.ndarray] = None,
     lora: Optional[Params] = None,
     tp=None,
+    collect_amax: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self attention matching torch.nn.MultiheadAttention.
 
@@ -113,6 +114,9 @@ def attention(
        owns whole heads of all three of q, k, v; see parallel/sharding.py)
     lora: optional {'q'|'k'|'v'|'o': {'a': [r, D], 'b': [D, r]}}
     tp: optional parallel.TPContext — run the attention core per-shard.
+    collect_amax: also return max|o| over the pre-out-proj activation —
+       the one qdense input interior to this function; used by int8
+       static-scale calibration (ops/quant.py::calibrate_visual_amax).
     """
     B, T, D = x.shape
 
@@ -149,7 +153,9 @@ def attention(
         wqkv = p["wqkv"]
         if isinstance(wqkv, dict):  # int8: reshape both payload and scales
             wqkv = {"q": wqkv["q"].reshape(3 * D, D),
-                    "s": wqkv["s"].reshape(3 * D)}
+                    "s": wqkv["s"].reshape(3 * D),
+                    # static activation scale (scalar) rides along unchanged
+                    **({"a": wqkv["a"]} if "a" in wqkv else {})}
         else:
             wqkv = wqkv.reshape(3 * D, D)
         qkv = dense(x, wqkv, p["bqkv"].reshape(3 * D))  # [B, T, 3D]
@@ -161,6 +167,8 @@ def attention(
     out = dense(o, p["wo"], p["bo"])
     if lora is not None and "o" in lora:
         out = out + _lora_delta(o, lora["o"])
+    if collect_amax:
+        return out, jnp.max(jnp.abs(o)).astype(jnp.float32)
     return out
 
 
@@ -172,25 +180,46 @@ def transformer(
     lora: Optional[Params] = None,
     remat: bool = False,
     tp=None,
+    collect_amax: bool = False,
 ) -> jnp.ndarray:
     """Pre-norm residual transformer; layer-stacked params driven by scan.
 
     remat=True rematerializes each layer in the backward pass (activation
     memory O(1) in depth instead of O(L) — enables full FTCLIP fine-tuning
     of ViT-L/14 at large batch on one chip, trading ~1/3 extra FLOPs).
+
+    collect_amax=True also returns a [layers, 4] f32 of the per-layer
+    batch max-abs of the four quantized-matmul inputs (wqkv, wo, w1, w2 —
+    i.e. ln_1 out, attention core out, ln_2 out, gelu out), stacked by the
+    scan's ys. Calibration input for the int8 static-scale mode
+    (ops/quant.py); run it on FLOAT weights only.
     """
 
     def body(h, layer):
         lp, ll = layer
-        h = h + attention(lp["attn"], layer_norm(h, lp["ln_1"]), heads, mask,
-                          ll, tp=tp)
-        y = dense(layer_norm(h, lp["ln_2"]), lp["mlp"]["w1"], lp["mlp"]["b1"])
-        h = h + dense(quick_gelu(y), lp["mlp"]["w2"], lp["mlp"]["b2"])
+        a_in = layer_norm(h, lp["ln_1"])
+        if collect_amax:
+            att, o_amax = attention(lp["attn"], a_in, heads, mask, ll,
+                                    tp=tp, collect_amax=True)
+        else:
+            att = attention(lp["attn"], a_in, heads, mask, ll, tp=tp)
+        h = h + att
+        m_in = layer_norm(h, lp["ln_2"])
+        y = dense(m_in, lp["mlp"]["w1"], lp["mlp"]["b1"])
+        g = quick_gelu(y)
+        h = h + dense(g, lp["mlp"]["w2"], lp["mlp"]["b2"])
+        if collect_amax:
+            def amax(t):
+                return jnp.max(jnp.abs(t)).astype(jnp.float32)
+
+            return h, jnp.stack([amax(a_in), o_amax, amax(m_in), amax(g)])
         return h, None
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    x, _ = jax.lax.scan(body, x, (blocks, lora))
+    x, ys = jax.lax.scan(body, x, (blocks, lora))
+    if collect_amax:
+        return x, ys
     return x
 
 
@@ -209,8 +238,12 @@ def encode_image(
     remat: bool = False,
     tp=None,
     keep_tokens: Optional[int] = None,
+    collect_amax: bool = False,
 ) -> jnp.ndarray:
     """[B, 3, H, W] CLIP-normalized images -> [B, output_dim] features.
+
+    collect_amax=True returns (features, [layers, 4] activation max-abs)
+    for int8 static-scale calibration — see transformer().
 
     keep_tokens=K (eval-time, opt-in) prunes the patch sequence to the K
     highest-variance patches before the tower. Event frames are sparse —
@@ -242,12 +275,15 @@ def encode_image(
     x = jnp.concatenate([cls, x], axis=1)
     x = layer_norm(x, visual["ln_pre"])
     x = transformer(visual["blocks"], x, cfg.heads, lora=lora, remat=remat,
-                    tp=tp)
+                    tp=tp, collect_amax=collect_amax)
+    if collect_amax:
+        x, amax = x
     x = layer_norm(x[:, 0], visual["ln_post"])
-    return jnp.einsum(
+    feats = jnp.einsum(
         "bd,de->be", x, visual["proj"].astype(dtype),
         preferred_element_type=jnp.float32,
     )
+    return (feats, amax) if collect_amax else feats
 
 
 def causal_mask(T: int) -> jnp.ndarray:

@@ -232,6 +232,15 @@ def test_train_test_cycle(tree, ckpt_base):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Probs-based accuracy@1" in r.stdout
 
+    # calibrated static activation scales ride the same flag set
+    r = run([
+        "test.py", "--params", "configs/debug/fsclip_tiny_params.py",
+        "--data_root", tree, "--cpu", "--int8", "--int8_calib", "1",
+        "--weight", os.path.join(mdir, "best.npz"),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Probs-based accuracy@1" in r.stdout
+
     # warm-start training from a checkpoint (reference
     # method.fit(resume_from=args.weight), train.py:94): fresh exp dir,
     # weights seeded from the previous run's best

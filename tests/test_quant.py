@@ -197,3 +197,84 @@ def test_int8_composes_with_data_parallel_eval(rng):
     fwd = jax.jit(lambda p, i, v: classifier_forward(p, ccfg, i, v)["probs"])
     got = np.asarray(fwd(sq, batch["imgs"], batch["valid"]))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_calibrated_static_scales_shapes_and_attach(rng):
+    """collect_amax returns [L, 4] positive maxima; quantize_visual
+    attaches them as per-(layer, site) 'a' scalars = amax/127."""
+    from eventclip_tpu.models.clip.model import encode_image as enc
+    from eventclip_tpu.ops.quant import calibrate_visual_amax
+
+    cfg = _tiny_cfg()
+    params = init_clip_params(jax.random.PRNGKey(3), cfg)
+    imgs = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32))
+    amax = calibrate_visual_amax(params["visual"], cfg.vision, imgs,
+                                 dtype=jnp.float32)
+    L = cfg.vision.layers
+    assert amax.shape == (L, 4)
+    assert np.all(np.asarray(amax) > 0)
+    # the collected maxima really are the maxima of a second identical run
+    _, again = enc(params["visual"], cfg.vision, imgs, dtype=jnp.float32,
+                   collect_amax=True)
+    np.testing.assert_allclose(np.asarray(amax), np.asarray(again),
+                               rtol=1e-6)
+
+    qvis = quantize_visual(params["visual"], act_amax=amax)
+    for i, (grp, key) in enumerate((("attn", "wqkv"), ("attn", "wo"),
+                                    ("mlp", "w1"), ("mlp", "w2"))):
+        a = qvis["blocks"][grp][key]["a"]
+        assert a.shape == (L,)
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(amax)[:, i] / 127.0,
+                                   rtol=1e-6)
+    # patch_embed stays dynamic (no calibration site)
+    assert "a" not in qvis["patch_embed"]
+
+
+def test_static_scales_preserve_predictions(rng):
+    """Static activation scales calibrated on the eval batch itself must
+    keep the ZS argmax (the clipping never fires in-distribution) and stay
+    feature-close to the dynamic-scale forward."""
+    from eventclip_tpu.models.classifier import (
+        ClassifierConfig,
+        classifier_forward,
+        init_classifier_params,
+    )
+    from eventclip_tpu.ops.quant import calibrate_visual_amax
+
+    cfg = _tiny_cfg()
+    ccfg = ClassifierConfig(model="ZSCLIP", clip=cfg, dtype=jnp.float32)
+    params = init_classifier_params(jax.random.PRNGKey(4), ccfg, n_classes=7)
+    imgs = jnp.asarray(rng.normal(size=(3, 2, 3, 64, 64)).astype(np.float32))
+    valid = jnp.ones((3, 2), dtype=bool)
+    ref = classifier_forward(params, ccfg, imgs, valid)["probs"]
+
+    flat = imgs.reshape((-1,) + imgs.shape[-3:])
+    amax = calibrate_visual_amax(params["clip"]["visual"], cfg.vision, flat,
+                                 dtype=jnp.float32)
+    qparams = dict(params)
+    qparams["clip"] = dict(params["clip"])
+    qparams["clip"]["visual"] = quantize_visual(params["clip"]["visual"],
+                                                act_amax=amax)
+    got = classifier_forward(qparams, ccfg, imgs, valid)["probs"]
+    assert np.argmax(np.asarray(ref), -1).tolist() == \
+        np.argmax(np.asarray(got), -1).tolist()
+
+    # dynamic and static int8 agree with each other tightly (same weights,
+    # scales differ only per-token vs per-site)
+    dparams = dict(params)
+    dparams["clip"] = dict(params["clip"])
+    dparams["clip"]["visual"] = quantize_visual(params["clip"]["visual"])
+    dyn = classifier_forward(dparams, ccfg, imgs, valid)["probs"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dyn), atol=0.08)
+
+
+def test_calibration_requires_float_tower(rng):
+    from eventclip_tpu.ops.quant import calibrate_visual_amax
+
+    cfg = _tiny_cfg()
+    params = init_clip_params(jax.random.PRNGKey(5), cfg)
+    qvis = quantize_visual(params["visual"])
+    imgs = jnp.asarray(rng.normal(size=(2, 3, 64, 64)).astype(np.float32))
+    with pytest.raises(AssertionError, match="FLOAT tower"):
+        calibrate_visual_amax(qvis, cfg.vision, imgs, dtype=jnp.float32)
