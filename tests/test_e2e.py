@@ -530,6 +530,7 @@ class EventCLIPParams(Params):
         "gen_data.py", "--params", str(cfg), "--cpu",
         "--save_path", pseudo, "--conf_thresh", "0.3",
         "--tta", "--tta_consistent", "--tta_min_prob", "--topk", "2",
+        "--int8", "--int8_calib", "1",  # calibrated static teacher rides
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Saved pseudo labels" in r.stdout
@@ -564,6 +565,7 @@ class EventCLIPParams(Params):
         "gen_data.py", "--params", str(cfg), "--cpu",
         "--save_path", pseudo1, "--conf_thresh", "0.3",
         "--tta", "--tta_consistent", "--tta_min_prob", "--topk", "2",
+        "--int8", "--int8_calib", "1",
     ], single_device=True)
     assert r.returncode == 0, r.stderr[-2000:]
 
