@@ -998,6 +998,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="compiled batch; requests are chunked/padded to it")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 int8 tower (~1.3x encode)")
+    ap.add_argument("--int8_calib", default="",
+                    help="with --int8: glob of .npy raw event dumps "
+                    "([n, 4] x/y/t/p) to calibrate STATIC activation "
+                    "scales on (~1.43x encode; out-of-range activations "
+                    "clip — cover representative traffic)")
     ap.add_argument("--prune_tokens", type=int, default=0,
                     help="keep K highest-variance ViT tokens (stacks w/ int8)")
     ap.add_argument("--data_parallel", action="store_true",
@@ -1048,10 +1053,21 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     params = load_params(args.params)
     names = resolve_class_names(params, args.classes, args.data_root)
+    calib_streams = None
+    if args.int8_calib:
+        import glob as globlib
+
+        import numpy as np
+
+        files = sorted(globlib.glob(args.int8_calib))
+        if not files:
+            ap.error(f"--int8_calib matched no files: {args.int8_calib}")
+        calib_streams = [np.load(f) for f in files]
     predictor = Predictor(
         params, names, weight=args.weight,
         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
-        int8=args.int8, prune_tokens=args.prune_tokens,
+        int8=args.int8, int8_calib_streams=calib_streams,
+        prune_tokens=args.prune_tokens,
         batch_size=args.batch_size, data_parallel=args.data_parallel,
         tta=args.tta, embed=args.embed,
     )

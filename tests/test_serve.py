@@ -88,6 +88,22 @@ def test_int8_predictor_runs():
     assert out["probs"].shape == (3, 3)
 
 
+def test_int8_calibrated_predictor_matches_dynamic():
+    """Static activation scales calibrated on representative streams must
+    keep the dynamic-int8 predictions (same weights, same traffic)."""
+    rng = np.random.default_rng(8)
+    calib = _streams(rng, n=4)
+    dyn = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
+                    int8=True, batch_size=2)
+    stat = Predictor(_TinyZS(), class_names=["a", "b", "c"], smoke=True,
+                     int8=True, int8_calib_streams=calib, batch_size=2)
+    streams = _streams(np.random.default_rng(9), n=3)
+    d = dyn.predict(streams)
+    s = stat.predict(streams)
+    np.testing.assert_array_equal(d["label"], s["label"])
+    np.testing.assert_allclose(d["probs"], s["probs"], atol=0.05)
+
+
 def test_data_parallel_predictor_matches_single(predictor):
     """DP serving (batch sharded over the 8-device CPU mesh) must return
     the single-device predictions."""
