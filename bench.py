@@ -744,15 +744,6 @@ def _feed_overlap(bench):
     bench.record("nin_lora_step_ms", dt_step * 1e3, "ms/step",
                  "device-resident batch (compute only)")
 
-    def timed_loop(loop_fn):
-        loop_fn(2)  # warm
-        best = float("inf")
-        for _ in range(bench.repeats):
-            t0 = time.perf_counter()
-            loop_fn(iters)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
     def serialized(n):
         out = None
         for _ in range(n):
@@ -760,24 +751,12 @@ def _feed_overlap(bench):
             out = m["total_loss"]
         _sync(out)
 
-    dt_ser = timed_loop(serialized)
-    bench.record("nin_lora_loop_serialized_ms", dt_ser * 1e3, "ms/step",
-                 "place-then-dispatch per step (pre-double-buffer loop)")
-
     def prefetched(n):
         out = None
         for b in device_prefetch((host_batch() for _ in range(n)), place):
             holder["state"], m = step(holder["state"], b)
             out = m["total_loss"]
         _sync(out)
-
-    dt_pre = timed_loop(prefetched)
-    bench.record(
-        "nin_lora_loop_prefetch_ms", dt_pre * 1e3, "ms/step",
-        f"device_prefetch depth-2 loop; max(feed, step)="
-        f"{max(dt_feed, dt_step) * 1e3:,.1f} ms, feed+step="
-        f"{(dt_feed + dt_step) * 1e3:,.1f} ms",
-    )
 
     # the loop trainer.fit actually runs: adaptive_prefetch A/Bs depth 2
     # vs 1 on the first steps, then sticks with the measured winner — the
@@ -794,12 +773,38 @@ def _feed_overlap(bench):
             out = m["total_loss"]
         _sync(out)
 
-    adaptive(6)  # decide once (warmup 1 + 2x2 probe), then reuse
-    dt_auto = timed_loop(adaptive)
+    # INTERLEAVED reps: the relay link drifts by tens of percent over a
+    # stage's duration, so timing the three variants back-to-back charges
+    # whichever runs last with the drift (round-4 artifact: the auto loop
+    # measured 472 ms after the same run's plain loop did 274 with the
+    # same steady-state code). One rep of each variant per round + min
+    # over rounds exposes every variant to the same link history.
+    serialized(2)
+    prefetched(2)
+    adaptive(6)  # warm + decide depth once (warmup 1 + 2x2 probe)
+    variants = (("serialized", serialized), ("prefetch", prefetched),
+                ("auto", adaptive))
+    best = {name: float("inf") for name, _ in variants}
+    for _ in range(bench.repeats):
+        for name, fn in variants:
+            t0 = time.perf_counter()
+            fn(iters)
+            best[name] = min(best[name],
+                             (time.perf_counter() - t0) / iters)
+
+    bench.record("nin_lora_loop_serialized_ms", best["serialized"] * 1e3,
+                 "ms/step", "place-then-dispatch per step (pre-double-"
+                 "buffer loop); interleaved reps")
     bench.record(
-        "nin_lora_loop_auto_ms", dt_auto * 1e3, "ms/step",
+        "nin_lora_loop_prefetch_ms", best["prefetch"] * 1e3, "ms/step",
+        f"device_prefetch depth-2 loop; max(feed, step)="
+        f"{max(dt_feed, dt_step) * 1e3:,.1f} ms, feed+step="
+        f"{(dt_feed + dt_step) * 1e3:,.1f} ms; interleaved reps",
+    )
+    bench.record(
+        "nin_lora_loop_auto_ms", best["auto"] * 1e3, "ms/step",
         f"adaptive_prefetch (trainer.fit) steady state; measured winner: "
-        f"depth {choice.get('depth', '?')}",
+        f"depth {choice.get('depth', '?')}; interleaved reps",
     )
 
 
