@@ -954,11 +954,12 @@ def _device_alive_with_wait():
     Relay wedges clear on their own (15-240+ min); when bench is the
     round's one shot at real numbers, failing instantly on a wedge that
     clears five minutes later throws the round away. Retry the probe for
-    up to BENCH_PROBE_WAIT_S (default 20 min, 0 = fail fast) — but only
+    up to BENCH_PROBE_WAIT_S (default 40 min — round-4 wedges after full
+    bench runs outlasted the old 20-min budget; 0 = fail fast) — but only
     for the wedge signature; a fast non-zero exit is an environment
     problem no amount of waiting fixes."""
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_PROBE_WAIT_S", "1200"))
+        os.environ.get("BENCH_PROBE_WAIT_S", "2400"))
     while True:
         diagnosis = _device_alive()
         if diagnosis is None or "timed out" not in diagnosis:
