@@ -13,11 +13,14 @@ assets/bpe_simple_vocab_16e6.txt.gz; tests exercise the algorithm with a
 synthetic merge table.
 
 Note: the reference additionally runs ftfy.fix_text; for the ASCII class
-names and prompt templates used by every dataset this is a no-op. Its one
-effect that can matter for user-supplied names — NFC unicode normalization
-— is applied in `_clean`; the remaining ftfy behavior (mojibake repair of
-already-corrupted text) is intentionally omitted (ftfy is not a
-dependency, and no dataset ships corrupted names).
+names and prompt templates used by every dataset this is a no-op. `_clean`
+reproduces its effects that can matter for user-supplied names without the
+dependency: HTML-entity unescaping, NFC unicode normalization, and
+mojibake repair (UTF-8 text mis-decoded as cp1252/latin-1, the dominant
+corruption ftfy targets — see `_fix_mojibake`). The repair is deliberately
+stricter than ftfy's: it only fires when the whole string round-trips as
+valid UTF-8, so mixed-encoding strings are left untouched rather than
+partially rewritten.
 """
 
 from __future__ import annotations
@@ -69,12 +72,64 @@ def bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+# A UTF-8 multibyte sequence seen through a single-byte decode: a lead
+# byte 0xC2-0xF4 followed by a continuation byte 0x80-0xBF. Plain Latin
+# text ("Größe": 0xF6 0xDF) never produces this pattern.
+_UTF8_SEQ = re.compile(rb"[\xc2-\xf4][\x80-\xbf]")
+
+def _encode_sloppy_cp1252(text: str):
+    """The bytes `text` came from if it was a cp1252/latin-1 mis-decode.
+
+    cp1252 where defined; the C1 range cp1252 leaves undefined (incl. its
+    five holes) falls back to latin-1 ordinals, matching how a real
+    mis-decode carries those bytes through. Returns None when some
+    character can't have come from a single byte (true non-Latin text) —
+    no repair is possible then.
+    """
+    out = bytearray()
+    for ch in text:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            if ord(ch) < 0x100:
+                out.append(ord(ch))
+            else:
+                return None
+    return bytes(out)
+
+
+def _fix_mojibake(text: str) -> str:
+    """Repair UTF-8 text that was mis-decoded as cp1252/latin-1.
+
+    The dominant corruption ftfy.fix_text repairs ("cafÃ©" -> "café",
+    "â€œ" -> left curly quote). Conservative by construction: the repair
+    applies only when (a) re-encoding the whole string as sloppy-cp1252
+    succeeds, (b) the bytes contain a UTF-8 multibyte signature, and
+    (c) the whole byte string strictly decodes as UTF-8. Iterates to also
+    undo double-encoding; strings that fail any gate pass through
+    unchanged.
+    """
+    for _ in range(3):
+        data = _encode_sloppy_cp1252(text)
+        if data is None or not _UTF8_SEQ.search(data):
+            return text
+        try:
+            fixed = data.decode("utf-8")
+        except UnicodeDecodeError:
+            return text
+        if fixed == text:
+            return text
+        text = fixed
+    return text
+
+
 def _clean(text: str) -> str:
-    # NFC AFTER unescaping (ftfy.fix_text's effective order): an
-    # HTML-entity combining mark ("cafe&#769;") only becomes composable
-    # once the entity expands, so normalizing first would leave it
-    # decomposed — the exact divergence NFC is here to prevent
+    # order matches ftfy.fix_text's effective pipeline: unescape first (an
+    # HTML-entity combining mark "cafe&#769;" only becomes composable once
+    # the entity expands; entity-encoded mojibake "caf&#195;&#169;" only
+    # becomes repairable once expanded), then mojibake repair, then NFC
     text = html.unescape(html.unescape(text))
+    text = _fix_mojibake(text)
     text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip()

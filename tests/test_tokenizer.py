@@ -94,3 +94,35 @@ def test_nfc_normalization(tok):
     assert tok.encode(composed) == tok.encode(decomposed)
     # entity-encoded combining mark: must compose AFTER html.unescape
     assert tok.encode(composed) == tok.encode("cafe&#769;")
+
+
+def test_mojibake_repair(tok):
+    # the ftfy.fix_text behaviors the reference tokenizer inherits
+    # (models/clip_cls.py:81-83 -> clip.tokenize): UTF-8 mis-decoded as
+    # cp1252/latin-1 is repaired before encoding
+    from eventclip_tpu.models.clip.tokenizer import _fix_mojibake
+
+    # classic single mis-decode: b"caf\xc3\xa9" read as latin-1
+    assert _fix_mojibake("caf\u00c3\u00a9") == "caf\u00e9"
+    assert tok.encode("caf\u00c3\u00a9") == tok.encode("caf\u00e9")
+    # cp1252 smart quotes: b"\xe2\x80\x9c ok \xe2\x80\x9d" read as cp1252
+    # (the trailing 0x9d is a cp1252 hole -> carried as U+009D)
+    assert _fix_mojibake("\u00e2\u20ac\u0153ok\u00e2\u20ac\u009d") == "\u201cok\u201d"
+    # double-encoded: two repair passes
+    assert _fix_mojibake("caf\u00c3\u0192\u00c2\u00a9") == "caf\u00e9"
+    # entity-encoded mojibake becomes repairable after html.unescape
+    assert tok.encode("caf&#195;&#169;") == tok.encode("caf\u00e9")
+
+
+def test_mojibake_repair_leaves_clean_text_alone():
+    from eventclip_tpu.models.clip.tokenizer import _fix_mojibake
+
+    for clean in [
+        "caf\u00e9",  # genuine Latin-1-range text
+        "Gr\u00f6\u00dfe",  # 0xF6 0xDF is not a UTF-8 sequence
+        "a point cloud image of a cat",
+        "\u03bd\u03b1\u03cc\u03c2",  # non-Latin text can't be a single-byte mis-decode
+        "\u00e3\u00a9",  # signature bytes but truncated UTF-8: no strict decode
+        "d\u00e9j\u00e0 vu \u00e2\u20ac\u201d dash",  # mixed: whole-string decode fails
+    ]:
+        assert _fix_mojibake(clean) == clean
