@@ -1,0 +1,288 @@
+"""AOT serving artifacts: one self-contained file per deployment.
+
+The reference has no deployment story beyond re-running test.py; our live
+`serve.Predictor` already packages that pipeline, but it still rebuilds
+the model (config import, CLIP construction, checkpoint load, text-tower
+prompting) and re-traces the step on every process start. This module
+freezes a Predictor's device program into a single portable bundle via
+`jax.export` (StableHLO with the weights baked in as constants) so a
+serving host needs NO model-building code and NO checkpoint/config files:
+
+    # build box (has config + weights):
+    python -m eventclip_tpu.export --params configs/zsclip/... \
+        --classes names.txt --out model.eclip
+
+    # serving box (has only the bundle):
+    from eventclip_tpu.export import ExportedPredictor
+    pred = ExportedPredictor("model.eclip")
+    out = pred.predict(list_of_event_arrays)
+
+What the bundle pins, by construction:
+- the exact traced computation (rasterize -> preprocess -> CLIP ->
+  aggregation) at a fixed [batch, views, window, 3] int16 geometry —
+  no retrace, no config drift between build and serving;
+- the weights (quantized int8 trees included) as StableHLO constants;
+- the label space, TTA mode, and sensor geometry in a JSON header the
+  loader uses to reconstruct the HOST half — `ExportedPredictor`
+  subclasses `Predictor`, so windowing/chunking/TTA aggregation are the
+  SAME code as live serving (parity by construction, not by re-test).
+
+Portability: by default the export lowers the XLA formulation of every
+kernel (the Pallas/Mosaic custom calls carry no cross-version stability
+guarantee), so the artifact runs on any JAX backend/version within the
+jax.export compatibility window. `pallas=True` keeps the fused TPU
+kernels for a same-fleet deployment, at the cost of that guarantee.
+
+Scope: single-device programs (the common serving shape; multi-chip
+serving re-shards at load time and should use the live Predictor) and
+the padded step only — view-packed programs are a throughput
+optimization with 4 bucket variants, deliberately not frozen. Runtime
+label swaps (`set_classes`) and `embed` need the live model and raise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .serve import Predictor
+
+_META_NAME = "meta.json"
+_STEP_NAME = "step.jaxexport"
+_FORMAT_VERSION = 1
+
+
+def export_predictor(pred: Predictor, path: str, *,
+                     platforms: Optional[Sequence[str]] = None,
+                     pallas: bool = False) -> dict:
+    """Freeze `pred`'s padded device program + weights into `path`.
+
+    platforms: lowering platforms (e.g. ("cpu", "tpu") for an artifact
+        that runs on both); default = the current backend.
+    pallas: keep Mosaic kernels in the artifact (TPU-only, waives the
+        custom-call stability guarantee). Default lowers the XLA
+        formulations — same numerics, portable.
+
+    Returns the metadata dict written into the bundle. The weights are
+    serialized as program constants, so the file is roughly the model
+    size (~1.7 GB for ViT-L/14 fp32 masters; int8 towers shrink it).
+    """
+    import jax
+    from jax import export as jexport
+
+    if pred._mesh is not None:
+        raise ValueError(
+            "export_predictor freezes a single-device program; build the "
+            "Predictor with data_parallel=False (a multi-chip deployment "
+            "re-shards at load time and should serve live)"
+        )
+    # host copy of the weights -> baked into the program as constants
+    params = jax.device_get(pred._params)
+    step = pred._step
+
+    def frozen(windows, valid):
+        return step(params, windows, valid)
+
+    wins_aval = jax.ShapeDtypeStruct(
+        (pred.batch_size, pred.views, pred.window, 3), np.int16)
+    valid_aval = jax.ShapeDtypeStruct((pred.batch_size, pred.views),
+                                      np.bool_)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    if pallas:
+        kwargs["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
+        ]
+        exported = jexport.export(jax.jit(frozen), **kwargs)(
+            wins_aval, valid_aval)
+    else:
+        # the rasterize jits are keyed on the Pallas env gate
+        # (ops/pallas_gate.py + rasterize._raster_env_key), so flipping it
+        # for the trace lowers the XLA formulation without touching the
+        # live predictor's compiled programs
+        old = os.environ.get("EVENTCLIP_NO_PALLAS")
+        os.environ["EVENTCLIP_NO_PALLAS"] = "1"
+        try:
+            exported = jexport.export(jax.jit(frozen), **kwargs)(
+                wins_aval, valid_aval)
+        finally:
+            if old is None:
+                del os.environ["EVENTCLIP_NO_PALLAS"]
+            else:
+                os.environ["EVENTCLIP_NO_PALLAS"] = old
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "class_names": list(pred.class_names),
+        "batch_size": int(pred.batch_size),
+        "views": int(pred.views),
+        "window": int(pred.window),
+        "resolution": [int(pred.resolution[0]), int(pred.resolution[1])],
+        "tta": bool(pred.tta),
+        "platforms": list(exported.platforms),
+        "pallas": bool(pallas),
+        "jax_version": jax.__version__,
+    }
+    blob = bytes(exported.serialize())
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_META_NAME, json.dumps(meta, indent=1))
+        # the serialized program is already dense weight bytes — STORED
+        # (deflating ~GB of float weights costs minutes for ~nothing)
+        z.writestr(_STEP_NAME, blob, compress_type=zipfile.ZIP_STORED)
+    os.replace(tmp, path)
+    return meta
+
+
+class ExportedPredictor(Predictor):
+    """Serve from a bundle written by `export_predictor`.
+
+    Subclasses the live Predictor but builds NO model: the device phase
+    is the deserialized frozen program (weights inside), and every host
+    method (stream validation, content-seeded windowing, TTA variants,
+    chunking/padding, probability finalization) is inherited UNCHANGED —
+    an ExportedPredictor's answers equal the exporting Predictor's on the
+    same streams (pinned by tests/test_export.py).
+    """
+
+    def __init__(self, path: str):
+        import jax
+
+        from .utils.jax_setup import setup_jax
+
+        setup_jax()
+        with zipfile.ZipFile(path) as z:
+            meta = json.loads(z.read(_META_NAME).decode("utf-8"))
+            if meta.get("format_version") != _FORMAT_VERSION:
+                raise ValueError(
+                    f"{path}: bundle format {meta.get('format_version')} "
+                    f"!= supported {_FORMAT_VERSION}"
+                )
+            blob = z.read(_STEP_NAME)
+        from jax import export as jexport
+
+        backend = jax.default_backend()
+        if backend not in meta["platforms"]:
+            raise ValueError(
+                f"{path} was lowered for {meta['platforms']}, but this "
+                f"process runs on '{backend}' — re-export with "
+                f"platforms=('{backend}',) or a multi-platform list"
+            )
+        self.meta = meta
+        self.class_names = list(meta["class_names"])
+        self.batch_size = int(meta["batch_size"])
+        self.views = int(meta["views"])
+        self.window = int(meta["window"])
+        self.resolution = (int(meta["resolution"][0]),
+                           int(meta["resolution"][1]))
+        self.tta = bool(meta["tta"])
+        call = jax.jit(jexport.deserialize(bytearray(blob)).call)
+        # the inherited dispatch passes (params, windows, valid); the
+        # frozen program carries its own weights
+        self._step = lambda p, windows, valid: call(windows, valid)
+        self._params = None
+        self._mesh = None
+        self._shard_batch = None
+        self._buckets = None  # single padded program: no packed variants
+        self._step_packed = None
+        self._embed_step = None
+
+    def set_classes(self, class_names) -> None:
+        # ValueError: the category the HTTP layer maps to a 400 — same as
+        # the live predictor's permanent can't-swap case (prompt tuning)
+        raise ValueError(
+            "the exported program bakes its text features in — swapping "
+            "labels needs the live model (serve.Predictor.set_classes), "
+            "then a re-export"
+        )
+
+    def embed(self, event_streams):
+        raise RuntimeError(
+            "the bundle freezes the classification program only; build a "
+            "live Predictor(embed=True) for embeddings"
+        )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Export a serving bundle (frozen program + weights)")
+    ap.add_argument("--params", required=True, help="experiment config .py")
+    ap.add_argument("--out", required=True, help="output bundle path")
+    ap.add_argument("--classes", default="", help="one class name per line")
+    ap.add_argument("--data_root", default="",
+                    help="derive class names from this dataset tree")
+    ap.add_argument("--weight", default="", help="trained checkpoint "
+                    "(.npz or reference .pth)")
+    ap.add_argument("--clip_ckpt", default="", help="OpenAI CLIP .pt")
+    ap.add_argument("--smoke", action="store_true",
+                    help="random CLIP weights (pipeline validation)")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--prune_tokens", type=int, default=0)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--platforms", default="",
+                    help="comma list, e.g. cpu,tpu (default: this backend)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="keep Mosaic kernels (TPU-only artifact, no "
+                    "cross-version custom-call guarantee)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="build/export on CPU (env vars alone cannot "
+                    "switch platforms once jax is imported)")
+    ap.add_argument("--check", action="store_true",
+                    help="reload the bundle and verify it reproduces the "
+                    "live predictor on random streams")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from .server import resolve_class_names
+    from .utils.config import load_params
+
+    params = load_params(args.params)
+    names = resolve_class_names(params, args.classes, args.data_root)
+    pred = Predictor(
+        params, names, weight=args.weight,
+        clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
+        int8=args.int8, prune_tokens=args.prune_tokens,
+        batch_size=args.batch_size, tta=args.tta,
+    )
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 or None)
+    meta = export_predictor(pred, args.out, platforms=platforms,
+                            pallas=args.pallas)
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out} ({size / 1e6:.1f} MB): "
+          f"{len(meta['class_names'])} classes, batch {meta['batch_size']}, "
+          f"platforms {meta['platforms']}")
+    if args.check:
+        rng = np.random.default_rng(0)
+        h, w = pred.resolution
+        streams = [
+            np.stack([rng.integers(0, w, n), rng.integers(0, h, n),
+                      np.sort(rng.random(n)),
+                      rng.choice([-1.0, 1.0], n)], axis=1).astype(np.float32)
+            for n in (pred.window // 2, pred.window * pred.views)
+        ]
+        live = pred.predict(streams)["probs"]
+        frozen = ExportedPredictor(args.out).predict(streams)["probs"]
+        delta = float(np.abs(live - frozen).max())
+        # the live path may run view-packed programs; the bundle is the
+        # padded program — identical math, so only float-order noise
+        print(f"check: max |live - exported| prob delta = {delta:.2e}")
+        if delta > 1e-4:
+            raise SystemExit("check FAILED: exported bundle diverges")
+        print("check OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -981,8 +981,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     ap = argparse.ArgumentParser(
         description="EventCLIP-TPU HTTP serving endpoint")
-    ap.add_argument("--params", required=True,
+    ap.add_argument("--params", default="",
                     help="experiment config (same file the CLIs take)")
+    ap.add_argument("--from_export", default="",
+                    help="serve a frozen bundle written by `python -m "
+                    "eventclip_tpu.export` instead of building the model — "
+                    "no config/weights needed on this host (model flags "
+                    "like --weight/--int8/--tta are baked into the bundle "
+                    "and rejected here)")
     ap.add_argument("--weight", default="",
                     help="checkpoint (.npz); required for trainable models")
     ap.add_argument("--classes", default="",
@@ -1051,26 +1057,50 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    params = load_params(args.params)
-    names = resolve_class_names(params, args.classes, args.data_root)
-    calib_streams = None
-    if args.int8_calib:
-        import glob as globlib
+    if bool(args.params) == bool(args.from_export):
+        ap.error("pass exactly one of --params or --from_export")
+    if args.from_export:
+        # every model decision is frozen inside the bundle; a flag that
+        # silently did nothing would be a misconfiguration time bomb
+        baked = {"--weight": args.weight, "--classes": args.classes,
+                 "--data_root": args.data_root, "--clip_ckpt": args.clip_ckpt,
+                 "--int8": args.int8, "--int8_calib": args.int8_calib,
+                 "--prune_tokens": args.prune_tokens,
+                 "--data_parallel": args.data_parallel, "--tta": args.tta,
+                 "--embed": args.embed, "--smoke": args.smoke}
+        offending = [k for k, v in baked.items() if v]
+        if args.batch_size != ap.get_default("batch_size"):
+            offending.append("--batch_size")
+        if offending:
+            ap.error(f"{' '.join(offending)}: baked into the bundle at "
+                     "export time — re-export to change them")
+        from .export import ExportedPredictor
 
-        import numpy as np
+        predictor = ExportedPredictor(args.from_export)
+        model_desc = f"exported bundle {args.from_export}"
+        names = predictor.class_names
+    else:
+        params = load_params(args.params)
+        names = resolve_class_names(params, args.classes, args.data_root)
+        calib_streams = None
+        if args.int8_calib:
+            import glob as globlib
 
-        files = sorted(globlib.glob(args.int8_calib))
-        if not files:
-            ap.error(f"--int8_calib matched no files: {args.int8_calib}")
-        calib_streams = [np.load(f) for f in files]
-    predictor = Predictor(
-        params, names, weight=args.weight,
-        clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
-        int8=args.int8, int8_calib_streams=calib_streams,
-        prune_tokens=args.prune_tokens,
-        batch_size=args.batch_size, data_parallel=args.data_parallel,
-        tta=args.tta, embed=args.embed,
-    )
+            import numpy as np
+
+            files = sorted(globlib.glob(args.int8_calib))
+            if not files:
+                ap.error(f"--int8_calib matched no files: {args.int8_calib}")
+            calib_streams = [np.load(f) for f in files]
+        predictor = Predictor(
+            params, names, weight=args.weight,
+            clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
+            int8=args.int8, int8_calib_streams=calib_streams,
+            prune_tokens=args.prune_tokens,
+            batch_size=args.batch_size, data_parallel=args.data_parallel,
+            tta=args.tta, embed=args.embed,
+        )
+        model_desc = f"{params.model} ({params.clip_dict['arch']})"
     _warm_up(predictor)
 
     server = make_server(predictor, args.host, args.port,
@@ -1081,7 +1111,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                          session_ttl_s=args.session_ttl,
                          max_sessions=args.max_sessions,
                          max_horizon=args.max_horizon)
-    print(f"serving {params.model} ({params.clip_dict['arch']}) on "
+    print(f"serving {model_desc} on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"[{len(names)} classes, batch_size={predictor.batch_size}]",
           flush=True)

@@ -1,0 +1,152 @@
+"""AOT serving bundles (eventclip_tpu.export): a bundle written by
+export_predictor must reproduce the live Predictor's predictions with no
+model-building code at load time."""
+
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from eventclip_tpu.export import ExportedPredictor, export_predictor
+from eventclip_tpu.serve import Predictor
+from eventclip_tpu.utils.config import Params
+
+
+class _TinyZS(Params):
+    gpus = 1
+    dataset = "n_caltech"
+    data_root = "/nonexistent"  # serving never touches it
+    train_batch_size = 4
+    val_batch_size = 8
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method="event_count",
+        convert_method="event_histogram", grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = "ZSCLIP"
+    clip_dict = dict(arch="ViT-T/8@32",
+                     prompt="a point cloud image of a {}",
+                     agg_func="mean")
+    bf16 = False
+
+
+NAMES = ["airplanes", "ant", "brain"]
+
+
+def _streams(rng, n=5):
+    out = []
+    for _ in range(n):
+        k = 1500 + int(rng.integers(0, 2000))
+        out.append(np.stack([
+            rng.integers(0, 240, k),
+            rng.integers(0, 180, k),
+            np.sort(rng.uniform(0, 0.3, k)),
+            rng.choice([-1.0, 1.0], k),
+        ], axis=1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def live():
+    return Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def bundle(live, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "model.eclip")
+    meta = export_predictor(live, path)
+    return path, meta
+
+
+def test_bundle_layout(bundle):
+    path, meta = bundle
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert names == {"meta.json", "step.jaxexport"}
+        stored = json.loads(z.read("meta.json").decode("utf-8"))
+    assert stored == meta
+    assert stored["class_names"] == NAMES
+    assert stored["batch_size"] == 4
+    assert stored["window"] == 1000
+    assert stored["tta"] is False
+    assert "cpu" in stored["platforms"]
+
+
+def test_exported_matches_live(live, bundle):
+    """The frozen program must reproduce the live predictions — same
+    streams, same chunking, including a padded tail chunk and a stream
+    long enough to force content-seeded view subsampling."""
+    frozen = ExportedPredictor(bundle[0])
+    rng = np.random.default_rng(7)
+    streams = _streams(rng, n=5)  # 5 streams, bs=4: padded second chunk
+    k = 14000  # > views * N: the subsample path
+    streams[1] = np.stack([
+        rng.integers(0, 240, k), rng.integers(0, 180, k),
+        np.sort(rng.uniform(0, 0.3, k)), rng.choice([-1.0, 1.0], k),
+    ], axis=1)
+    a = live.predict(streams, top_k=2)
+    b = frozen.predict(streams, top_k=2)
+    # live may route through view-PACKED programs; the bundle freezes the
+    # padded program — identical math modulo float reduction order
+    np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    assert a["names"] == b["names"]
+    np.testing.assert_array_equal(a["topk"], b["topk"])
+
+
+def test_exported_host_contract(bundle):
+    frozen = ExportedPredictor(bundle[0])
+    # inherited validation: bad stream is named by index
+    with pytest.raises(ValueError, match=r"event_streams\[1\]"):
+        frozen.predict([np.zeros((10, 4), np.float32),
+                        np.zeros((0, 4), np.float32)])
+    # empty request short-circuits without the device
+    out = frozen.predict([])
+    assert out["probs"].shape == (0, 3) and out["names"] == []
+    # frozen programs can't swap labels or embed
+    with pytest.raises(ValueError, match="re-export"):
+        frozen.set_classes(["a", "b"])
+    with pytest.raises(RuntimeError, match="live Predictor"):
+        frozen.embed([np.zeros((10, 4), np.float32)])
+
+
+def test_exported_tta_bundle(tmp_path):
+    """TTA predictors export too: 4 variant rows per stream, averaged by
+    the inherited finalize — bit-identical to the live TTA predictor."""
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=4, tta=True)
+    path = str(tmp_path / "tta.eclip")
+    meta = export_predictor(live, path)
+    assert meta["tta"] is True
+    frozen = ExportedPredictor(path)
+    streams = _streams(np.random.default_rng(8), n=2)
+    a = live.predict(streams)
+    b = frozen.predict(streams)
+    np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
+
+
+def test_exported_int8_bundle(tmp_path):
+    """Quantized trees (int8 payload + f32 scales) bake into the program
+    and reproduce the live int8 predictions."""
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=4, int8=True)
+    path = str(tmp_path / "int8.eclip")
+    export_predictor(live, path)
+    frozen = ExportedPredictor(path)
+    streams = _streams(np.random.default_rng(9), n=3)
+    a = live.predict(streams)
+    b = frozen.predict(streams)
+    np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
+
+
+def test_format_version_gate(bundle, tmp_path):
+    path = str(tmp_path / "future.eclip")
+    with zipfile.ZipFile(bundle[0]) as src, \
+            zipfile.ZipFile(path, "w") as dst:
+        meta = json.loads(src.read("meta.json").decode("utf-8"))
+        meta["format_version"] = 999
+        dst.writestr("meta.json", json.dumps(meta))
+        dst.writestr("step.jaxexport", src.read("step.jaxexport"))
+    with pytest.raises(ValueError, match="format 999"):
+        ExportedPredictor(path)

@@ -1049,3 +1049,46 @@ def test_streaming_session_ttl_and_cap():
         assert c.stats()["sessions"] == 0
     finally:
         server.shutdown()
+
+
+def test_serving_from_exported_bundle(tmp_path):
+    """An HTTP server handed an ExportedPredictor (the --from_export path)
+    must answer /predict, /classes, and a streaming session exactly like
+    the live predictor it was exported from; /set_classes and /embed
+    surface the frozen-program refusal as a clean 400, not a 500."""
+    from eventclip_tpu.export import ExportedPredictor, export_predictor
+
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    bundle = str(tmp_path / "model.eclip")
+    export_predictor(live, bundle)
+    frozen = ExportedPredictor(bundle)
+    server = make_server(frozen, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, resp = _get(url + "/classes")
+        assert code == 200 and resp["classes"] == NAMES
+        streams = _streams(np.random.default_rng(3), 5)
+        body = json.dumps({
+            "streams": [s.tolist() for s in streams],
+            "top_k": 2, "return_probs": True,
+        }).encode()
+        code, resp = _post(url + "/predict", body)
+        assert code == 200
+        direct = live.predict(streams, top_k=2)
+        assert resp["label"] == direct["label"].tolist()
+        assert resp["names"] == direct["names"]
+        np.testing.assert_allclose(np.asarray(resp["probs"]),
+                                   direct["probs"], rtol=1e-5, atol=1e-6)
+        # frozen programs can't swap labels or embed: clean client errors
+        for route, payload in (
+            ("/set_classes", {"classes": ["a", "b"]}),
+            ("/embed", {"streams": [streams[0].tolist()]}),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(url + route, json.dumps(payload).encode())
+            assert e.value.code == 400, (
+                f"{route}: frozen-bundle refusal should be a client error")
+    finally:
+        server.shutdown()
