@@ -224,6 +224,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--smoke", action="store_true",
                     help="random CLIP weights (pipeline validation)")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8_calib", default="",
+                    help="with --int8: glob of .npy raw event dumps to "
+                    "calibrate STATIC activation scales on (~1.43x encode; "
+                    "the scales freeze into the bundle)")
     ap.add_argument("--prune_tokens", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--tta", action="store_true")
@@ -250,10 +254,19 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     params = load_params(args.params)
     names = resolve_class_names(params, args.classes, args.data_root)
+    calib_streams = None
+    if args.int8_calib:
+        import glob as globlib
+
+        files = sorted(globlib.glob(args.int8_calib))
+        if not files:
+            ap.error(f"--int8_calib matched no files: {args.int8_calib}")
+        calib_streams = [np.load(f) for f in files]
     pred = Predictor(
         params, names, weight=args.weight,
         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
-        int8=args.int8, prune_tokens=args.prune_tokens,
+        int8=args.int8, int8_calib_streams=calib_streams,
+        prune_tokens=args.prune_tokens,
         batch_size=args.batch_size, tta=args.tta,
     )
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]

@@ -740,7 +740,11 @@ def main(argv=None) -> None:
     import sys
 
     ap = argparse.ArgumentParser(description=main.__doc__.split("\n")[0])
-    ap.add_argument("--params", required=True)
+    ap.add_argument("--params", default="")
+    ap.add_argument("--from_export", default="",
+                    help="classify with a frozen bundle (python -m "
+                    "eventclip_tpu.export) instead of building the model; "
+                    "model flags are baked into the bundle and rejected")
     ap.add_argument("--inputs", required=True,
                     help="glob of .npy/.npz event dumps (quote it)")
     ap.add_argument("--out", default="-",
@@ -778,14 +782,34 @@ def main(argv=None) -> None:
     paths = sorted(globlib.glob(args.inputs, recursive=True))
     if not paths:
         raise SystemExit(f"no files match {args.inputs!r}")
-    params = load_params(args.params)
-    names = resolve_class_names(params, args.classes, args.data_root)
-    pred = Predictor(params, names, weight=args.weight,
-                     clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
-                     int8=args.int8, prune_tokens=args.prune_tokens,
-                     batch_size=args.batch_size,
-                     data_parallel=args.data_parallel, tta=args.tta,
-                     embed=bool(args.embed_out))
+    if bool(args.params) == bool(args.from_export):
+        ap.error("pass exactly one of --params or --from_export")
+    if args.from_export:
+        baked = {"--weight": args.weight, "--classes": args.classes,
+                 "--data_root": args.data_root,
+                 "--clip_ckpt": args.clip_ckpt, "--int8": args.int8,
+                 "--prune_tokens": args.prune_tokens,
+                 "--data_parallel": args.data_parallel, "--tta": args.tta,
+                 "--embed_out": args.embed_out, "--smoke": args.smoke}
+        offending = [k for k, v in baked.items() if v]
+        if args.batch_size != ap.get_default("batch_size"):
+            offending.append("--batch_size")
+        if offending:
+            ap.error(f"{' '.join(offending)}: baked into the bundle at "
+                     "export time — re-export to change them")
+        from .export import ExportedPredictor
+
+        pred = ExportedPredictor(args.from_export)
+        names = pred.class_names
+    else:
+        params = load_params(args.params)
+        names = resolve_class_names(params, args.classes, args.data_root)
+        pred = Predictor(params, names, weight=args.weight,
+                         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
+                         int8=args.int8, prune_tokens=args.prune_tokens,
+                         batch_size=args.batch_size,
+                         data_parallel=args.data_parallel, tta=args.tta,
+                         embed=bool(args.embed_out))
 
     def load(p):
         # a bad file mid-glob must name itself, not abort a long run

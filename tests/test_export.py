@@ -150,3 +150,30 @@ def test_format_version_gate(bundle, tmp_path):
         dst.writestr("step.jaxexport", src.read("step.jaxexport"))
     with pytest.raises(ValueError, match="format 999"):
         ExportedPredictor(path)
+
+
+def test_offline_cli_from_export(bundle, live, tmp_path, capsys):
+    """python -m eventclip_tpu.serve --from_export: the offline batch CLI
+    classifies dumps with the frozen bundle; model flags baked at export
+    time are rejected instead of silently ignored."""
+    from eventclip_tpu.serve import main as serve_main
+
+    rng = np.random.default_rng(11)
+    streams = _streams(rng, 3)
+    for i, s in enumerate(streams):
+        np.save(tmp_path / f"dump_{i}.npy", s.astype(np.float32))
+    out_path = tmp_path / "preds.jsonl"
+    serve_main(["--from_export", bundle[0],
+                "--inputs", str(tmp_path / "*.npy"),
+                "--out", str(out_path), "--top_k", "2"])
+    recs = [json.loads(ln) for ln in out_path.read_text().splitlines()]
+    assert len(recs) == 3
+    direct = live.predict(
+        [np.load(tmp_path / f"dump_{i}.npy") for i in range(3)], top_k=2)
+    assert [r["name"] for r in recs] == direct["names"]
+
+    with pytest.raises(SystemExit):
+        serve_main(["--from_export", bundle[0], "--int8",
+                    "--inputs", str(tmp_path / "*.npy")])
+    with pytest.raises(SystemExit):  # exactly one source
+        serve_main(["--inputs", str(tmp_path / "*.npy")])
