@@ -4,9 +4,9 @@ The reference has no deployment story beyond re-running test.py; our live
 `serve.Predictor` already packages that pipeline, but it still rebuilds
 the model (config import, CLIP construction, checkpoint load, text-tower
 prompting) and re-traces the step on every process start. This module
-freezes a Predictor's device program into a single portable bundle via
-`jax.export` (StableHLO with the weights baked in as constants) so a
-serving host needs NO model-building code and NO checkpoint/config files:
+freezes a Predictor's device programs into a single portable bundle via
+`jax.export` (StableHLO) so a serving host needs NO model-building code
+and NO checkpoint/config files:
 
     # build box (has config + weights):
     python -m eventclip_tpu.export --params configs/zsclip/... \
@@ -18,14 +18,20 @@ serving host needs NO model-building code and NO checkpoint/config files:
     out = pred.predict(list_of_event_arrays)
 
 What the bundle pins, by construction:
-- the exact traced computation (rasterize -> preprocess -> CLIP ->
-  aggregation) at a fixed [batch, views, window, 3] int16 geometry —
-  no retrace, no config drift between build and serving;
-- the weights (quantized int8 trees included) as StableHLO constants;
+- the exact traced computations (rasterize -> preprocess -> CLIP ->
+  aggregation) at fixed geometries — no retrace, no config drift between
+  build and serving. Both the padded program AND the view-packed bucket
+  variants freeze, so bundle serving keeps live serving's small-request
+  economy (a one-stream request encodes its ~8 real views, not the whole
+  batch_size x views budget);
+- the weights (quantized int8 trees included), stored ONCE as raw leaf
+  bytes and fed to every program as arguments — freezing the 1-5 bucket
+  programs costs kilobytes of StableHLO each, not weight-sized copies;
 - the label space, TTA mode, and sensor geometry in a JSON header the
   loader uses to reconstruct the HOST half — `ExportedPredictor`
-  subclasses `Predictor`, so windowing/chunking/TTA aggregation are the
-  SAME code as live serving (parity by construction, not by re-test).
+  subclasses `Predictor`, so windowing/chunking/TTA aggregation and the
+  bucket policy are the SAME code as live serving (parity by
+  construction, not by re-test).
 
 Portability: by default the export lowers the XLA formulation of every
 kernel (the Pallas/Mosaic custom calls carry no cross-version stability
@@ -34,10 +40,9 @@ jax.export compatibility window. `pallas=True` keeps the fused TPU
 kernels for a same-fleet deployment, at the cost of that guarantee.
 
 Scope: single-device programs (the common serving shape; multi-chip
-serving re-shards at load time and should use the live Predictor) and
-the padded step only — view-packed programs are a throughput
-optimization with 4 bucket variants, deliberately not frozen. Runtime
-label swaps (`set_classes`) and `embed` need the live model and raise.
+serving re-shards at load time and should use the live Predictor).
+Runtime label swaps (`set_classes`) and `embed` need the live model and
+raise.
 """
 
 from __future__ import annotations
@@ -53,13 +58,23 @@ from .serve import Predictor
 
 _META_NAME = "meta.json"
 _STEP_NAME = "step.jaxexport"
-_FORMAT_VERSION = 1
+_PARAMS_NAME = "params.npz"
+_FORMAT_VERSION = 2
+
+
+def _packed_name(bucket: int) -> str:
+    return f"packed_{bucket}.jaxexport"
+
+
+def _leaf_bytes(x: np.ndarray) -> np.ndarray:
+    """A dtype-agnostic byte view (npz can't round-trip bf16 natively)."""
+    return np.frombuffer(np.asarray(x).tobytes(), dtype=np.uint8)
 
 
 def export_predictor(pred: Predictor, path: str, *,
                      platforms: Optional[Sequence[str]] = None,
                      pallas: bool = False) -> dict:
-    """Freeze `pred`'s padded device program + weights into `path`.
+    """Freeze `pred`'s device programs + weights into `path`.
 
     platforms: lowering platforms (e.g. ("cpu", "tpu") for an artifact
         that runs on both); default = the current backend.
@@ -68,24 +83,33 @@ def export_predictor(pred: Predictor, path: str, *,
         formulations — same numerics, portable.
 
     Returns the metadata dict written into the bundle. The weights are
-    serialized as program constants, so the file is roughly the model
-    size (~1.7 GB for ViT-L/14 fp32 masters; int8 towers shrink it).
+    serialized once as raw leaf bytes and every frozen program takes them
+    as arguments, so the file is roughly the model size (~1.7 GB for
+    ViT-L/14 fp32 masters; int8 towers shrink it) regardless of how many
+    bucket programs freeze.
     """
     import jax
     from jax import export as jexport
 
     if pred._mesh is not None:
         raise ValueError(
-            "export_predictor freezes a single-device program; build the "
+            "export_predictor freezes single-device programs; build the "
             "Predictor with data_parallel=False (a multi-chip deployment "
             "re-shards at load time and should serve live)"
         )
-    # host copy of the weights -> baked into the program as constants
+    # host copy of the weights; positional leaves are the cross-process
+    # param contract (the loader rebuilds the same flat list, so no
+    # treedef has to serialize)
     params = jax.device_get(pred._params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaf_avals = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
     step = pred._step
+    step_packed = pred._step_packed
+    buckets = list(pred._buckets or [])
 
-    def frozen(windows, valid):
-        return step(params, windows, valid)
+    def frozen(leaf_list, windows, valid):
+        p = jax.tree_util.tree_unflatten(treedef, leaf_list)
+        return step(p, windows, valid)
 
     wins_aval = jax.ShapeDtypeStruct(
         (pred.batch_size, pred.views, pred.window, 3), np.int16)
@@ -98,8 +122,28 @@ def export_predictor(pred: Predictor, path: str, *,
         kwargs["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
         ]
-        exported = jexport.export(jax.jit(frozen), **kwargs)(
-            wins_aval, valid_aval)
+
+    def do_exports():
+        programs = {
+            _STEP_NAME: jexport.export(jax.jit(frozen), **kwargs)(
+                leaf_avals, wins_aval, valid_aval)
+        }
+        if step_packed is not None:
+            def frozen_packed(leaf_list, windows, view_src, valid):
+                p = jax.tree_util.tree_unflatten(treedef, leaf_list)
+                return step_packed(p, windows, view_src, valid)
+
+            for k in buckets:
+                programs[_packed_name(k)] = jexport.export(
+                    jax.jit(frozen_packed), **kwargs)(
+                        leaf_avals,
+                        jax.ShapeDtypeStruct((k, pred.window, 3), np.int16),
+                        jax.ShapeDtypeStruct((k,), np.int32),
+                        valid_aval)
+        return programs
+
+    if pallas:
+        programs = do_exports()
     else:
         # the rasterize jits are keyed on the Pallas env gate
         # (ops/pallas_gate.py + rasterize._raster_env_key), so flipping it
@@ -108,8 +152,7 @@ def export_predictor(pred: Predictor, path: str, *,
         old = os.environ.get("EVENTCLIP_NO_PALLAS")
         os.environ["EVENTCLIP_NO_PALLAS"] = "1"
         try:
-            exported = jexport.export(jax.jit(frozen), **kwargs)(
-                wins_aval, valid_aval)
+            programs = do_exports()
         finally:
             if old is None:
                 del os.environ["EVENTCLIP_NO_PALLAS"]
@@ -124,17 +167,31 @@ def export_predictor(pred: Predictor, path: str, *,
         "window": int(pred.window),
         "resolution": [int(pred.resolution[0]), int(pred.resolution[1])],
         "tta": bool(pred.tta),
-        "platforms": list(exported.platforms),
+        "buckets": [int(k) for k in (buckets if step_packed is not None
+                                     else [])],
+        "params_manifest": [
+            {"dtype": str(np.asarray(x).dtype), "shape": list(x.shape)}
+            for x in leaves
+        ],
+        "platforms": list(programs[_STEP_NAME].platforms),
         "pallas": bool(pallas),
         "jax_version": jax.__version__,
     }
-    blob = bytes(exported.serialize())
     tmp = path + ".tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta, indent=1))
-        # the serialized program is already dense weight bytes — STORED
-        # (deflating ~GB of float weights costs minutes for ~nothing)
-        z.writestr(_STEP_NAME, blob, compress_type=zipfile.ZIP_STORED)
+        # weight bytes are dense float data — STORED (deflating ~GB of
+        # weights costs minutes for ~nothing); programs are kB of
+        # StableHLO, deflate is fine there
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **{f"{i:05d}": _leaf_bytes(x)
+                         for i, x in enumerate(leaves)})
+        z.writestr(_PARAMS_NAME, buf.getvalue(),
+                   compress_type=zipfile.ZIP_STORED)
+        for name, prog in programs.items():
+            z.writestr(name, bytes(prog.serialize()))
     os.replace(tmp, path)
     return meta
 
@@ -143,28 +200,36 @@ class ExportedPredictor(Predictor):
     """Serve from a bundle written by `export_predictor`.
 
     Subclasses the live Predictor but builds NO model: the device phase
-    is the deserialized frozen program (weights inside), and every host
-    method (stream validation, content-seeded windowing, TTA variants,
-    chunking/padding, probability finalization) is inherited UNCHANGED —
-    an ExportedPredictor's answers equal the exporting Predictor's on the
+    is the deserialized frozen programs (padded + one per view-pack
+    bucket) fed the bundle's weight leaves, and every host method (stream
+    validation, content-seeded windowing, TTA variants, chunking/packing,
+    probability finalization) is inherited UNCHANGED — an
+    ExportedPredictor's answers equal the exporting Predictor's on the
     same streams (pinned by tests/test_export.py).
     """
 
     def __init__(self, path: str):
+        import io
+
         import jax
 
         from .utils.jax_setup import setup_jax
 
         setup_jax()
+        from jax import export as jexport
+
         with zipfile.ZipFile(path) as z:
             meta = json.loads(z.read(_META_NAME).decode("utf-8"))
             if meta.get("format_version") != _FORMAT_VERSION:
                 raise ValueError(
                     f"{path}: bundle format {meta.get('format_version')} "
-                    f"!= supported {_FORMAT_VERSION}"
+                    f"!= supported {_FORMAT_VERSION} — re-export with this "
+                    f"version's eventclip_tpu.export"
                 )
-            blob = z.read(_STEP_NAME)
-        from jax import export as jexport
+            step_blob = z.read(_STEP_NAME)
+            packed_blobs = {int(k): z.read(_packed_name(k))
+                            for k in meta.get("buckets", [])}
+            params_blob = z.read(_PARAMS_NAME)
 
         backend = jax.default_backend()
         if backend not in meta["platforms"]:
@@ -181,16 +246,36 @@ class ExportedPredictor(Predictor):
         self.resolution = (int(meta["resolution"][0]),
                            int(meta["resolution"][1]))
         self.tta = bool(meta["tta"])
-        call = jax.jit(jexport.deserialize(bytearray(blob)).call)
-        # the inherited dispatch passes (params, windows, valid); the
-        # frozen program carries its own weights
-        self._step = lambda p, windows, valid: call(windows, valid)
-        self._params = None
+
+        # weights: raw bytes -> typed leaves, placed once; the positional
+        # leaf list IS the param pytree every frozen program expects
+        with np.load(io.BytesIO(params_blob)) as npz:
+            leaves = []
+            for i, spec in enumerate(meta["params_manifest"]):
+                raw = npz[f"{i:05d}"]
+                leaves.append(np.frombuffer(
+                    raw.tobytes(), dtype=np.dtype(spec["dtype"])
+                ).reshape(spec["shape"]))
+        self._params = jax.device_put(leaves)
+
+        # the inherited dispatch passes (params, windows, valid[, ...]);
+        # deserialized calls take exactly that signature
+        self._step = jax.jit(jexport.deserialize(bytearray(step_blob)).call)
         self._mesh = None
         self._shard_batch = None
-        self._buckets = None  # single padded program: no packed variants
-        self._step_packed = None
         self._embed_step = None
+        self._buckets = sorted(packed_blobs) or None
+        self._step_packed = None
+        if packed_blobs:
+            calls = {k: jax.jit(jexport.deserialize(bytearray(b)).call)
+                     for k, b in sorted(packed_blobs.items())}
+
+            def step_packed(p, windows, view_src, valid):
+                # bucket identity is the (static) packed-axis length
+                return calls[int(windows.shape[0])](p, windows, view_src,
+                                                    valid)
+
+            self._step_packed = step_packed
 
     def set_classes(self, class_names) -> None:
         # ValueError: the category the HTTP layer maps to a 400 — same as
@@ -203,7 +288,7 @@ class ExportedPredictor(Predictor):
 
     def embed(self, event_streams):
         raise RuntimeError(
-            "the bundle freezes the classification program only; build a "
+            "the bundle freezes the classification programs only; build a "
             "live Predictor(embed=True) for embeddings"
         )
 
@@ -212,7 +297,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     import argparse
 
     ap = argparse.ArgumentParser(
-        description="Export a serving bundle (frozen program + weights)")
+        description="Export a serving bundle (frozen programs + weights)")
     ap.add_argument("--params", required=True, help="experiment config .py")
     ap.add_argument("--out", required=True, help="output bundle path")
     ap.add_argument("--classes", default="", help="one class name per line")
@@ -276,6 +361,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     size = os.path.getsize(args.out)
     print(f"wrote {args.out} ({size / 1e6:.1f} MB): "
           f"{len(meta['class_names'])} classes, batch {meta['batch_size']}, "
+          f"pack buckets {meta['buckets'] or 'off'}, "
           f"platforms {meta['platforms']}")
     if args.check:
         rng = np.random.default_rng(0)
@@ -289,8 +375,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         live = pred.predict(streams)["probs"]
         frozen = ExportedPredictor(args.out).predict(streams)["probs"]
         delta = float(np.abs(live - frozen).max())
-        # the live path may run view-packed programs; the bundle is the
-        # padded program — identical math, so only float-order noise
+        # both sides route the same bucket policy, so the only daylight is
+        # float reduction order between the live trace and the
+        # deserialized program
         print(f"check: max |live - exported| prob delta = {delta:.2e}")
         if delta > 1e-4:
             raise SystemExit("check FAILED: exported bundle diverges")

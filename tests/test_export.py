@@ -61,16 +61,43 @@ def bundle(live, tmp_path_factory):
 
 def test_bundle_layout(bundle):
     path, meta = bundle
+    from eventclip_tpu.data.loader import eval_pack_buckets
+
     with zipfile.ZipFile(path) as z:
         names = set(z.namelist())
-        assert names == {"meta.json", "step.jaxexport"}
         stored = json.loads(z.read("meta.json").decode("utf-8"))
+    # weights once (params.npz) + the padded program + one frozen packed
+    # program per view-pack bucket — the SAME bucket policy live serving
+    # uses, so bundle routing can never diverge from live routing
+    buckets = eval_pack_buckets(stored["batch_size"], stored["views"], 1)
+    assert stored["buckets"] == buckets
+    assert names == ({"meta.json", "params.npz", "step.jaxexport"}
+                     | {f"packed_{k}.jaxexport" for k in buckets})
     assert stored == meta
     assert stored["class_names"] == NAMES
     assert stored["batch_size"] == 4
     assert stored["window"] == 1000
     assert stored["tta"] is False
+    assert len(stored["params_manifest"]) > 0
     assert "cpu" in stored["platforms"]
+
+
+def test_packed_program_serves_small_requests(bundle):
+    """The bundle carries the view-packed bucket programs, so a short
+    request is served by a packed program — not by padding out the whole
+    batch_size x views budget. Proof: break the padded program and watch
+    a one-stream request still answer."""
+    frozen = ExportedPredictor(bundle[0])
+    assert frozen._buckets == bundle[1]["buckets"]
+
+    def boom(*a, **k):
+        raise AssertionError("padded program dispatched for a packable "
+                             "request")
+
+    frozen._step = boom
+    out = frozen.predict(_streams(np.random.default_rng(3), n=1))
+    assert out["probs"].shape == (1, len(NAMES))
+    np.testing.assert_allclose(out["probs"].sum(axis=-1), 1.0, rtol=1e-4)
 
 
 def test_exported_matches_live(live, bundle):
@@ -87,8 +114,8 @@ def test_exported_matches_live(live, bundle):
     ], axis=1)
     a = live.predict(streams, top_k=2)
     b = frozen.predict(streams, top_k=2)
-    # live may route through view-PACKED programs; the bundle freezes the
-    # padded program — identical math modulo float reduction order
+    # both sides route the same bucket policy (padded + packed programs
+    # are all frozen) — identical math modulo float reduction order
     np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(a["label"], b["label"])
     assert a["names"] == b["names"]
