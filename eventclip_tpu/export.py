@@ -67,8 +67,9 @@ def _packed_name(bucket: int) -> str:
 
 
 def _leaf_bytes(x: np.ndarray) -> np.ndarray:
-    """A dtype-agnostic byte view (npz can't round-trip bf16 natively)."""
-    return np.frombuffer(np.asarray(x).tobytes(), dtype=np.uint8)
+    """A dtype-agnostic byte VIEW (npz can't round-trip bf16 natively);
+    no copy for the contiguous arrays device_get returns."""
+    return np.ascontiguousarray(x).reshape(-1).view(np.uint8)
 
 
 def export_predictor(pred: Predictor, path: str, *,
@@ -181,15 +182,13 @@ def export_predictor(pred: Predictor, path: str, *,
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta, indent=1))
         # weight bytes are dense float data — STORED (deflating ~GB of
-        # weights costs minutes for ~nothing); programs are kB of
-        # StableHLO, deflate is fine there
-        import io
-
-        buf = io.BytesIO()
-        np.savez(buf, **{f"{i:05d}": _leaf_bytes(x)
-                         for i, x in enumerate(leaves)})
-        z.writestr(_PARAMS_NAME, buf.getvalue(),
-                   compress_type=zipfile.ZIP_STORED)
+        # weights costs minutes for ~nothing), streamed straight into the
+        # member so a ViT-L bundle never holds a second full weight copy
+        info = zipfile.ZipInfo(_PARAMS_NAME)
+        info.compress_type = zipfile.ZIP_STORED
+        with z.open(info, "w", force_zip64=True) as fh:
+            np.savez(fh, **{f"{i:05d}": _leaf_bytes(x)
+                            for i, x in enumerate(leaves)})
         for name, prog in programs.items():
             z.writestr(name, bytes(prog.serialize()))
     os.replace(tmp, path)
@@ -209,8 +208,6 @@ class ExportedPredictor(Predictor):
     """
 
     def __init__(self, path: str):
-        import io
-
         import jax
 
         from .utils.jax_setup import setup_jax
@@ -229,7 +226,11 @@ class ExportedPredictor(Predictor):
             step_blob = z.read(_STEP_NAME)
             packed_blobs = {int(k): z.read(_packed_name(k))
                             for k in meta.get("buckets", [])}
-            params_blob = z.read(_PARAMS_NAME)
+            # stream the weights out of the STORED member (seekable), so
+            # loading never holds a spare full-model byte blob
+            with z.open(_PARAMS_NAME) as fh, np.load(fh) as npz:
+                raw_leaves = [npz[f"{i:05d}"]
+                              for i in range(len(meta["params_manifest"]))]
 
         backend = jax.default_backend()
         if backend not in meta["platforms"]:
@@ -249,13 +250,10 @@ class ExportedPredictor(Predictor):
 
         # weights: raw bytes -> typed leaves, placed once; the positional
         # leaf list IS the param pytree every frozen program expects
-        with np.load(io.BytesIO(params_blob)) as npz:
-            leaves = []
-            for i, spec in enumerate(meta["params_manifest"]):
-                raw = npz[f"{i:05d}"]
-                leaves.append(np.frombuffer(
-                    raw.tobytes(), dtype=np.dtype(spec["dtype"])
-                ).reshape(spec["shape"]))
+        leaves = [
+            raw.view(np.dtype(spec["dtype"])).reshape(spec["shape"])
+            for raw, spec in zip(raw_leaves, meta["params_manifest"])
+        ]
         self._params = jax.device_put(leaves)
 
         # the inherited dispatch passes (params, windows, valid[, ...]);
