@@ -104,7 +104,9 @@ class NCaltech101:
         self.num_shots = num_shots
         self.few_shot = num_shots is not None and num_shots > 0
         if self.few_shot:
-            assert "train" in root.lower(), "Only sample data in training set"
+            assert "train" in root.lower(), (
+                "few-shot subsampling is restricted to the training split"
+            )
         self.repeat = repeat
         self._seed = seed
         self._epoch = 0

@@ -79,10 +79,10 @@ class EventWindowDataset:
         self.tta = tta
         if tta:
             assert not event_dataset.augmentation, (
-                "Do not augment events in pseudo label generation"
+                "event-space augmentation must stay off while generating pseudo labels"
             )
-            assert not augment, "Do not augment twice"
-            assert event_dataset.num_shots is None, "Should sample all data"
+            assert not augment, "image augmentation conflicts with TTA"
+            assert event_dataset.num_shots is None, "pseudo-labeling consumes the full training split, not a few-shot subset"
             assert "train" in event_dataset.root
         self.keep_events = False
         self._seed = seed

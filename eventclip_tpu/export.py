@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import zipfile
 from typing import Optional, Sequence
 
@@ -174,6 +175,11 @@ def export_predictor(pred: Predictor, path: str, *,
             {"dtype": str(np.asarray(x).dtype), "shape": list(x.shape)}
             for x in leaves
         ],
+        # weight leaves are raw native-endian bytes; record the build
+        # host's byte order so a cross-endian serving host errors instead
+        # of silently viewing garbage (dtype .str can't carry this for
+        # bf16, whose numpy repr is an opaque '<V2')
+        "byteorder": sys.byteorder,
         "platforms": list(programs[_STEP_NAME].platforms),
         "pallas": bool(pallas),
         "jax_version": jax.__version__,
@@ -232,6 +238,13 @@ class ExportedPredictor(Predictor):
                 raw_leaves = [npz[f"{i:05d}"]
                               for i in range(len(meta["params_manifest"]))]
 
+        build_order = meta.get("byteorder", "little")
+        if build_order != sys.byteorder:
+            raise ValueError(
+                f"{path} stores {build_order}-endian weight bytes but this "
+                f"host is {sys.byteorder}-endian — re-export on a matching "
+                f"host (the leaves are raw native-order bytes)"
+            )
         backend = jax.default_backend()
         if backend not in meta["platforms"]:
             raise ValueError(

@@ -50,7 +50,7 @@ def report_selection(args, class_names, gt_cnt, sel_cnt, correct_cnt):
     # zero-selection classes count as inaccurate (precision treated as 0)
     precision = lambda sel, cor: cor / sel if sel else 0.0  # noqa: E731
     inaccurate = sum(1 for _, _, sel, cor in rows if precision(sel, cor) < 0.5)
-    print(f"Not accurate classes: {inaccurate}/{len(rows)}")
+    print(f"Low-precision classes (<50%): {inaccurate}/{len(rows)}")
     total_gt = sum(gt for _, gt, _, _ in rows)
     total_sel = sum(sel for _, _, sel, _ in rows)
     total_cor = sum(cor for _, _, _, cor in rows)
@@ -92,7 +92,7 @@ def main(params, args):
     is_nin = "n_imagenet" in params.dataset
     if not is_nin:
         assert params.dataset == "n_caltech", f"{params.dataset} not supported"
-    print(f"Generate pseudo labels for {params.dataset}")
+    print(f"Pseudo-labeling the {params.dataset} training split")
 
     test_set = build_dataset(params, val_only=False, gen_data=True, tta=tta)
     ev_dst = test_set.event_dataset
@@ -330,7 +330,7 @@ def main(params, args):
     print(f"\n\nTesting {args.params}")
     if args.weight:
         print(f"Model weight: {args.weight}")
-    print(f"\tProbs-based accuracy@1: {n_correct / max(n_total, 1) * 100.:.2f}%")
+    print(f"\taccuracy@1 (probs): {n_correct / max(n_total, 1) * 100.:.2f}%")
 
     save_path = args.save_path
     if not save_path:
@@ -411,7 +411,7 @@ def main(params, args):
             ori = osp.join(osp.dirname(ev_dst.root), split)
             if osp.exists(ori):
                 os.symlink(resolve_link(ori), osp.join(save_path, split))
-    print(f"\nSaved pseudo labels to {save_path}")
+    print(f"\nPseudo-label dataset tree written to {save_path}")
 
     # empty class dirs for consistency (gen_data.py:271-280)
     for k in class_names:

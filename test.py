@@ -258,12 +258,12 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
     logits_acc = sums.get("logits_correct", 0.0) / n
     if printing:
         print(f"Evaluated {int(n)} samples")
-        print(f"\tProbs-based accuracy@1: {probs_acc * 100.:.2f}%")
-        print(f"\tLogits-based accuracy@1: {logits_acc * 100.:.2f}%")
+        print(f"\taccuracy@1 (probs): {probs_acc * 100.:.2f}%")
+        print(f"\taccuracy@1 (logits): {logits_acc * 100.:.2f}%")
         if top5:
-            print(f"\tProbs-based accuracy@5: "
+            print(f"\taccuracy@5 (probs): "
                   f"{sums.get('probs_correct5', 0.) / n * 100.:.2f}%")
-            print(f"\tLogits-based accuracy@5: "
+            print(f"\taccuracy@5 (logits): "
                   f"{sums.get('logits_correct5', 0.) / n * 100.:.2f}%")
     return probs_acc, logits_acc
 
@@ -302,17 +302,17 @@ def load_and_override(args):
     is_zs = params.model == "ZSCLIP"
     if args.N > 0:
         params.quantize_args["N"] = int(args.N * 1e3)
-        assert is_zs, "can only change N in zero-shot testing"
+        assert is_zs, "--N overrides are limited to zero-shot evaluation"
     if args.arch:
         params.clip_dict["arch"] = args.arch
-        assert is_zs, "can only change ViT arch in zero-shot testing"
+        assert is_zs, "--arch overrides are limited to zero-shot evaluation"
     if args.prompt:
         params.clip_dict["prompt"] = args.prompt
-        assert is_zs, "can only change text prompt in zero-shot testing"
+        assert is_zs, "--prompt overrides are limited to zero-shot evaluation"
     if args.bs > 0:
         params.val_batch_size = args.bs
     if args.subset > 0:
-        assert params.dataset == "n_imagenet", "only N-ImageNet has subsets"
+        assert params.dataset == "n_imagenet", "robustness subsets exist only for N-ImageNet"
     if args.data_root:
         params.data_root = args.data_root
     return params, cfg_base
@@ -354,16 +354,16 @@ def main():
             probs_avg.update(p, 1)
             logits_avg.update(l, 1)
         print(f"\n\nTesting {cfg_base}-{num_shot}shot")
-        print(f"Average accuracy over {probs_avg.count} runs:")
-        print(f"\tProbs-based accuracy@1: {probs_avg.avg * 100.:.2f}%")
-        print(f"\tLogits-based accuracy@1: {logits_avg.avg * 100.:.2f}%\n")
+        print(f"Mean over {probs_avg.count} duplicate runs:")
+        print(f"\taccuracy@1 (probs): {probs_avg.avg * 100.:.2f}%")
+        print(f"\taccuracy@1 (logits): {logits_avg.avg * 100.:.2f}%\n")
         all_probs.append(round(probs_avg.avg * 100.0, 2))
         all_logits.append(round(logits_avg.avg * 100.0, 2))
 
     print("\n\n")
-    print(f"Probs-based accuracy@1: {all_probs}")
+    print(f"accuracy@1 (probs): {all_probs}")
     print("\t", " & ".join(str(a) for a in all_probs))
-    print(f"Logits-based accuracy@1: {all_logits}")
+    print(f"accuracy@1 (logits): {all_logits}")
     print("\t", " & ".join(str(a) for a in all_logits))
 
 

@@ -220,7 +220,7 @@ def test_train_test_cycle(tree, ckpt_base):
         "--weight", os.path.join(mdir, "best.npz"),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@1" in r.stdout
+    assert "accuracy@1 (probs)" in r.stdout
 
     # fast inference path: int8 tower + token pruning through the same CLI
     # contract (tiny tower: 4x4 grid, keep 8 of 16 patches)
@@ -230,7 +230,7 @@ def test_train_test_cycle(tree, ckpt_base):
         "--weight", os.path.join(mdir, "best.npz"),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@1" in r.stdout
+    assert "accuracy@1 (probs)" in r.stdout
 
     # calibrated static activation scales ride the same flag set
     r = run([
@@ -239,7 +239,7 @@ def test_train_test_cycle(tree, ckpt_base):
         "--weight", os.path.join(mdir, "best.npz"),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@1" in r.stdout
+    assert "accuracy@1 (probs)" in r.stdout
 
     # warm-start training from a checkpoint (reference
     # method.fit(resume_from=args.weight), train.py:94): fresh exp dir,
@@ -278,7 +278,7 @@ def test_cli_tensor_parallel_train_and_eval(tree, ckpt_base):
         "--weight", os.path.join(mdir, "best.npz"),
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@1" in r.stdout
+    assert "accuracy@1 (probs)" in r.stdout
 
 
 @pytest.mark.e2e
@@ -303,8 +303,8 @@ def test_train_shots_sweep_averages_dups(tree, ckpt_base):
         "--ckpt_base", ckpt_base, "--train_shots", "2", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Average accuracy over 2 runs" in r.stdout  # 2-shot: base + dup1
-    assert "Average accuracy over 1 runs" in r.stdout  # 1-shot: base only
+    assert "Mean over 2 duplicate runs" in r.stdout  # 2-shot: base + dup1
+    assert "Mean over 1 duplicate runs" in r.stdout  # 1-shot: base only
     assert "&" in r.stdout  # LaTeX row joins the per-shot accuracies
 
 
@@ -464,7 +464,7 @@ class EventCLIPParams(Params):
 """)
     r = run(["test.py", "--params", str(cfg), "--cpu"])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@5" in r.stdout  # N-IN reports top-5 too
+    assert "accuracy@5 (probs)" in r.stdout  # N-IN reports top-5 too
     r = run(["test.py", "--params", str(cfg), "--cpu", "--subset", "1"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "accuracy@1" in r.stdout
@@ -533,7 +533,7 @@ class EventCLIPParams(Params):
         "--int8", "--int8_calib", "1",  # calibrated static teacher rides
     ])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Saved pseudo labels" in r.stdout
+    assert "Pseudo-label dataset tree written to" in r.stdout
     gen_stdout_8dev = r.stdout
     # symlinked training tree with all class dirs
     train_dir = os.path.join(pseudo, "training")
@@ -580,7 +580,7 @@ class EventCLIPParams(Params):
     assert tree_links(pseudo1) == tree_links(pseudo)
     # the printed per-class selection report must match too (counts + acc)
     stats = lambda out: out[  # noqa: E731
-        out.index("Class stats:"):out.index("Saved pseudo labels")]
+        out.index("Class stats:"):out.index("Pseudo-label dataset tree")]
     assert stats(r.stdout) == stats(gen_stdout_8dev)
 
 

@@ -59,17 +59,18 @@ def bundle(live, tmp_path_factory):
     return path, meta
 
 
-def test_bundle_layout(bundle):
+def test_bundle_layout(bundle, live):
     path, meta = bundle
-    from eventclip_tpu.data.loader import eval_pack_buckets
 
     with zipfile.ZipFile(path) as z:
         names = set(z.namelist())
         stored = json.loads(z.read("meta.json").decode("utf-8"))
     # weights once (params.npz) + the padded program + one frozen packed
-    # program per view-pack bucket — the SAME bucket policy live serving
-    # uses, so bundle routing can never diverge from live routing
-    buckets = eval_pack_buckets(stored["batch_size"], stored["views"], 1)
+    # program per view-pack bucket — the SAME bucket policy the exporting
+    # predictor resolved (asserting against live._buckets rather than
+    # recomputing eval_pack_buckets keeps this true even when
+    # EVENTCLIP_NO_PACK_EVAL is set in the outer environment)
+    buckets = list(live._buckets or [])
     assert stored["buckets"] == buckets
     assert names == ({"meta.json", "params.npz", "step.jaxexport"}
                      | {f"packed_{k}.jaxexport" for k in buckets})
@@ -176,6 +177,25 @@ def test_format_version_gate(bundle, tmp_path):
         dst.writestr("meta.json", json.dumps(meta))
         dst.writestr("step.jaxexport", src.read("step.jaxexport"))
     with pytest.raises(ValueError, match="format 999"):
+        ExportedPredictor(path)
+
+
+def test_byteorder_gate(bundle, tmp_path):
+    """Weight leaves are raw native-order bytes; a bundle built on an
+    opposite-endian host must be rejected at load, not silently viewed."""
+    path = str(tmp_path / "wrong_endian.eclip")
+    with zipfile.ZipFile(bundle[0]) as src, \
+            zipfile.ZipFile(path, "w") as dst:
+        for name in src.namelist():
+            if name == "meta.json":
+                meta = json.loads(src.read(name).decode("utf-8"))
+                assert meta["byteorder"] in ("little", "big")
+                meta["byteorder"] = ("big" if meta["byteorder"] == "little"
+                                     else "little")
+                dst.writestr(name, json.dumps(meta))
+            else:
+                dst.writestr(name, src.read(name))
+    with pytest.raises(ValueError, match="endian"):
         ExportedPredictor(path)
 
 

@@ -139,7 +139,7 @@ def test_two_process_distributed_training(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "Probs-based accuracy@1" in r.stdout
+    assert "accuracy@1 (probs)" in r.stdout
 
 
 @pytest.mark.e2e

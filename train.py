@@ -74,7 +74,7 @@ def load_and_override(args):
     params = load_params(args.params)
 
     assert params.model != "ZSCLIP", (
-        "zero-shot EventCLIP does not require training"
+        "ZSCLIP has no trainable leaves; use test.py directly"
     )
     if args.N > 0:
         params.quantize_args["N"] = int(args.N * 1000)
