@@ -175,7 +175,8 @@ def build_text_features(clip_params, clip_cfg, class_names, prompt,
             clip_params, clip_cfg, class_names, prompt, tok
         )
     except (FileNotFoundError, OSError) as e:
-        if pretrained:
+        hatch = os.environ.get("EVENTCLIP_ALLOW_RANDOM_TEXT") == "1"
+        if pretrained and not hatch:
             # real weights + random text features would silently produce
             # garbage zero-shot numbers; refuse (reference models/clip_cls.py:81-83)
             raise FileNotFoundError(
@@ -183,8 +184,13 @@ def build_text_features(clip_params, clip_cfg, class_names, prompt,
                 "into eventclip_tpu/assets/ to tokenize prompts with real "
                 f"CLIP weights. ({e})"
             ) from e
+        # EVENTCLIP_ALLOW_RANDOM_TEXT=1 is scripts/parity_check.py's escape
+        # hatch: sound ONLY when the consumer overwrites the text leaf —
+        # prompt-tuned ('text-*') checkpoints carry their own text_feats,
+        # so evaluation does not depend on this initialization
         print("WARNING: BPE vocab asset missing - random text features "
-              "(smoke mode)")
+              "(smoke mode)" + (" [EVENTCLIP_ALLOW_RANDOM_TEXT]"
+                                if hatch else ""))
         from ..models.classifier import normalize
 
         rng = jax.random.PRNGKey(1234)

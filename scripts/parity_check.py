@@ -25,9 +25,28 @@ which, in order:
   5. writes PARITY_RESULT.json next to the checkpoint (or --out) and exits
      non-zero if any executed stage failed.
 
+The reference's headline numbers are FEW-SHOT and FINE-TUNED accuracies
+(reference docs/benchmark.md:168-188), so the harness covers that leg of
+the parity matrix too:
+
+  --method_ckpt best.pth --method_params configs/fsclip/.../..._params.py
+     evaluates a reference-trained method checkpoint (adapter / prompt /
+     LoRA / FT tower, converted on the fly by models/clip/convert_method.py)
+     through the same evaluate() as `test.py --weight best.pth`. Repeatable:
+     pass N checkpoints and N matching configs to sweep several regimes in
+     one run ("method_evals" in the result JSON).
+  --fs_shots K [--fs_params cfg --fs_epochs E --fs_roundtrip]
+     trains a K-shot model from the converted weights via the real train.py
+     CLI (a subprocess — exercises optimizer/schedule/checkpoint parity with
+     real weights), evaluates its best checkpoint, and with --fs_roundtrip
+     additionally exports it to the reference's .pth key space
+     (scripts/convert_checkpoint.py) and re-evaluates THAT, asserting the
+     two evals agree bit-for-bit ("few_shot" in the result JSON).
+
 CI keeps the gated pytest variants (tests/test_real_assets.py) plus a
-synthetic end-to-end run of THIS script (tests/test_scripts.py), so the
-harness cannot rot while the assets are absent.
+synthetic end-to-end run of THIS script covering every stage above
+(tests/test_scripts.py), so the harness cannot rot while the assets are
+absent.
 """
 
 from __future__ import annotations
@@ -66,8 +85,44 @@ def parse_args():
     p.add_argument("--tol", type=float, default=2e-3,
                    help="tower-activation tolerance (fp16-origin weights "
                    "re-accumulated in f32 land well inside 2e-3)")
+    p.add_argument("--method_ckpt", nargs="*", default=[],
+                   help="reference-trained method checkpoint(s) (.pth, or "
+                   "this framework's .npz) to evaluate — the few-shot/"
+                   "fine-tuned leg of the parity matrix")
+    p.add_argument("--method_params", nargs="*", default=[],
+                   help="the experiment config each --method_ckpt was "
+                   "trained with (same count, same order)")
+    p.add_argument("--fs_shots", type=int, default=0,
+                   help="also train a K-shot model from the converted "
+                   "weights (train.py subprocess) and evaluate its best "
+                   "checkpoint")
+    p.add_argument("--fs_params",
+                   default="configs/fsclip/joint_adapter/"
+                   "joint_fsclip_ncaltech_params.py",
+                   help="few-shot config for --fs_shots; its arch is "
+                   "overridden by the checkpoint's")
+    p.add_argument("--fs_epochs", type=int, default=0,
+                   help="epoch override for the --fs_shots run "
+                   "(0 = the config's)")
+    p.add_argument("--fs_roundtrip", action="store_true",
+                   help="with --fs_shots: export the trained checkpoint "
+                   "back to the reference's .pth key space and assert the "
+                   "re-imported eval matches bit-for-bit")
+    p.add_argument("--workdir", default="",
+                   help="where --fs_shots writes checkpoints (default: "
+                   "parity_fs/ next to the result JSON)")
     p.add_argument("--cpu", action="store_true")
-    return p.parse_args()
+    args = p.parse_args()
+    if len(args.method_ckpt) != len(args.method_params):
+        p.error("--method_ckpt and --method_params must pair up "
+                f"({len(args.method_ckpt)} vs {len(args.method_params)})")
+    return args
+
+
+def bpe_available() -> bool:
+    from eventclip_tpu.models.clip.tokenizer import DEFAULT_BPE_PATHS
+
+    return any(p and osp.exists(p) for p in DEFAULT_BPE_PATHS)
 
 
 def tower_parity(sd, tol):
@@ -148,6 +203,184 @@ def zero_shot(args, cfg, npz_path):
             "probs_top1": probs_acc, "logits_top1": logits_acc}
 
 
+def _eval_args(args, npz_path):
+    return argparse.Namespace(
+        clip_ckpt=npz_path, smoke=False, int8=False, prune_tokens=0,
+        n_model=1, subset=-1, fp32=False,
+    )
+
+
+def load_method_params(cfg_path, arch, args):
+    """An FS/FT experiment config pointed at --data_root, with its arch
+    forced to the checkpoint's (the eval is meaningless against a
+    different tower than the one the weights were converted from)."""
+    from eventclip_tpu.utils.config import load_params
+
+    params = load_params(cfg_path)
+    assert params.model != "ZSCLIP", (
+        f"{cfg_path}: --method_params/--fs_params must be FS/FT configs"
+    )
+    params.data_root = args.data_root
+    if params.clip_dict["arch"] != arch:
+        print(f"[parity] overriding {osp.basename(cfg_path)} arch "
+              f"{params.clip_dict['arch']} -> {arch} (the checkpoint's)")
+        params.clip_dict["arch"] = arch
+    if args.bs > 0:
+        params.val_batch_size = args.bs
+    return params
+
+
+def _text_note(params):
+    """BPE-missing policy for method evals: prompt-tuned ('text-*') configs
+    carry their trained text_feats IN the checkpoint, so the tokenizer is
+    only needed to *initialize* the leaf that the weight load overwrites —
+    EVENTCLIP_ALLOW_RANDOM_TEXT makes that explicit. Frozen-text configs
+    would silently score with garbage text features; those skip."""
+    if bpe_available():
+        return None
+    adapter_type = str(params.adapter_dict.get("adapter_type", ""))
+    if adapter_type.startswith("text-"):
+        os.environ["EVENTCLIP_ALLOW_RANDOM_TEXT"] = "1"
+        return ("BPE asset absent - text init random; the prompt-tuned "
+                "text_feats leaf loads from the checkpoint")
+    return "skip"
+
+
+def method_eval(args, cfg, npz_path, ckpt, cfg_path):
+    """Stage 5: a reference-trained method checkpoint through the same
+    evaluate() as `test.py --weight` (load_checkpoint converts .pth on the
+    fly via models/clip/convert_method.py)."""
+    import test as test_cli
+
+    arch = resolve_arch_name(cfg)
+    params = load_method_params(cfg_path, arch, args)
+    note = _text_note(params)
+    if note == "skip":
+        return {"ok": None, "ckpt": ckpt,
+                "note": "frozen-text config needs the BPE asset to encode "
+                "prompts - skipped"}
+    probs_acc, logits_acc = test_cli.evaluate(
+        params, _eval_args(args, npz_path), weight=ckpt, printing=True)
+    out = {"ok": True, "ckpt": osp.abspath(ckpt), "params": cfg_path,
+           "arch": arch, "dataset": params.dataset,
+           "probs_top1": probs_acc, "logits_top1": logits_acc}
+    if note:
+        out["note"], out["random_text_init"] = note, True
+    return out
+
+
+def write_derived_config(workdir, base_path, cfg):
+    """A config file that registers the checkpoint's inferred geometry and
+    swaps the base config's arch to it — needed because --fs_shots trains
+    in a train.py SUBPROCESS, where this process's CLIP_ARCHS mutation
+    (resolve_arch_name) does not exist."""
+    base_path = osp.abspath(base_path)
+    name = osp.basename(base_path)[:-3] + "_ckptarch"
+    path = osp.join(workdir, name + ".py")
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    with open(path, "w") as f:
+        f.write(
+            f'"""Auto-generated by scripts/parity_check.py: '
+            f'{osp.basename(base_path)} on the checkpoint\'s tower."""\n'
+            f"import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            f"from eventclip_tpu.models.clip.config import (  # noqa: F401\n"
+            f"    CLIP_ARCHS, CLIPConfig, TextConfig, VisionConfig)\n"
+            f"try:  # ResNet geometries only\n"
+            f"    from eventclip_tpu.models.clip.resnet import "
+            f"ResNetVisionConfig  # noqa: F401\n"
+            f"except ImportError:\n"
+            f"    pass\n"
+            f"from eventclip_tpu.utils.config import load_params\n\n"
+            f"_cfg = {cfg!r}\n"
+            f"CLIP_ARCHS.setdefault(_cfg.name, _cfg)\n"
+            f"_Base = type(load_params({base_path!r}))\n\n\n"
+            f"class EventCLIPParams(_Base):\n"
+            f"    clip_dict = dict(_Base.clip_dict, arch=_cfg.name)\n"
+        )
+    return path
+
+
+def few_shot(args, cfg, npz_path, out_path):
+    """Stage 6: train a K-shot model from the converted weights through the
+    real train.py CLI, evaluate its best checkpoint, and (--fs_roundtrip)
+    assert the export->reimport cycle through the reference's .pth key
+    space evaluates bit-identically."""
+    import subprocess
+
+    import test as test_cli
+
+    from eventclip_tpu.utils.config import load_params
+
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    arch = resolve_arch_name(cfg)
+    workdir = osp.abspath(
+        args.workdir or osp.join(osp.dirname(out_path) or ".", "parity_fs"))
+    os.makedirs(workdir, exist_ok=True)
+
+    params_path = osp.abspath(args.fs_params)
+    base = load_params(params_path)
+    if base.clip_dict["arch"] != arch:
+        params_path = write_derived_config(workdir, params_path, cfg)
+    note = _text_note(base)
+    if note == "skip":
+        return {"ok": None, "note": "frozen-text config needs the BPE "
+                "asset to seed the text features - skipped"}
+
+    cmd = [sys.executable, osp.join(repo, "train.py"),
+           "--params", params_path, "--num_shots", str(args.fs_shots),
+           "--clip_ckpt", osp.abspath(npz_path),
+           "--data_root", osp.abspath(args.data_root),
+           "--ckpt_base", workdir]
+    if args.fs_epochs > 0:
+        cmd += ["--max_epochs", str(args.fs_epochs)]
+    if args.cpu:
+        cmd += ["--cpu"]
+    print(f"[parity] training: {' '.join(cmd)}")
+    r = subprocess.run(cmd, cwd=repo, env=dict(os.environ),
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        return {"ok": False, "cmd": cmd,
+                "error": (r.stdout[-1500:] + r.stderr[-1500:])}
+
+    cfg_base = osp.basename(params_path)[:-3]
+    mdir = osp.join(workdir, f"{cfg_base}-{args.fs_shots}shot", "models")
+    weight = test_cli.find_weight(mdir)
+    params = load_method_params(params_path, arch, args)
+    eval_args = _eval_args(args, npz_path)
+    ctx = test_cli.build_eval_context(params, eval_args)
+    probs_acc, logits_acc = test_cli.evaluate(
+        params, eval_args, weight=weight, printing=True, ctx=ctx)
+    out = {"ok": True, "shots": args.fs_shots, "params": params_path,
+           "arch": arch, "weight": weight,
+           "probs_top1": probs_acc, "logits_top1": logits_acc}
+    if note:
+        out["note"], out["random_text_init"] = note, True
+
+    if args.fs_roundtrip:
+        # export to the reference's key space, re-import, re-evaluate
+        # against the SAME cached eval batches: must agree bit-for-bit
+        pth = osp.join(mdir, "roundtrip.pth")
+        conv = [sys.executable,
+                osp.join(repo, "scripts", "convert_checkpoint.py"),
+                weight, pth]
+        if params.model == "FTCLIP":
+            conv.append(osp.abspath(npz_path))  # FT re-embeds the tower
+        r = subprocess.run(conv, cwd=repo, capture_output=True, text=True)
+        if r.returncode != 0:
+            out["ok"] = False
+            out["roundtrip"] = {"error": r.stdout[-1500:] + r.stderr[-1500:]}
+            return out
+        p2, l2 = test_cli.evaluate(params, eval_args, weight=pth,
+                                   printing=False, ctx=ctx)
+        out["roundtrip"] = {
+            "pth": pth, "probs_top1": p2, "logits_top1": l2,
+            "bit_equal": bool(p2 == probs_acc and l2 == logits_acc),
+        }
+        out["ok"] = out["ok"] and out["roundtrip"]["bit_equal"]
+    return out
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -198,8 +431,40 @@ def main():
                                "note": "no --data_root supplied"}
     print(f"[parity] zero-shot: {result['zero_shot']}")
 
-    executed = [v for v in (result["tower_parity"], result["tokenizer"],
-                            result["zero_shot"]) if v["ok"] is not None]
+    # 5. reference-trained method checkpoints (the FS/FT leg of the
+    #    parity matrix — the reference's headline tables,
+    #    /root/reference/docs/benchmark.md:168-188)
+    evals = []
+    for ckpt, cfg_path in zip(args.method_ckpt, args.method_params):
+        if not args.data_root:
+            evals.append({"ok": None, "ckpt": ckpt,
+                          "note": "needs --data_root"})
+            continue
+        try:
+            evals.append(method_eval(args, cfg, npz_path, ckpt, cfg_path))
+        except Exception as e:
+            traceback.print_exc()
+            evals.append({"ok": False, "ckpt": ckpt,
+                          "error": str(e)[:2000]})
+        print(f"[parity] method eval: {evals[-1]}")
+    if evals:
+        result["method_evals"] = evals
+
+    # 6. K-shot train-from-converted-weights + eval (+ .pth roundtrip)
+    if args.fs_shots > 0:
+        if not args.data_root:
+            result["few_shot"] = {"ok": None, "note": "needs --data_root"}
+        else:
+            try:
+                result["few_shot"] = few_shot(args, cfg, npz_path, out_path)
+            except Exception as e:
+                traceback.print_exc()
+                result["few_shot"] = {"ok": False, "error": str(e)[:2000]}
+        print(f"[parity] few-shot: {result['few_shot']}")
+
+    stages = [result["tower_parity"], result["tokenizer"],
+              result["zero_shot"], *evals, result.get("few_shot")]
+    executed = [v for v in stages if v is not None and v["ok"] is not None]
     result["ok"] = bool(executed) and all(v["ok"] for v in executed)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

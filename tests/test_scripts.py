@@ -333,8 +333,10 @@ def test_convert_checkpoint_cli(tmp_path):
 def test_parity_check_harness_synthetic(tmp_path):
     """scripts/parity_check.py end to end on a synthetic tiny .pt: the
     one-command harness must convert, verify tower parity vs the torch
-    oracle, skip the asset-gated stages loudly, and emit
-    PARITY_RESULT.json — so the day real assets land it cannot rot."""
+    oracle, skip the asset-gated stages loudly, evaluate a
+    reference-shaped method checkpoint, train+eval(+roundtrip) a K-shot
+    model from the converted weights, and emit PARITY_RESULT.json — so
+    the day real assets land NO leg of the parity matrix has rotted."""
     import json
     import sys
 
@@ -346,13 +348,39 @@ def test_parity_check_harness_synthetic(tmp_path):
     tree = make_tree(str(tmp_path / "tree"))
     ckpt = tmp_path / "tiny_clip.pt"
     torch.save(random_clip_state_dict(np.random.default_rng(7)), ckpt)
+
+    # a reference-shaped FS method checkpoint (nerv 'state_dict' wrapper,
+    # reference models/clip_cls.py:208-219): adapter dims from
+    # configs/debug/fsclip_tiny_params.py (d_model 16, 2 heads, 2 layers),
+    # embed dim 48 from the synthetic tower, 3 classes from make_tree
+    enc = torch.nn.TransformerEncoderLayer(
+        16, 2, 64, norm_first=True, batch_first=True)
+
+    class RefAdapter(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.transformer_encoder = torch.nn.TransformerEncoder(enc, 2)
+            self.in_proj = torch.nn.Linear(48, 16)
+            self.out_proj = torch.nn.Linear(16, 48)
+
+    msd = {f"adapter.{k}": v for k, v in RefAdapter().state_dict().items()}
+    msd["text_feats"] = torch.randn(3, 48)
+    method_pth = tmp_path / "method_best.pth"
+    torch.save({"state_dict": msd}, method_pth)
+
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # 1-device CPU: the tiny FS train run
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "parity_check.py"),
          "--clip_ckpt", str(ckpt), "--data_root", tree, "--bs", "8",
+         "--method_ckpt", str(method_pth),
+         "--method_params", "configs/debug/fsclip_tiny_params.py",
+         "--fs_shots", "2", "--fs_epochs", "1", "--fs_roundtrip",
+         "--fs_params", "configs/debug/fsclip_tiny_params.py",
+         "--workdir", str(tmp_path / "fswork"),
          "--cpu"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     with open(tmp_path / "PARITY_RESULT.json") as f:
@@ -364,3 +392,22 @@ def test_parity_check_harness_synthetic(tmp_path):
     # asset-gated stages skip with notes, never silently pass
     assert res["tokenizer"]["ok"] is None and "BPE" in res["tokenizer"]["note"]
     assert res["zero_shot"]["ok"] is None
+
+    # the FS/FT leg: a reference .pth evaluated through the same
+    # evaluate() as test.py, on the checkpoint's inferred tower; the
+    # prompt-tuned leaf comes from the checkpoint (random_text_init notes
+    # that only the overwritten INIT was random, BPE being absent)
+    me = res["method_evals"][0]
+    assert me["ok"] is True, me
+    assert me["arch"] == res["arch"]
+    assert me["random_text_init"] is True
+    assert 0.0 <= me["probs_top1"] <= 1.0
+
+    # the train-from-converted-weights leg, incl. the .pth roundtrip:
+    # export to the reference key space must re-evaluate bit-identically
+    fs = res["few_shot"]
+    assert fs["ok"] is True, fs
+    assert os.path.exists(fs["weight"])
+    assert fs["params"].endswith("_ckptarch.py")  # derived-arch config
+    assert fs["roundtrip"]["bit_equal"] is True
+    assert fs["roundtrip"]["probs_top1"] == fs["probs_top1"]
