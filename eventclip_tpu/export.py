@@ -39,10 +39,15 @@ guarantee), so the artifact runs on any JAX backend/version within the
 jax.export compatibility window. `pallas=True` keeps the fused TPU
 kernels for a same-fleet deployment, at the cost of that guarantee.
 
+Open vocabulary survives deployment: unless the checkpoint prompt-tunes
+its text features, the bundle also freezes the TEXT tower program and
+ships the BPE vocab, so `ExportedPredictor.set_classes` swaps label sets
+offline (same count only — the classification programs bake n_cls into
+their logits shapes and a bundle cannot retrace). `--embed` additionally
+freezes the embeddings program for retrieval deployments.
+
 Scope: single-device programs (the common serving shape; multi-chip
 serving re-shards at load time and should use the live Predictor).
-Runtime label swaps (`set_classes`) and `embed` need the live model and
-raise.
 """
 
 from __future__ import annotations
@@ -59,6 +64,9 @@ from .serve import Predictor
 
 _META_NAME = "meta.json"
 _STEP_NAME = "step.jaxexport"
+_TEXT_NAME = "text.jaxexport"
+_EMBED_NAME = "embed.jaxexport"
+_BPE_NAME = "bpe_vocab.bin"
 _PARAMS_NAME = "params.npz"
 _FORMAT_VERSION = 2
 
@@ -105,9 +113,41 @@ def export_predictor(pred: Predictor, path: str, *,
     params = jax.device_get(pred._params)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     leaf_avals = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
+    # positional index of the text_feats leaf: offline set_classes swaps
+    # exactly this entry of the loader's leaf list
+    flat_with_path = jax.tree_util.tree_flatten_with_path(params)[0]
+    tf_idx = next(
+        i for i, (path, _) in enumerate(flat_with_path)
+        if path and getattr(path[0], "key", None) == "text_feats"
+    )
     step = pred._step
     step_packed = pred._step_packed
+    embed_step = pred._embed_step
     buckets = list(pred._buckets or [])
+
+    # offline label swaps: freeze the text tower (it lives in the param
+    # tree — serve.py keeps it for the live set_classes) + ship the BPE
+    # vocab, UNLESS the checkpoint prompt-tunes its text features (trained
+    # parameters — swapping would discard the tuning, same refusal as the
+    # live path) or the build host has no vocab asset to ship
+    text_skip = None
+    bpe_src = None
+    if pred._cfg.prompt_tuning:
+        text_skip = ("this checkpoint prompt-tunes its text features "
+                     "(trained parameters); swapping class names would "
+                     "discard the tuning — rebuild with a matching "
+                     "checkpoint, then re-export")
+    else:
+        from .models.clip.tokenizer import bpe_asset_paths
+
+        bpe_src = next((p for p in bpe_asset_paths()
+                        if p and os.path.exists(p)), None)
+        if bpe_src is None:
+            text_skip = ("the build host had no BPE vocab asset, so the "
+                         "bundle carries no tokenizer — re-export with "
+                         "bpe_simple_vocab_16e6.txt.gz present (or "
+                         "EVENTCLIP_BPE_PATH set) to enable offline "
+                         "set_classes")
 
     def frozen(leaf_list, windows, valid):
         p = jax.tree_util.tree_unflatten(treedef, leaf_list)
@@ -142,6 +182,37 @@ def export_predictor(pred: Predictor, path: str, *,
                         jax.ShapeDtypeStruct((k, pred.window, 3), np.int16),
                         jax.ShapeDtypeStruct((k,), np.int32),
                         valid_aval)
+        if text_skip is None:
+            # tokens -> L2-normalized text features, the device half of
+            # compute_text_features (same f32 numerics as the live
+            # set_classes). One n_cls: the classification programs bake
+            # the class COUNT into their logits shape anyway, so only
+            # same-count swaps can reuse them — exactly the live path's
+            # no-retrace case (serve.py::set_classes)
+            from .models.classifier import normalize as l2norm
+            from .models.clip.model import encode_text
+
+            text_cfg = pred._cfg.clip.text
+
+            def frozen_text(leaf_list, tokens):
+                p = jax.tree_util.tree_unflatten(treedef, leaf_list)
+                return l2norm(encode_text(p["clip"]["text"], text_cfg,
+                                          tokens))
+
+            programs[_TEXT_NAME] = jexport.export(
+                jax.jit(frozen_text), **kwargs)(
+                    leaf_avals,
+                    jax.ShapeDtypeStruct(
+                        (len(pred.class_names), text_cfg.context_length),
+                        np.int32))
+        if embed_step is not None:
+            def frozen_embed(leaf_list, windows, valid):
+                p = jax.tree_util.tree_unflatten(treedef, leaf_list)
+                return embed_step(p, windows, valid)
+
+            programs[_EMBED_NAME] = jexport.export(
+                jax.jit(frozen_embed), **kwargs)(
+                    leaf_avals, wins_aval, valid_aval)
         return programs
 
     if pallas:
@@ -161,9 +232,26 @@ def export_predictor(pred: Predictor, path: str, *,
             else:
                 os.environ["EVENTCLIP_NO_PALLAS"] = old
 
+    bpe_text = None
+    if text_skip is None:
+        import gzip
+
+        opener = gzip.open if bpe_src.endswith(".gz") else open
+        with opener(bpe_src, "rt", encoding="utf-8") as f:
+            bpe_text = f.read()
+
     meta = {
         "format_version": _FORMAT_VERSION,
         "class_names": list(pred.class_names),
+        # host recipe for offline set_classes (or why it's unavailable);
+        # text_feats_idx is the positional leaf the swap replaces
+        "text_feats_idx": int(tf_idx),
+        "text": ({"skip": text_skip} if text_skip is not None else {
+            "prompt": pred._prompt,
+            "context_length": int(pred._cfg.clip.text.context_length),
+            "n_cls": len(pred.class_names),
+        }),
+        "embed": embed_step is not None,
         "batch_size": int(pred.batch_size),
         "views": int(pred.views),
         "window": int(pred.window),
@@ -195,6 +283,8 @@ def export_predictor(pred: Predictor, path: str, *,
         with z.open(info, "w", force_zip64=True) as fh:
             np.savez(fh, **{f"{i:05d}": _leaf_bytes(x)
                             for i, x in enumerate(leaves)})
+        if bpe_text is not None:
+            z.writestr(_BPE_NAME, bpe_text)
         for name, prog in programs.items():
             z.writestr(name, bytes(prog.serialize()))
     os.replace(tmp, path)
@@ -229,9 +319,16 @@ class ExportedPredictor(Predictor):
                     f"!= supported {_FORMAT_VERSION} — re-export with this "
                     f"version's eventclip_tpu.export"
                 )
+            members = set(z.namelist())
             step_blob = z.read(_STEP_NAME)
             packed_blobs = {int(k): z.read(_packed_name(k))
                             for k in meta.get("buckets", [])}
+            text_blob = (z.read(_TEXT_NAME) if _TEXT_NAME in members
+                         else None)
+            embed_blob = (z.read(_EMBED_NAME) if _EMBED_NAME in members
+                          else None)
+            bpe_text = (z.read(_BPE_NAME).decode("utf-8")
+                        if _BPE_NAME in members else None)
             # stream the weights out of the STORED member (seekable), so
             # loading never holds a spare full-model byte blob
             with z.open(_PARAMS_NAME) as fh, np.load(fh) as npz:
@@ -274,7 +371,20 @@ class ExportedPredictor(Predictor):
         self._step = jax.jit(jexport.deserialize(bytearray(step_blob)).call)
         self._mesh = None
         self._shard_batch = None
-        self._embed_step = None
+        self._embed_step = (
+            jax.jit(jexport.deserialize(bytearray(embed_blob)).call)
+            if embed_blob is not None else None
+        )
+        # offline label swaps: the frozen text program + the bundled BPE
+        # vocab (tokenizer built lazily — parsing ~49k merges costs real
+        # time and most deployments never swap)
+        self._text_call = (
+            jax.jit(jexport.deserialize(bytearray(text_blob)).call)
+            if text_blob is not None else None
+        )
+        self._bpe_text = bpe_text
+        self._tokenizer = None
+        self._tf_idx = meta.get("text_feats_idx")
         self._buckets = sorted(packed_blobs) or None
         self._step_packed = None
         if packed_blobs:
@@ -289,19 +399,63 @@ class ExportedPredictor(Predictor):
             self._step_packed = step_packed
 
     def set_classes(self, class_names) -> None:
-        # ValueError: the category the HTTP layer maps to a 400 — same as
-        # the live predictor's permanent can't-swap case (prompt tuning)
-        raise ValueError(
-            "the exported program bakes its text features in — swapping "
-            "labels needs the live model (serve.Predictor.set_classes), "
-            "then a re-export"
-        )
+        """Offline label swap: tokenize the prompted names with the
+        bundled BPE vocab, run the frozen text program, and replace the
+        text_feats leaf — CLIP's open-vocabulary promise survives
+        deployment (same recipe as the live serve.Predictor.set_classes).
+
+        Same-COUNT swaps only: every frozen classification program bakes
+        n_cls into its logits shape, and a bundle cannot retrace — a
+        different label count needs the live model and a re-export.
+        ValueError throughout: the category the HTTP layer maps to 400."""
+        import jax
+        import jax.numpy as jnp
+
+        info = self.meta.get("text") or {}
+        if self._text_call is None:
+            raise ValueError(
+                "this bundle cannot swap labels: "
+                + info.get("skip",
+                           "it was exported before text-tower freezing — "
+                           "re-export with this version's "
+                           "eventclip_tpu.export")
+            )
+        names = [str(n) for n in class_names]
+        if not names:
+            raise ValueError("class_names must be non-empty")
+        if len(names) != info["n_cls"]:
+            raise ValueError(
+                f"the frozen programs bake n_cls={info['n_cls']} into "
+                f"their logits shapes; an exported bundle can only swap to "
+                f"the same count (got {len(names)}) — different counts "
+                "need the live model and a re-export"
+            )
+        from .models.classifier import tokenize_prompts
+
+        if self._tokenizer is None:
+            from .models.clip.tokenizer import SimpleTokenizer, parse_merges
+
+            self._tokenizer = SimpleTokenizer(
+                merges=parse_merges(self._bpe_text))
+        toks = tokenize_prompts(names, info["prompt"], self._tokenizer,
+                                info["context_length"])
+        feats = self._text_call(self._params, jnp.asarray(toks))
+        self._params = list(self._params)
+        self._params[self._tf_idx] = jax.device_put(feats)
+        self.class_names = names
 
     def embed(self, event_streams):
-        raise RuntimeError(
-            "the bundle freezes the classification programs only; build a "
-            "live Predictor(embed=True) for embeddings"
-        )
+        if self._embed_step is None:
+            raise RuntimeError(
+                "the bundle was exported without --embed; re-export with "
+                "--embed, or build a live Predictor(embed=True)"
+            )
+        if not len(event_streams):
+            dim = int(self.meta["params_manifest"][self._tf_idx]
+                      ["shape"][-1])
+            return np.zeros((0, dim), np.float32)
+        wins, valids = self.gather_windows(event_streams)
+        return self.embed_windows(wins, valids)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -327,6 +481,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     ap.add_argument("--prune_tokens", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--embed", action="store_true",
+                    help="also freeze the embeddings program "
+                    "(raw events -> one L2-normalized CLIP feature per "
+                    "stream, the retrieval use case)")
     ap.add_argument("--platforms", default="",
                     help="comma list, e.g. cpu,tpu (default: this backend)")
     ap.add_argument("--pallas", action="store_true",
@@ -363,7 +521,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         clip_ckpt=args.clip_ckpt or None, smoke=args.smoke,
         int8=args.int8, int8_calib_streams=calib_streams,
         prune_tokens=args.prune_tokens,
-        batch_size=args.batch_size, tta=args.tta,
+        batch_size=args.batch_size, tta=args.tta, embed=args.embed,
     )
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  or None)
@@ -383,8 +541,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                       rng.choice([-1.0, 1.0], n)], axis=1).astype(np.float32)
             for n in (pred.window // 2, pred.window * pred.views)
         ]
+        loaded = ExportedPredictor(args.out)
         live = pred.predict(streams)["probs"]
-        frozen = ExportedPredictor(args.out).predict(streams)["probs"]
+        frozen = loaded.predict(streams)["probs"]
         delta = float(np.abs(live - frozen).max())
         # both sides route the same bucket policy, so the only daylight is
         # float reduction order between the live trace and the
@@ -392,6 +551,24 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         print(f"check: max |live - exported| prob delta = {delta:.2e}")
         if delta > 1e-4:
             raise SystemExit("check FAILED: exported bundle diverges")
+        if loaded._text_call is not None:
+            # the offline swap must track the live one: reversed labels
+            # permute text features, both sides re-predict identically
+            rev = list(reversed(pred.class_names))
+            pred.set_classes(rev)
+            loaded.set_classes(rev)
+            d = float(np.abs(pred.predict(streams)["probs"]
+                             - loaded.predict(streams)["probs"]).max())
+            print(f"check: set_classes prob delta = {d:.2e}")
+            if d > 1e-4:
+                raise SystemExit("check FAILED: offline set_classes "
+                                 "diverges from the live swap")
+        if args.embed:
+            d = float(np.abs(pred.embed(streams)
+                             - loaded.embed(streams)).max())
+            print(f"check: embed delta = {d:.2e}")
+            if d > 1e-4:
+                raise SystemExit("check FAILED: exported embed diverges")
         print("check OK")
 
 

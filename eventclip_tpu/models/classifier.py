@@ -143,6 +143,23 @@ def build_classifier_config(params_cfg, clip_cfg: CLIPConfig, dtype=jnp.float32)
 # ---------------------------------------------------------------------------
 
 
+def tokenize_prompts(
+    class_names: Sequence[str],
+    prompt: str,
+    tokenizer: SimpleTokenizer,
+    context_length: int,
+) -> "np.ndarray":
+    """Class names -> [n_cls, context] prompted token ids.
+
+    The host half of text-feature computation (reference
+    models/clip_cls.py:64-93: templated prompts, lowercase, underscores to
+    spaces) — one definition shared by the live path and by export
+    bundles' offline set_classes."""
+    names = [c.lower().replace("_", " ") for c in class_names]
+    return tokenize([prompt.format(c) for c in names], tokenizer,
+                    context_length)
+
+
 def compute_text_features(
     clip_params: Params,
     cfg: CLIPConfig,
@@ -156,9 +173,8 @@ def compute_text_features(
     Reference: models/clip_cls.py:64-93 (templated prompts, lowercase,
     underscores to spaces, cached after first computation).
     """
-    names = [c.lower().replace("_", " ") for c in class_names]
-    toks = tokenize([prompt.format(c) for c in names], tokenizer,
-                    cfg.text.context_length)
+    toks = tokenize_prompts(class_names, prompt, tokenizer,
+                            cfg.text.context_length)
     feats = encode_text(clip_params["text"], cfg.text, jnp.asarray(toks), dtype=dtype)
     return normalize(feats)
 

@@ -43,15 +43,22 @@ _LEXER = re.compile(
 SOT = "<|startoftext|>"
 EOT = "<|endoftext|>"
 
+# static candidates: the package asset directory (eventclip_tpu/assets/)
+# and, as a fallback, a repo-root assets/ directory
 DEFAULT_BPE_PATHS = (
-    os.environ.get("EVENTCLIP_BPE_PATH", ""),
-    # the package asset directory (eventclip_tpu/assets/) and, as a
-    # fallback, a repo-root assets/ directory
     os.path.join(os.path.dirname(__file__), "..", "..", "assets",
                  "bpe_simple_vocab_16e6.txt.gz"),
     os.path.join(os.path.dirname(__file__), "..", "..", "..", "assets",
                  "bpe_simple_vocab_16e6.txt.gz"),
 )
+
+
+def bpe_asset_paths() -> Tuple[str, ...]:
+    """Candidate vocab locations, EVENTCLIP_BPE_PATH override first.
+
+    A function (not a frozen tuple) so the env override is read at call
+    time — tests and export builds can point at a vocab after import."""
+    return (os.environ.get("EVENTCLIP_BPE_PATH", ""),) + DEFAULT_BPE_PATHS
 
 
 @functools.lru_cache()
@@ -135,6 +142,18 @@ def _clean(text: str) -> str:
     return text.strip()
 
 
+def parse_merges(text: str) -> List[Tuple[str, str]]:
+    """Decoded BPE vocab file contents -> the merge list.
+
+    The released table has a version header line and is truncated to 48894
+    usable merges (48895 - 257 special slots already accounted in the
+    vocab assembly below). Shared by the file loader and by consumers that
+    carry the vocab as bytes (export bundles ship it for offline
+    set_classes)."""
+    lines = text.split("\n")
+    return [tuple(m.split()) for m in lines[1 : 49152 - 256 - 2 + 1]]
+
+
 class SimpleTokenizer:
     def __init__(self, bpe_path: str = None, merges: Sequence[Tuple[str, str]] = None):
         if merges is None:
@@ -153,7 +172,7 @@ class SimpleTokenizer:
     @staticmethod
     def _load_merges(bpe_path):
         if bpe_path is None:
-            for cand in DEFAULT_BPE_PATHS:
+            for cand in bpe_asset_paths():
                 if cand and os.path.exists(cand):
                     bpe_path = cand
                     break
@@ -165,11 +184,7 @@ class SimpleTokenizer:
             )
         opener = gzip.open if bpe_path.endswith(".gz") else open
         with opener(bpe_path, "rt", encoding="utf-8") as f:
-            lines = f.read().split("\n")
-        # the released table has a version header and is truncated to 48894
-        # usable merges (48895 - 257 special slots already accounted below)
-        merges = [tuple(m.split()) for m in lines[1 : 49152 - 256 - 2 + 1]]
-        return merges
+            return parse_merges(f.read())
 
     @property
     def vocab_size(self) -> int:

@@ -120,9 +120,9 @@ def parse_args():
 
 
 def bpe_available() -> bool:
-    from eventclip_tpu.models.clip.tokenizer import DEFAULT_BPE_PATHS
+    from eventclip_tpu.models.clip.tokenizer import bpe_asset_paths
 
-    return any(p and osp.exists(p) for p in DEFAULT_BPE_PATHS)
+    return any(p and osp.exists(p) for p in bpe_asset_paths())
 
 
 def tower_parity(sd, tol):
@@ -139,12 +139,12 @@ def tower_parity(sd, tol):
 
 def tokenizer_check():
     from eventclip_tpu.models.clip.tokenizer import (
-        DEFAULT_BPE_PATHS,
+        bpe_asset_paths,
         SimpleTokenizer,
         tokenize,
     )
 
-    path = next((p for p in DEFAULT_BPE_PATHS if p and osp.exists(p)), None)
+    path = next((p for p in bpe_asset_paths() if p and osp.exists(p)), None)
     if path is None:
         return {"ok": None, "note": "BPE asset absent - drop "
                 "bpe_simple_vocab_16e6.txt.gz into eventclip_tpu/assets/"}
@@ -173,10 +173,10 @@ def resolve_arch_name(cfg):
 def zero_shot(args, cfg, npz_path):
     import test as test_cli  # the repo's test.py (repo root is sys.path[0])
 
-    from eventclip_tpu.models.clip.tokenizer import DEFAULT_BPE_PATHS
+    from eventclip_tpu.models.clip.tokenizer import bpe_asset_paths
     from eventclip_tpu.utils.config import load_params
 
-    if not any(p and osp.exists(p) for p in DEFAULT_BPE_PATHS):
+    if not any(p and osp.exists(p) for p in bpe_asset_paths()):
         # real weights + random text features = silently garbage numbers;
         # the eval layer refuses that combination, so skip loudly instead
         return {"ok": None, "note": "zero-shot stage needs the BPE asset "

@@ -65,9 +65,9 @@ def test_smoke_mode_and_debug_arch_allow_random():
 
 
 def test_pretrained_with_missing_bpe_asset_hard_fails(rng):
-    from eventclip_tpu.models.clip.tokenizer import DEFAULT_BPE_PATHS
+    from eventclip_tpu.models.clip.tokenizer import bpe_asset_paths
 
-    if any(p and os.path.exists(p) for p in DEFAULT_BPE_PATHS):
+    if any(p and os.path.exists(p) for p in bpe_asset_paths()):
         pytest.skip("BPE asset present; the failure path cannot trigger")
     sd = random_clip_state_dict(rng)
     clip_params = convert_clip_state_dict(sd)

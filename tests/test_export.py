@@ -72,8 +72,17 @@ def test_bundle_layout(bundle, live):
     # EVENTCLIP_NO_PACK_EVAL is set in the outer environment)
     buckets = list(live._buckets or [])
     assert stored["buckets"] == buckets
-    assert names == ({"meta.json", "params.npz", "step.jaxexport"}
-                     | {f"packed_{k}.jaxexport" for k in buckets})
+    expected = ({"meta.json", "params.npz", "step.jaxexport"}
+                | {f"packed_{k}.jaxexport" for k in buckets})
+    # the text program + BPE vocab ride along exactly when the build host
+    # had a vocab asset to ship (meta records why otherwise)
+    if "skip" in stored["text"]:
+        assert names == expected
+        assert "vocab" in stored["text"]["skip"]
+    else:
+        assert names == expected | {"text.jaxexport", "bpe_vocab.bin"}
+        assert stored["text"]["n_cls"] == len(NAMES)
+    assert stored["embed"] is False
     assert stored == meta
     assert stored["class_names"] == NAMES
     assert stored["batch_size"] == 4
@@ -197,6 +206,70 @@ def test_byteorder_gate(bundle, tmp_path):
                 dst.writestr(name, src.read(name))
     with pytest.raises(ValueError, match="endian"):
         ExportedPredictor(path)
+
+
+def _write_vocab(tmp_path):
+    """A tiny-but-real BPE merge table on disk (the synthetic merges the
+    tokenizer unit tests exercise), gzip'd like the released asset."""
+    import gzip
+
+    from tests.test_tokenizer import MERGES
+
+    path = tmp_path / "bpe_simple_vocab_16e6.txt.gz"
+    text = "#version: tiny\n" + "\n".join(f"{a} {b}" for a, b in MERGES)
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write(text)
+    return str(path)
+
+
+def test_offline_set_classes(tmp_path, monkeypatch):
+    """With a vocab asset on the build host, the bundle freezes the text
+    tower + ships the BPE table, and ExportedPredictor.set_classes
+    reproduces the live predictor's runtime label swap — no model code,
+    no re-export."""
+    monkeypatch.setenv("EVENTCLIP_BPE_PATH", _write_vocab(tmp_path))
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    path = str(tmp_path / "swap.eclip")
+    meta = export_predictor(live, path)
+    assert "skip" not in meta["text"]
+    assert meta["text"]["prompt"] == "a point cloud image of a {}"
+    frozen = ExportedPredictor(path)
+    streams = _streams(np.random.default_rng(21), n=3)
+
+    swapped = ["cat", "point_cloud", "image of everything"]
+    live.set_classes(swapped)
+    frozen.set_classes(swapped)
+    assert frozen.class_names == swapped
+    a = live.predict(streams)
+    b = frozen.predict(streams)
+    np.testing.assert_allclose(a["probs"], b["probs"], rtol=1e-5, atol=1e-6)
+    assert a["names"] == b["names"]
+
+    # count changes need a retrace the frozen programs cannot do
+    with pytest.raises(ValueError, match="n_cls=3"):
+        frozen.set_classes(["just", "two"])
+    with pytest.raises(ValueError, match="non-empty"):
+        frozen.set_classes([])
+
+
+def test_exported_embed(tmp_path, monkeypatch):
+    """--embed freezes the embeddings program; the bundle's embed()
+    matches the live retrieval features."""
+    monkeypatch.delenv("EVENTCLIP_BPE_PATH", raising=False)
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True,
+                     batch_size=4, embed=True)
+    path = str(tmp_path / "embed.eclip")
+    meta = export_predictor(live, path)
+    assert meta["embed"] is True
+    frozen = ExportedPredictor(path)
+    streams = _streams(np.random.default_rng(22), n=3)
+    a = live.embed(streams)
+    b = frozen.embed(streams)
+    assert b.shape == a.shape and b.dtype == np.float32
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(b, axis=-1), 1.0, rtol=1e-4)
+    empty = frozen.embed([])
+    assert empty.shape == (0, a.shape[-1])
 
 
 def test_offline_cli_from_export(bundle, live, tmp_path, capsys):

@@ -25,9 +25,9 @@ _HAS_CKPT = bool(CKPT) and os.path.exists(CKPT) and CKPT.endswith(".pt")
 
 
 def _bpe_path():
-    from eventclip_tpu.models.clip.tokenizer import DEFAULT_BPE_PATHS
+    from eventclip_tpu.models.clip.tokenizer import bpe_asset_paths
 
-    for p in DEFAULT_BPE_PATHS:
+    for p in bpe_asset_paths():
         if p and os.path.exists(p):
             return p
     return None

@@ -1092,3 +1092,34 @@ def test_serving_from_exported_bundle(tmp_path):
                 f"{route}: frozen-bundle refusal should be a client error")
     finally:
         server.shutdown()
+
+
+def test_serving_from_exported_bundle_swaps_vocabulary(tmp_path,
+                                                       monkeypatch):
+    """A bundle built where a BPE vocab exists carries the frozen text
+    tower: /set_classes works on the deployed server for same-count
+    swaps (the open-vocabulary serving claim survives export); a count
+    change is still a clean 400."""
+    from eventclip_tpu.client import ServingClient, ServingError
+    from eventclip_tpu.export import ExportedPredictor, export_predictor
+    from tests.test_export import _write_vocab
+
+    monkeypatch.setenv("EVENTCLIP_BPE_PATH", _write_vocab(tmp_path))
+    live = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    bundle = str(tmp_path / "model.eclip")
+    export_predictor(live, bundle)
+    server = make_server(ExportedPredictor(bundle), "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        c = ServingClient(url)
+        new = ["cup", "chair", "lamp"]  # same count as NAMES
+        assert c.set_classes(new) == new
+        assert c.classes() == new
+        out = c.predict(_streams(np.random.default_rng(78), 1))
+        assert out["names"][0] in new
+        with pytest.raises(ServingError, match="same count"):
+            c.set_classes(["just", "two"])
+    finally:
+        server.shutdown()
+        server.server_close()
