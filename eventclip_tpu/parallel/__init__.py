@@ -1,4 +1,5 @@
 from .distributed import (
+    allreduce_max_array,
     initialize_distributed,
     host_shard_info,
     make_global_batch,
@@ -16,6 +17,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "allreduce_max_array",
     "initialize_distributed",
     "host_shard_info",
     "make_global_batch",

@@ -58,6 +58,26 @@ def any_process_flag(flag: bool) -> bool:
         np.asarray([flag], dtype=np.bool_))).any())
 
 
+def allreduce_max_array(x) -> np.ndarray:
+    """Elementwise max of an array across every process (host-side).
+
+    Calibration statistics (int8 activation max-abs, `ops/quant.py::
+    calibrate_visual_amax`) are accumulated per host over that host's data
+    shard; folding them with a cross-process max makes the quantized
+    teacher/model bit-identical on every host regardless of how samples
+    were sharded — required for SPMD-deterministic pseudo-labeling.
+    Deterministic collective — every process must call it at the same
+    program point. Single-process: passthrough (as numpy).
+    """
+    arr = np.asarray(x)
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    rows = np.asarray(multihost_utils.process_allgather(arr))
+    return rows.max(axis=0)
+
+
 def gather_objects(obj):
     """Every process's `obj`, as a list indexed by process id.
 

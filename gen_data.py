@@ -203,11 +203,13 @@ def main(params, args):
 
         act_amax = None
         if getattr(args, "int8_calib", 0) > 0:
-            # static activation scales from the first N teacher batches
-            # (same recipe as test.py; under multi-host each host
-            # calibrates on its own shard — scales may differ slightly
-            # across hosts, each sample is still labeled exactly once)
+            # static activation scales from the first N teacher batches.
+            # Each host sweeps its OWN shard, then the amax vectors fold
+            # with a cross-process max so every host quantizes the SAME
+            # teacher — pseudo-labels must not depend on shard assignment
+            # (reference gen_data.py:69-280 has one teacher, one label set)
             from eventclip_tpu.ops.quant import calibrate_visual_amax
+            from eventclip_tpu.parallel import allreduce_max_array
 
             to_imgs = jax.jit(lambda w: rasterize_for_clip(spec, pp, w))
             for i, batch in enumerate(loader):
@@ -221,6 +223,8 @@ def main(params, args):
                 )
                 act_amax = a if act_amax is None else jnp.maximum(act_amax,
                                                                   a)
+            if act_amax is not None:  # shards are balanced: all-or-none
+                act_amax = jnp.asarray(allreduce_max_array(act_amax))
         try:
             model_params = quantize_classifier_params(model_params,
                                                       act_amax=act_amax)
@@ -460,6 +464,18 @@ if __name__ == "__main__":
     from eventclip_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+    # pseudo-labeling scales out exactly like training: every process runs
+    # this script, coordination is env-driven (the same triple
+    # scripts/submit_run.sh exports), each host labels its loader shard and
+    # rank 0 owns the report + symlink tree (see the gather in main())
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from eventclip_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
 
     from eventclip_tpu.utils.config import load_params
 

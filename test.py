@@ -201,6 +201,12 @@ def evaluate(params, args, weight: str = "", printing: bool = True,
                     imgs, dtype=cls_cfg.dtype,
                 )
                 act_amax = a if act_amax is None else jnp.maximum(act_amax, a)
+            if act_amax is not None:
+                # fold across processes: every host must evaluate the SAME
+                # quantized tower (shard-independent static scales)
+                from eventclip_tpu.parallel import allreduce_max_array
+
+                act_amax = jnp.asarray(allreduce_max_array(act_amax))
         try:
             model_params = quantize_classifier_params(model_params,
                                                       act_amax=act_amax)

@@ -234,6 +234,93 @@ def test_two_process_zero1(tmp_path):
 
 
 @pytest.mark.e2e
+def test_two_process_gen_data_int8_calib(tmp_path):
+    """Pseudo-labeling under a REAL 2-process run with a calibrated int8
+    teacher. Each host calibrates static activation scales on its OWN
+    loader shard, then the amax vectors fold with a cross-process max
+    (parallel/distributed.py::allreduce_max_array), so every host
+    quantizes the SAME teacher. The selected pseudo-labels must be
+    bit-identical to a single-process run over the same tree —
+    pseudo-labels become training data, so they must not depend on how
+    samples were sharded across hosts (reference gen_data.py:69-280:
+    one teacher, one label set)."""
+    tree = make_tree(str(tmp_path / "tree"))
+    cfg = tmp_path / "zs_tiny_params.py"
+    cfg.write_text(f"""
+from eventclip_tpu.utils.config import Params
+
+class EventCLIPParams(Params):
+    gpus = 1
+    dataset = 'n_caltech'
+    data_root = {tree!r}
+    train_batch_size = 4
+    val_batch_size = 8
+    num_workers = 2
+    quantize_args = dict(
+        max_imgs=2, N=1000, split_method='event_count',
+        convert_method='event_histogram', grayscale=True,
+        count_non_zero=False, background_mask=True,
+    )
+    model = 'ZSCLIP'
+    clip_dict = dict(arch='ViT-T/8@32',
+                     prompt='a point cloud image of a {{}}',
+                     agg_func='mean')
+""")
+
+    def gen_cmd(save_path):
+        return [sys.executable, "gen_data.py", "--params", str(cfg),
+                "--cpu", "--save_path", save_path, "--conf_thresh", "0.3",
+                "--topk", "2", "--int8", "--int8_calib", "1"]
+
+    def base_env():
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        return env
+
+    # the real 2-process labeling run (each host labels half of every
+    # global batch; the global batch stays 8 in both runs so the folded
+    # calibration batch is the same sample set as the single-process one)
+    pseudo2 = str(tmp_path / "pseudo_2proc")
+    port = _free_port()
+    procs = []
+    for rank in (0, 1):
+        env = base_env()
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(rank)
+        procs.append(subprocess.Popen(
+            gen_cmd(pseudo2), cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = _communicate(procs, "gen_data-int8-calib")
+    out0, out1 = outs[0][1], outs[1][1]
+    # rank 0 owns the report and the symlink tree; rank 1 labels silently
+    assert "Pseudo-label dataset tree written to" in out0
+    assert "Class stats:" not in out1
+    assert "Pseudo-label dataset tree written to" not in out1
+
+    # single-process reference on the same 2 local devices
+    pseudo1 = str(tmp_path / "pseudo_1proc")
+    r = subprocess.run(gen_cmd(pseudo1), cwd=REPO, env=base_env(),
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    def tree_links(root):
+        return {
+            os.path.relpath(os.path.join(dp, f), root):
+                os.path.realpath(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "training"))
+            for f in fs
+        }
+
+    links2 = tree_links(pseudo2)
+    assert links2 and links2 == tree_links(pseudo1)
+    stats = lambda out: out[  # noqa: E731
+        out.index("Class stats:"):out.index("Pseudo-label dataset tree")]
+    assert stats(out0) == stats(r.stdout)
+
+
+@pytest.mark.e2e
 def test_two_process_packed_eval_matches_padded(tmp_path):
     """Packed eval under a REAL 2-process run: pack_view_batch's cross-host
     bucket agreement (one allgather per batch) must produce the SAME val
