@@ -39,6 +39,25 @@ import numpy as np
 
 STAGES_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_STAGES.json")
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+
+
+def write_stage_artifacts(records, path):
+    """Write the per-stage JSONL artifact; a CANONICAL run (default arch +
+    full level + no geometry overrides, i.e. ``path == STAGES_PATH``) also
+    appends one record to the cross-run history so
+    scripts/update_baseline.py can regenerate BASELINE.md's quoted results
+    from artifacts instead of hand-kept prose."""
+    with open(path, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    if path == STAGES_PATH:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps({
+                "ts": round(time.time(), 1),
+                "stages": {r["metric"]: r["value"] for r in records},
+            }) + "\n")
 
 
 def make_event_batch(rng, B, T, N, H, W):
@@ -372,9 +391,7 @@ def main():
         if custom:
             suffix += "-custom"
         path = STAGES_PATH.replace(".json", suffix + ".json")
-    with open(path, "w") as f:
-        for rec in bench.records:
-            f.write(json.dumps(rec) + "\n")
+    write_stage_artifacts(bench.records, path)
 
     print(json.dumps({
         "metric": "event2img_events_per_sec",

@@ -7,13 +7,23 @@ This pins the quoted numbers to the source mechanically: change a stage
 constant in bench.py and this test points at the BASELINE sentence that
 now lies.
 
-Prose numbers (the measured results themselves) are NOT pinned — only the
-*parameters* of the measurement: window/cap/gap, batch sizes, rep counts,
-stage geometry.
+Round 5 closes the other half: the measured RESULTS BASELINE.md quotes from
+the canonical bench run live in ``<!--gen:NAME-->`` spans owned by
+``scripts/update_baseline.py``, and ``test_generated_spans_current`` below
+asserts the committed spans equal what the generator would write from
+``BENCH_STAGES.json``/``BENCH_HISTORY.jsonl`` — a driver re-run that moves
+a result fails CI with the one command that fixes it, instead of shipping
+stale prose (this happened three rounds in a row when the envelopes were
+hand-kept).
+
+Hand-written prose numbers outside gen spans are historical facts ("round 4
+measured X") and stay unpinned.
 """
 
 import os
 import re
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -80,3 +90,73 @@ def test_feed_overlap_geometry_matches():
         f"BASELINE overlap section should quote '{geom}' "
         f"(bench.py geometry {H}x{W} B={B} N={N})"
     )
+
+
+def test_generated_spans_current():
+    """Every <!--gen:NAME--> span in BASELINE.md must hold exactly the text
+    scripts/update_baseline.py would regenerate from the current bench
+    artifacts, and the span sets must match in both directions."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import update_baseline as ub
+    finally:
+        sys.path.pop(0)
+
+    if not os.path.exists(ub.STAGES_PATH):
+        pytest.skip("no canonical BENCH_STAGES.json on this host")
+    spans = ub.compute_spans(ub.load_stages(), ub.load_history())
+    text = _read("BASELINE.md")
+
+    found = dict(ub.SPAN_RE.findall(text))
+    unknown = set(found) - set(spans)
+    assert not unknown, (
+        f"BASELINE.md has gen spans update_baseline.py does not define: "
+        f"{sorted(unknown)}")
+    missing = set(spans) - set(found)
+    assert not missing, (
+        f"BASELINE.md lost gen spans: {sorted(missing)} — restore the "
+        f"<!--gen:NAME-->...<!--/gen--> markers")
+    stale = {n: (found[n], spans[n]) for n in spans if found[n] != spans[n]}
+    assert not stale, (
+        "BASELINE.md gen spans are stale vs BENCH_STAGES.json/"
+        "BENCH_HISTORY.jsonl — run `python scripts/update_baseline.py` "
+        f"(stale: { {n: f'{a!r} -> {b!r}' for n, (a, b) in stale.items()} })")
+
+
+def test_bench_history_appended_only_on_canonical_runs(tmp_path, monkeypatch):
+    """bench.py must append one history record per CANONICAL full run (the
+    feed for update_baseline's envelopes) and never for suffixed runs."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+
+    stages = tmp_path / "BENCH_STAGES.json"
+    history = tmp_path / "BENCH_HISTORY.jsonl"
+    monkeypatch.setattr(bench, "STAGES_PATH", str(stages))
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(history))
+    records = [
+        {"metric": "event2img_events_per_sec", "value": 1.0, "unit": "e/s",
+         "note": ""},
+        {"metric": "serve_latency_p50_ms", "value": 50.0, "unit": "ms",
+         "note": "p95=60.0 ms"},
+    ]
+
+    # suffixed (non-canonical) run: stage file only, no history
+    other = tmp_path / "BENCH_STAGES-quick.json"
+    bench.write_stage_artifacts(records, str(other))
+    assert other.exists() and not history.exists()
+
+    # canonical run: stage file + one appended history record per run
+    bench.write_stage_artifacts(records, str(stages))
+    bench.write_stage_artifacts(records, str(stages))
+    lines = [json.loads(l) for l in history.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["stages"] == {r["metric"]: r["value"] for r in records}
+    assert lines[0]["ts"] > 0
