@@ -893,9 +893,18 @@ def _serve_latency(bench, rng, arch):
     for _ in range(max(reps // 4, 1)):
         thr.predict(req)
     dt = (time.time() - t) / max(reps // 4, 1)
+    # host/device split of one request (single-threaded windowing) — the
+    # fused row's phase note reads against this
+    t0 = time.time()
+    wins, valids = thr.gather_windows(req)
+    t1 = time.time()
+    thr.predict_windows(wins, valids)
+    t2 = time.time()
     bench.record("serve_throughput_streams_per_sec", len(req) / dt,
                  "streams/s",
-                 f"{req_bs}-stream request, batch_size={req_bs}, {arch}")
+                 f"{req_bs}-stream request, batch_size={req_bs}, {arch}; "
+                 f"split: window {1e3 * (t1 - t0):.1f} + device "
+                 f"{1e3 * (t2 - t1):.1f} ms (1 thread)")
 
     # microbatched concurrent load: req_bs threads each submit ONE stream;
     # the fuser turns them into fused device batches instead of req_bs
@@ -921,16 +930,37 @@ def _serve_latency(bench, rng, arch):
                 th.join()
 
         fire_all()  # warm (packed-K variants may compile here)
+        mb.batch_log.clear()  # attribute the timed cycles only
         t = time.time()
         n_iters = max(reps // 4, 1)
         for _ in range(n_iters):
             fire_all()
         dt = (time.time() - t) / n_iters
+        # phase attribution: where a fused cycle's time goes (the fused row
+        # historically lagged the same-run batched row ~20% with the
+        # residual unexplained; the worker now logs per-batch split)
+        log = list(mb.batch_log)
+        split = ""
+        if log:
+            mean = {k: sum(b[k] for b in log) / len(log)
+                    for k in ("window_ms", "close_ms", "lock_ms",
+                              "device_ms", "slice_ms", "streams")}
+            spawn_ms = dt * 1e3 * len(log) / n_iters - sum(
+                mean[k] for k in ("window_ms", "close_ms", "lock_ms",
+                                  "device_ms", "slice_ms"))
+            split = (f"; phase split/batch over {len(log)} batches "
+                     f"({mean['streams']:.1f} streams each): "
+                     f"window {mean['window_ms']:.1f}, "
+                     f"close-wait {mean['close_ms']:.1f}, "
+                     f"lock {mean['lock_ms']:.1f}, "
+                     f"device {mean['device_ms']:.1f}, "
+                     f"slice {mean['slice_ms']:.1f}, "
+                     f"spawn+join {spawn_ms:.1f} ms")
         bench.record("serve_microbatch_streams_per_sec", len(req) / dt,
                      "streams/s",
                      f"{req_bs} concurrent 1-stream requests fused by "
                      f"MicroBatcher(cap 100 ms, idle gap 10 ms), "
-                     f"batch_size={req_bs}, {arch}")
+                     f"batch_size={req_bs}, {arch}{split}")
     finally:
         mb.close()
 

@@ -64,6 +64,7 @@ import math
 import os
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Sequence
 
@@ -123,6 +124,9 @@ class MicroBatcher:
         self._pending: list = []
         self._arrivals = 0  # monotone registration counter (gap clock)
         self._closed = False
+        # per-fused-batch phase timings (bench.py reads this to attribute
+        # where a fused cycle's time goes vs the single-request ceiling)
+        self.batch_log: deque = deque(maxlen=64)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -162,6 +166,7 @@ class MicroBatcher:
             raise
         with self._cond:
             req.ready = True
+            req.t_ready = time.monotonic()
             self._cond.notify_all()
         req.done.wait()
         if req.err is not None:
@@ -182,6 +187,18 @@ class MicroBatcher:
                     self._cond.wait()
                 deadline = time.monotonic() + self._wait
                 seen = self._arrivals
+                # the gap clock starts at THIS wake-up (the first ready
+                # flip), not at the newest request's true arrival time.
+                # Seeding from true arrivals was tried and measured WORSE:
+                # under load, thread scheduling staggers a burst's
+                # registrations by more than the gap, so an "already
+                # quiet" clock closes a partial batch the instant its
+                # first requests are ready (a CPU run split 32-request
+                # bursts into 21-stream batches and halved throughput).
+                # Clocking from the wake grants stragglers one gap to
+                # register; the cost is at most one idle_gap of close-wait
+                # and only when every ready flip lands within the gap —
+                # the per-batch close_ms in batch_log measures it
                 last_arrival = time.monotonic()
                 while not self._closed:
                     now = time.monotonic()
@@ -212,8 +229,10 @@ class MicroBatcher:
                 if not batch:  # closed while every pending request was
                     continue   # still windowing — wait for readiness
                 self._pending = [r for r in self._pending if not r.ready]
+            t_close = time.monotonic()
             try:
                 with self._device_lock:
+                    t_lock = time.monotonic()
                     out = self._pred.predict_windows(
                         np.concatenate([r.wins for r in batch]),
                         np.concatenate([r.valids for r in batch]),
@@ -223,6 +242,7 @@ class MicroBatcher:
                     r.err = err
                     r.done.set()
                 continue
+            t_dev = time.monotonic()
             # per-request distribution: one bad request (exotic top_k etc.)
             # must fail only itself, never kill the worker thread — a dead
             # worker would hang every queued and future submit forever
@@ -244,11 +264,30 @@ class MicroBatcher:
                 finally:
                     ofs += n
                     r.done.set()
+            # attribute the fused cycle: where did the time between the
+            # first arrival and the last response go? (bench.py folds the
+            # means into the serve_microbatch row's note)
+            last_ready = max(r.t_ready for r in batch)
+            self.batch_log.append({
+                "requests": len(batch),
+                "streams": sum(r.n_streams for r in batch),
+                # first arrival -> all windowed (GIL-staggered host phase)
+                "window_ms": (last_ready - min(r.t_arr for r in batch))
+                * 1e3,
+                # all windowed -> batch close (gap-clock wait, if any)
+                "close_ms": (t_close - last_ready) * 1e3,
+                # close -> device lock held (contention with other routes)
+                "lock_ms": (t_lock - t_close) * 1e3,
+                # fused predict_windows (H2D + forward + D2H)
+                "device_ms": (t_dev - t_lock) * 1e3,
+                # slice-back + per-request top-k + wakeups
+                "slice_ms": (time.monotonic() - t_dev) * 1e3,
+            })
 
 
 class _Request:
     __slots__ = ("wins", "valids", "top_k", "n_streams", "result", "err",
-                 "done", "ready")
+                 "done", "ready", "t_arr", "t_ready")
 
     def __init__(self, wins, valids, top_k, n_streams=None):
         self.wins, self.valids, self.top_k = wins, valids, top_k
@@ -257,6 +296,8 @@ class _Request:
         self.err: Optional[Exception] = None
         self.done = threading.Event()
         self.ready = wins is not None  # flips True once windowing lands
+        self.t_arr = time.monotonic()
+        self.t_ready = self.t_arr if self.ready else None
 
 
 def resolve_class_names(params, classes_file: str = "",

@@ -387,6 +387,16 @@ def test_microbatcher_fuses_staggered_burst_into_one_call():
         del pred.predict_windows
     assert calls == [8], (
         f"burst split into batches of {calls} rows instead of one fused 8")
+    # phase attribution (bench.py reads this to explain fused-vs-batched
+    # residuals): one fused batch -> one log entry whose host-windowing
+    # span covers the staggered 30 ms gathers
+    assert len(mb.batch_log) == 1
+    entry = mb.batch_log[0]
+    assert entry["requests"] == 8 and entry["streams"] == 8
+    assert entry["window_ms"] >= 25.0
+    assert entry["device_ms"] > 0.0
+    for k in ("close_ms", "lock_ms", "slice_ms"):
+        assert entry[k] >= 0.0, (k, entry)
 
 
 def test_microbatcher_hard_cap_leaves_stragglers_for_next_batch():
