@@ -93,6 +93,24 @@ def _auto_depth(cur):
     return m.group(1) if m else "?"
 
 
+def _fused_split(cur):
+    """The MicroBatcher's per-batch phase attribution (server.py logs it,
+    bench.py folds the means into the fused row's note)."""
+    m = re.search(r"phase split/batch over .+? ms",
+                  cur["serve_microbatch_streams_per_sec.note"])
+    return (m.group(0) if m
+            else "phase split not recorded by the latest canonical run "
+                 "(pre-instrumentation artifact)")
+
+
+def _batched_split(cur):
+    m = re.search(r"split: (window .+? \(1 thread\))",
+                  cur["serve_throughput_streams_per_sec.note"])
+    return (m.group(1) if m
+            else "window/device split not recorded by the latest "
+                 "canonical run")
+
+
 def compute_spans(cur, hist):
     """Span name -> regenerated text. Every name here must appear in
     BASELINE.md exactly once (and vice versa)."""
@@ -117,6 +135,8 @@ def compute_spans(cur, hist):
         "serve_floor": _num(floor),
         "serve_fused_ratio": _num(fused / floor) + "x",
         "serve_fused_pct": f"{100.0 * fused / batched:.0f}%",
+        "serve_fused_split": _fused_split(cur),
+        "serve_batched_split": _batched_split(cur),
         "serve_env": (
             f"across the {n_runs} recorded canonical full run(s) "
             f"(`BENCH_HISTORY.jsonl`): "

@@ -258,6 +258,7 @@ def test_train_test_cycle(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~77 s on the 1-core CI host
 def test_cli_tensor_parallel_train_and_eval(tree, ckpt_base):
     """--n_model 2 through the CLIs: a 4x2 ('data','model') mesh trains and
     the produced checkpoint evaluates under the same TP layout (the
@@ -309,6 +310,7 @@ def test_train_shots_sweep_averages_dups(tree, ckpt_base):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~70 s on the 1-core CI host
 def test_preemption_resume_continues_same_run(tree, ckpt_base):
     """Relaunching into the same ckpt dir must restore the full state from
     resume.pkl, train only the REMAINING epochs, and keep the metric-curve
@@ -395,6 +397,7 @@ def test_cli_overrides_rename_experiment(tree, tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~64 s on the 1-core CI host
 def test_dup_run_trains_seed_duplicates(tree, tmp_path):
     """scripts/dup_run.sh copies the params file as -dupN.py and trains each
     with a distinct seed (reference dup_run_sbatch.sh); the resulting ckpt
@@ -503,6 +506,7 @@ def test_training_actually_learns(tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~58 s on the 1-core CI host
 def test_gen_data_and_selftrain(tree, tmp_path):
     cfg = tmp_path / "zs_tiny_params.py"
     cfg.write_text(f"""
@@ -585,6 +589,7 @@ class EventCLIPParams(Params):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~74 s on the 1-core CI host
 def test_gen_data_few_shot_teacher_merges_gt(tmp_path):
     """The self-training loop's few-shot-teacher half (reference
     gen_data.py:99-118 + docs/benchmark.md:112-128): train a 1-shot teacher,
@@ -669,6 +674,7 @@ def test_gen_data_few_shot_teacher_merges_gt(tmp_path):
             os.path.join(tree, "training", cls, fn))
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~109 s on the 1-core CI host
 def test_hard_kill_mid_training_resumes_cleanly(tree, tmp_path):
     """Real preemption: SIGKILL the trainer MID-RUN (no grace, the Slurm
     timeout contract the watchdog resubmits after), then relaunch into the
@@ -735,6 +741,8 @@ def test_hard_kill_mid_training_resumes_cleanly(tree, tmp_path):
                                        "models", "best.npz"))
 
 
+@pytest.mark.e2e
+@pytest.mark.slow  # ~88 s on the 1-core CI host
 def test_sigterm_graceful_preemption_saves_and_resumes(tree, tmp_path):
     """Graceful preemption: SIGTERM mid-run must finish the in-flight
     epoch, FORCE a boundary save even off save_interval (here 100, so

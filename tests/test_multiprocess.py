@@ -78,6 +78,7 @@ def _communicate(procs, what):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~198 s on the 1-core CI host
 def test_two_process_distributed_training(tmp_path):
     tree = make_tree(str(tmp_path / "tree"))
     ckpt_base = str(tmp_path / "ckpt")
@@ -143,6 +144,7 @@ def test_two_process_distributed_training(tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~85 s on the 1-core CI host
 def test_two_process_tensor_parallel(tmp_path):
     """DP x TP across processes: 2 hosts x 2 devices with --n_model 2 — the
     ('data','model') = (2,2) mesh splits the model axis WITHIN each host
@@ -191,6 +193,7 @@ def test_two_process_gradient_accumulation(tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~187 s on the 1-core CI host
 def test_two_process_zero1(tmp_path):
     """ZeRO-1 under a REAL 2-process run: the optimizer moments shard over
     a data axis that SPANS hosts, so (a) the rank-0 resume save must first
@@ -234,6 +237,7 @@ def test_two_process_zero1(tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~38 s on the 1-core CI host
 def test_two_process_gen_data_int8_calib(tmp_path):
     """Pseudo-labeling under a REAL 2-process run with a calibrated int8
     teacher. Each host calibrates static activation scales on its OWN
@@ -321,6 +325,7 @@ class EventCLIPParams(Params):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow  # ~181 s on the 1-core CI host
 def test_two_process_packed_eval_matches_padded(tmp_path):
     """Packed eval under a REAL 2-process run: pack_view_batch's cross-host
     bucket agreement (one allgather per batch) must produce the SAME val

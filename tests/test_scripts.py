@@ -253,6 +253,7 @@ def test_slurm_watchdog_bounded_when_accounting_absent(tmp_path):
     )
 
 
+@pytest.mark.slow  # ~22 grid points x one interpreter spawn each (~50 s)
 def test_sweep_helpers_enumerate_the_reference_grids(tmp_path):
     """train_all_shots / test_all_arch / test_all_subset must invoke the
     wrapped command once per grid point with the right flag (reference
