@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Regenerate the machine-owned result numbers in BASELINE.md.
+"""Regenerate the machine-owned result numbers in BASELINE.md + README.md.
 
 Rounds 2-4 each shipped BASELINE.md serving/overlap result envelopes that
 lagged the canonical artifact, because those numbers were re-typed by hand
@@ -29,6 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STAGES_PATH = os.path.join(REPO, "BENCH_STAGES.json")
 HISTORY_PATH = os.path.join(REPO, "BENCH_HISTORY.jsonl")
 BASELINE_PATH = os.path.join(REPO, "BASELINE.md")
+README_PATH = os.path.join(REPO, "README.md")
+# every file whose result numbers this script owns; a span may appear in
+# more than one of them (same name -> same regenerated text everywhere)
+GENERATED_FILES = (BASELINE_PATH, README_PATH)
 
 SPAN_RE = re.compile(r"<!--gen:([\w-]+)-->(.*?)<!--/gen-->", re.S)
 
@@ -111,9 +115,20 @@ def _batched_split(cur):
                  "canonical run")
 
 
+def _encode_pct_ceiling(cur):
+    """The encode stage's fraction of the same-run measured matmul ceiling
+    (bench.py records both in the encode row's note)."""
+    m = re.search(r"(\d+) TFLOP/s vs (\d+) ceiling",
+                  cur["encode_ViT-L14_img_per_sec.note"])
+    if not m:
+        raise ValueError("encode note no longer records TFLOP/s vs ceiling")
+    return f"{100.0 * float(m.group(1)) / float(m.group(2)):.0f}%"
+
+
 def compute_spans(cur, hist):
-    """Span name -> regenerated text. Every name here must appear in
-    BASELINE.md exactly once (and vice versa)."""
+    """Span name -> regenerated text. Every name here must appear in at
+    least one GENERATED_FILES member (the test asserts coverage both ways);
+    the same name may appear in several files and gets the same text."""
     p50 = cur["serve_latency_p50_ms"]
     batched = cur["serve_throughput_streams_per_sec"]
     fused = cur["serve_microbatch_streams_per_sec"]
@@ -155,45 +170,61 @@ def compute_spans(cur, hist):
         "ov_auto": _num(cur["nin_lora_loop_auto_ms"]),
         "ov_auto_depth": _auto_depth(cur),
         "ov_sum": _num(cur["nin_lora_feed_ms"] + cur["nin_lora_step_ms"]),
+        # README headline bullets (canonical latest run)
+        "enc_l14": _num(cur["encode_ViT-L14_img_per_sec"], 0),
+        "enc_l14_pct": _encode_pct_ceiling(cur),
+        "enc_l14_int8": _num(cur["encode_int8_ViT-L14_img_per_sec"], 0),
+        "enc_l14_int8_calib": _num(
+            cur["encode_int8_static_ViT-L14_img_per_sec"], 0),
+        "prune_ratio_e2e": _num(
+            cur["e2e_int8_prune_events_per_sec"]
+            / cur["e2e_events_per_sec"]) + "x",
     }
     return spans
 
 
-def regenerate(text, spans):
-    """Replace every gen span's body; error on unknown/missing names."""
+def regenerate(text, spans, fname="BASELINE.md"):
+    """Replace every gen span's body; error on unknown names. Returns the
+    rewritten text plus the set of span names the file used (a file may
+    carry any subset — main() checks coverage across all GENERATED_FILES)."""
     seen = set()
 
     def _sub(m):
         name = m.group(1)
         if name not in spans:
-            raise KeyError(f"BASELINE.md has <!--gen:{name}--> but "
+            raise KeyError(f"{fname} has <!--gen:{name}--> but "
                            f"update_baseline.py defines no such span")
         seen.add(name)
         return f"<!--gen:{name}-->{spans[name]}<!--/gen-->"
 
-    out = SPAN_RE.sub(_sub, text)
-    missing = set(spans) - seen
-    if missing:
-        raise KeyError(f"BASELINE.md is missing gen spans: {sorted(missing)}")
-    return out
+    return SPAN_RE.sub(_sub, text), seen
 
 
 def main():
-    cur = load_stages()
-    hist = load_history()
-    with open(BASELINE_PATH) as f:
-        text = f.read()
-    new = regenerate(text, compute_spans(cur, hist))
-    if new == text:
-        print("BASELINE.md already current")
-        return 0
-    with open(BASELINE_PATH, "w") as f:
-        f.write(new)
-    old_spans = dict(SPAN_RE.findall(text))
-    new_spans = dict(SPAN_RE.findall(new))
-    changed = sorted(n for n in new_spans if old_spans.get(n) != new_spans[n])
-    print(f"BASELINE.md regenerated ({len(changed)} span(s) changed: "
-          f"{', '.join(changed)})")
+    spans = compute_spans(load_stages(), load_history())
+    seen_all = set()
+    for path in GENERATED_FILES:
+        fname = os.path.basename(path)
+        with open(path) as f:
+            text = f.read()
+        new, seen = regenerate(text, spans, fname)
+        seen_all |= seen
+        if new == text:
+            print(f"{fname} already current")
+            continue
+        with open(path, "w") as f:
+            f.write(new)
+        old_spans = dict(SPAN_RE.findall(text))
+        new_spans = dict(SPAN_RE.findall(new))
+        changed = sorted(
+            n for n in new_spans if old_spans.get(n) != new_spans[n])
+        print(f"{fname} regenerated ({len(changed)} span(s) changed: "
+              f"{', '.join(changed)})")
+    missing = set(spans) - seen_all
+    if missing:
+        raise KeyError(
+            f"no generated file carries gen spans: {sorted(missing)} — "
+            f"restore the <!--gen:NAME--> markers")
     return 0
 
 

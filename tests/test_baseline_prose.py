@@ -93,9 +93,10 @@ def test_feed_overlap_geometry_matches():
 
 
 def test_generated_spans_current():
-    """Every <!--gen:NAME--> span in BASELINE.md must hold exactly the text
-    scripts/update_baseline.py would regenerate from the current bench
-    artifacts, and the span sets must match in both directions."""
+    """Every <!--gen:NAME--> span in the generated files (BASELINE.md,
+    README.md) must hold exactly the text scripts/update_baseline.py would
+    regenerate from the current bench artifacts; each file may carry any
+    subset of spans but together they must cover all of them."""
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -107,22 +108,26 @@ def test_generated_spans_current():
     if not os.path.exists(ub.STAGES_PATH):
         pytest.skip("no canonical BENCH_STAGES.json on this host")
     spans = ub.compute_spans(ub.load_stages(), ub.load_history())
-    text = _read("BASELINE.md")
 
-    found = dict(ub.SPAN_RE.findall(text))
-    unknown = set(found) - set(spans)
-    assert not unknown, (
-        f"BASELINE.md has gen spans update_baseline.py does not define: "
-        f"{sorted(unknown)}")
-    missing = set(spans) - set(found)
+    seen_all = set()
+    for path in ub.GENERATED_FILES:
+        fname = os.path.basename(path)
+        found = dict(ub.SPAN_RE.findall(_read(fname)))
+        seen_all |= set(found)
+        unknown = set(found) - set(spans)
+        assert not unknown, (
+            f"{fname} has gen spans update_baseline.py does not define: "
+            f"{sorted(unknown)}")
+        stale = {n: (found[n], spans[n])
+                 for n in found if found[n] != spans[n]}
+        assert not stale, (
+            f"{fname} gen spans are stale vs BENCH_STAGES.json/"
+            "BENCH_HISTORY.jsonl — run `python scripts/update_baseline.py` "
+            f"(stale: { {n: f'{a!r} -> {b!r}' for n, (a, b) in stale.items()} })")
+    missing = set(spans) - seen_all
     assert not missing, (
-        f"BASELINE.md lost gen spans: {sorted(missing)} — restore the "
-        f"<!--gen:NAME-->...<!--/gen--> markers")
-    stale = {n: (found[n], spans[n]) for n in spans if found[n] != spans[n]}
-    assert not stale, (
-        "BASELINE.md gen spans are stale vs BENCH_STAGES.json/"
-        "BENCH_HISTORY.jsonl — run `python scripts/update_baseline.py` "
-        f"(stale: { {n: f'{a!r} -> {b!r}' for n, (a, b) in stale.items()} })")
+        f"no generated file carries gen spans: {sorted(missing)} — restore "
+        f"the <!--gen:NAME-->...<!--/gen--> markers")
 
 
 def test_bench_history_appended_only_on_canonical_runs(tmp_path, monkeypatch):
