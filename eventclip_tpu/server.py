@@ -94,8 +94,16 @@ class MicroBatcher:
     completion gap used to fire a 1-row batch that cost a full padded
     forward and serialized the other 31 behind it). The batch closes
     when every registered request is ready and a quiet ``idle_gap_ms``
-    passes with no new arrival, or at the hard ``max_wait_ms`` cap
-    (taking only the ready ones), or at ``max_streams`` ready. One
+    passes with no new arrival, or at the ``max_wait_ms`` cap (taking
+    only the ready ones), or at ``max_streams`` ready. The cap RE-ARMS
+    on every new ready flip while peers are still windowing: on a
+    loaded 1-core host a 32-burst's GIL-serialized windowing can
+    outlast any fixed cap, and closing mid-burst pays a second full
+    padded forward for the stragglers (a canonical bench run measured
+    the split at 53.8 vs 84+ streams/s fused). Flips are progress — the
+    device is idle anyway — so the cap only fires after ``max_wait_ms``
+    with *no* request completing windowing, which is the genuinely
+    stalled-straggler case it exists for. One
     ``Predictor.predict_windows`` call then serves the whole batch and
     the probabilities are sliced back per request. A lone request waits
     only ~idle_gap_ms. Per-request ``top_k`` is honored by recomputing
@@ -200,6 +208,7 @@ class MicroBatcher:
                 # and only when every ready flip lands within the gap —
                 # the per-batch close_ms in batch_log measures it
                 last_arrival = time.monotonic()
+                last_nready = 0
                 while not self._closed:
                     now = time.monotonic()
                     if self._arrivals > seen:  # new registration: the
@@ -211,10 +220,22 @@ class MicroBatcher:
                     n_ready = sum(r.n_streams for r in self._pending
                                   if r.ready)
                     n_total = sum(r.n_streams for r in self._pending)
+                    if n_ready > last_nready:
+                        # a peer finished windowing: re-arm the cap. A
+                        # burst's serialized windowing can outlast any
+                        # fixed cap on a loaded host, and closing
+                        # mid-burst costs a second padded forward; while
+                        # flips keep landing the batch is making
+                        # progress, so only a full max_wait with NO flip
+                        # (a truly stalled straggler) fires the cap.
+                        # Each request flips once, so the extension is
+                        # bounded by the burst's own windowing span.
+                        last_nready = n_ready
+                        deadline = max(deadline, now + self._wait)
                     if n_ready >= self._max:
                         break  # a full fused call's worth is ready
                     if now >= deadline and n_ready:
-                        break  # hard cap: run the ready ones, leave the
+                        break  # cap: run the ready ones, leave the
                         # still-windowing stragglers for the next batch
                     waits = [deadline - now]
                     if n_ready == n_total:

@@ -399,6 +399,55 @@ def test_microbatcher_fuses_staggered_burst_into_one_call():
         assert entry[k] >= 0.0, (k, entry)
 
 
+def test_microbatcher_cap_rearms_while_windowing_progresses():
+    # Round-5 regression, caught by the phase instrumentation on a
+    # canonical bench run: a 32-burst whose GIL-serialized windowing
+    # outlasted the fixed 100 ms cap closed a 27-stream batch at the
+    # deadline and paid a second full padded forward for the leftovers
+    # (53.8 vs 84+ streams/s). Ready flips are progress: each one must
+    # re-arm the cap, so the whole burst fuses as long as no single
+    # request stalls longer than max_wait.
+    import time
+
+    from eventclip_tpu.server import MicroBatcher
+
+    pred = Predictor(_TinyZS(), class_names=NAMES, smoke=True, batch_size=4)
+    streams = _streams(np.random.default_rng(47), 4)
+    pred.predict(streams)  # warm
+    inner = pred.gather_windows
+    idx = {id(s): i for i, s in enumerate(streams)}
+
+    def staggered_gather(evs):
+        # flips land ~70 ms apart: every gap is UNDER the 100 ms cap but
+        # the burst's total windowing span (~210 ms) is far past it
+        time.sleep(0.07 * idx[id(evs[0])])
+        return inner(evs)
+
+    calls = []
+
+    def spy_predict_windows(wins, valids, **kw):
+        calls.append(len(wins))
+        return Predictor.predict_windows(pred, wins, valids, **kw)
+
+    pred.gather_windows = staggered_gather
+    pred.predict_windows = spy_predict_windows
+    mb = MicroBatcher(pred, max_wait_ms=100.0, idle_gap_ms=10.0)
+    try:
+        ts = [threading.Thread(target=mb.submit, args=([s],))
+              for s in streams]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        mb.close()
+        pred.gather_windows = inner
+        del pred.predict_windows
+    assert calls == [4], (
+        f"staggered burst split into batches of {calls} rows — the cap "
+        f"must re-arm on ready flips while peers still window")
+
+
 def test_microbatcher_hard_cap_leaves_stragglers_for_next_batch():
     # at max_wait the worker must run the READY requests rather than
     # wait forever on a still-windowing straggler — and the straggler
