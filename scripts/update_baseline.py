@@ -115,6 +115,19 @@ def _batched_split(cur):
                  "canonical run")
 
 
+def _ratio_envelope(cur, hist, num, den, nd=2):
+    """min-max of a per-run metric ratio across all recorded canonical
+    runs (ratios are taken within a run, never across runs)."""
+    runs = [h for h in hist if num in h and den in h]
+    if num in cur and den in cur:
+        runs.append(cur)
+    if not runs:
+        raise KeyError(f"no run records both {num!r} and {den!r}")
+    vals = sorted(r[num] / r[den] for r in runs)
+    lo, hi = _num(vals[0], nd), _num(vals[-1], nd)
+    return (lo if lo == hi else f"{lo}-{hi}") + "x"
+
+
 def _encode_pct_ceiling(cur):
     """The encode stage's fraction of the same-run measured matmul ceiling
     (bench.py records both in the encode row's note)."""
@@ -179,6 +192,39 @@ def compute_spans(cur, hist):
         "prune_ratio_e2e": _num(
             cur["e2e_int8_prune_events_per_sec"]
             / cur["e2e_events_per_sec"]) + "x",
+        # throughput-table rows backed by canonical metrics (envelopes
+        # across all recorded canonical runs; hand-written history ranges
+        # from before BENCH_HISTORY existed stay outside the spans)
+        "enc_l14_env": _envelope(cur, hist, "encode_ViT-L14_img_per_sec",
+                                 0),
+        "enc_i8_env": _envelope(cur, hist,
+                                "encode_int8_ViT-L14_img_per_sec", 0),
+        "enc_i8c_env": _envelope(
+            cur, hist, "encode_int8_static_ViT-L14_img_per_sec", 0),
+        "e2e_env": _envelope(cur, hist, "e2e_events_per_sec",
+                             scale=1e-6) + "M",
+        "e2e_i8_env": _envelope(cur, hist, "e2e_int8_events_per_sec",
+                                scale=1e-6) + "M",
+        "e2e_prune_env": _envelope(cur, hist,
+                                   "e2e_int8_prune_events_per_sec",
+                                   scale=1e-6) + "M",
+        "fs_step_env": _envelope(cur, hist, "fsclip_train_step_ms"),
+        "fs_aug_env": _envelope(cur, hist, "fsclip_aug_train_step_ms"),
+        "fs_b32_env": _envelope(cur, hist, "fsclip_train_step_b32_ms"),
+        "lora_env": _envelope(cur, hist, "ftclip_lora_train_step_ms"),
+        "ftfull_env": _envelope(cur, hist, "ftclip_full_train_step_ms"),
+        "eval_padded_env": _envelope(
+            cur, hist, "eval_ragged_padded_samples_per_sec", 0),
+        "eval_packed_env": _envelope(
+            cur, hist, "eval_ragged_packed_samples_per_sec", 0),
+        "pack_ratio_env": _ratio_envelope(
+            cur, hist, "eval_ragged_packed_samples_per_sec",
+            "eval_ragged_padded_samples_per_sec"),
+        "host_env": _envelope(cur, hist, "host_pipeline_events_per_sec",
+                              scale=1e-6) + "M",
+        "vs_ratio_env": _ratio_envelope(
+            cur, hist, "event2img_events_per_sec",
+            "host_pipeline_events_per_sec", nd=0),
     }
     return spans
 
