@@ -153,7 +153,7 @@ def _sync(x):
     float(x.sum())
 
 
-def main():
+def main(run_conditions: str = ""):
     import jax
 
     # amortize the (remote) TPU compile across bench invocations
@@ -186,6 +186,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     level = os.environ.get("BENCH_LEVEL", "full")  # full | quick
     bench = Bench(repeats=int(os.environ.get("BENCH_REPEATS", "3")))
+    if run_conditions:
+        # self-describing artifact: a run that started near a wedge
+        # recovery says so, so nobody reads its serving rows as a
+        # code regression (value 1.0 = flag present)
+        bench.record("bench_run_conditions", 1.0, "flag", run_conditions)
 
     clip_cfg = clip_arch_config(arch)
     cfg = ClassifierConfig(model="ZSCLIP", clip=clip_cfg, dtype=jnp.bfloat16)
@@ -882,8 +887,18 @@ def _serve_latency(bench, rng, arch):
     # nearest-rank p95: ceil(0.95*n)-1 (int(n*0.95) would index the max
     # sample at n=20, mislabeling the worst-case outlier as p95)
     p95 = times[max(math.ceil(len(times) * 0.95) - 1, 0)]
+    # host/device split of one call (one-shot — the phase note, not the
+    # percentile basis): windowing is host numpy/native, the rest is
+    # H2D + forward + D2H through the relay
+    t0 = time.time()
+    w1, v1 = lat.gather_windows(one)
+    t1 = time.time()
+    lat.predict_windows(w1, v1)
+    t2 = time.time()
     bench.record("serve_latency_p50_ms", times[len(times) // 2], "ms",
-                 f"single stream, batch_size=1, {arch}; p95={p95:,.1f} ms")
+                 f"single stream, batch_size=1, {arch}; p95={p95:,.1f} ms; "
+                 f"split: window {1e3 * (t1 - t0):.1f} + device "
+                 f"{1e3 * (t2 - t1):.1f} ms (1-shot)")
 
     with contextlib.redirect_stdout(sys.stderr):
         thr = Predictor(params, names, smoke=True, batch_size=req_bs)
@@ -945,17 +960,26 @@ def _serve_latency(bench, rng, arch):
             mean = {k: sum(b[k] for b in log) / len(log)
                     for k in ("window_ms", "close_ms", "lock_ms",
                               "device_ms", "slice_ms", "streams")}
-            spawn_ms = dt * 1e3 * len(log) / n_iters - sum(
-                mean[k] for k in ("window_ms", "close_ms", "lock_ms",
-                                  "device_ms", "slice_ms"))
             split = (f"; phase split/batch over {len(log)} batches "
                      f"({mean['streams']:.1f} streams each): "
                      f"window {mean['window_ms']:.1f}, "
                      f"close-wait {mean['close_ms']:.1f}, "
                      f"lock {mean['lock_ms']:.1f}, "
                      f"device {mean['device_ms']:.1f}, "
-                     f"slice {mean['slice_ms']:.1f}, "
-                     f"spawn+join {spawn_ms:.1f} ms")
+                     f"slice {mean['slice_ms']:.1f}")
+            if len(log) == n_iters:
+                # one batch per burst: the wall-clock remainder is the
+                # bench's own thread spawn/join overhead
+                spawn_ms = dt * 1e3 - sum(
+                    mean[k] for k in ("window_ms", "close_ms", "lock_ms",
+                                      "device_ms", "slice_ms"))
+                split += f", spawn+join {spawn_ms:.1f} ms"
+            else:
+                # bursts split into sequential batches whose phases
+                # OVERLAP (batch k+1's close-wait covers batch k's
+                # device phase) — a summed residual would be incoherent
+                split += (", residual n/a (bursts split; phases overlap "
+                          "— the split itself is the finding)")
         bench.record("serve_microbatch_streams_per_sec", len(req) / dt,
                      "streams/s",
                      f"{req_bs} concurrent 1-stream requests fused by "
@@ -1004,23 +1028,51 @@ def _device_alive_with_wait():
     up to BENCH_PROBE_WAIT_S (default 40 min — round-4 wedges after full
     bench runs outlasted the old 20-min budget; 0 = fail fast) — but only
     for the wedge signature; a fast non-zero exit is an environment
-    problem no amount of waiting fixes."""
+    problem no amount of waiting fixes. Returns (diagnosis, n_retries);
+    n_retries > 0 means a wedge was observed before the probe passed."""
     deadline = time.monotonic() + float(
         os.environ.get("BENCH_PROBE_WAIT_S", "2400"))
+    retries = 0
     while True:
         diagnosis = _device_alive()
         if diagnosis is None or "timed out" not in diagnosis:
-            return diagnosis
+            return diagnosis, retries
         if time.monotonic() >= deadline:
-            return diagnosis
+            return diagnosis, retries
+        retries += 1
         print(f"# probe: {diagnosis}; retrying until the wait budget ends",
               file=sys.stderr, flush=True)
         time.sleep(60)
 
 
+def _post_wedge_cooldown(retries: int) -> str:
+    """After a wedge clears, the chip serves ~15 min of silently DEGRADED
+    perf (CLAUDE.md; a round-5 canonical run that started the instant the
+    probe passed measured the fused serving row at 37.1 streams/s with a
+    609 ms device phase — 2x the same run's healthy batched row). When
+    the probe had to retry, sleep BENCH_RECOVERY_COOLDOWN_S (default
+    10 min; 0 = off) before the stages, and return a note recording the
+    run's conditions for the artifact either way."""
+    cooldown = float(os.environ.get("BENCH_RECOVERY_COOLDOWN_S", "600"))
+    if not retries:
+        return ""
+    if cooldown > 0:
+        print(f"# probe passed after {retries} wedge retries; cooling "
+              f"down {cooldown:.0f}s before stages (degraded-perf "
+              f"window)", file=sys.stderr, flush=True)
+        time.sleep(cooldown)
+        return (f"started after a relay wedge ({retries} probe retries) "
+                f"+ {cooldown:.0f}s cooldown")
+    return (f"started IMMEDIATELY after a relay wedge ({retries} probe "
+            f"retries, no cooldown) — serving rows may sit in the "
+            f"degraded window")
+
+
 if __name__ == "__main__":
-    diagnosis = (None if os.environ.get("BENCH_SKIP_PROBE", "") == "1"
-                 else _device_alive_with_wait())
+    if os.environ.get("BENCH_SKIP_PROBE", "") == "1":
+        diagnosis, retries = None, 0
+    else:
+        diagnosis, retries = _device_alive_with_wait()
     if diagnosis is not None:
         print(json.dumps({
             "metric": "event2img_events_per_sec", "value": 0.0,
@@ -1028,4 +1080,4 @@ if __name__ == "__main__":
             "error": f"accelerator unreachable: {diagnosis}",
         }))
         sys.exit(0)
-    main()
+    main(run_conditions=_post_wedge_cooldown(retries))

@@ -52,16 +52,27 @@ def load_stages(path=STAGES_PATH):
 
 
 def load_history(path=HISTORY_PATH):
-    """BENCH_HISTORY.jsonl -> list of {metric: value} dicts (oldest first)."""
+    """BENCH_HISTORY.jsonl -> (runs, n_degraded): the {metric: value}
+    stage dicts of healthy canonical runs (oldest first), plus the count
+    of records carrying a ``degraded_window`` annotation. Degraded-window
+    records (a run whose serving stages executed inside the chip's
+    ~15 min post-wedge degraded-perf window — an environment condition,
+    not a code result) are excluded from the result envelopes and
+    surfaced as an explicit exclusion count instead."""
     if not os.path.exists(path):
-        return []
-    runs = []
+        return [], 0
+    runs, degraded = [], 0
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line:
-                runs.append(json.loads(line)["stages"])
-    return runs
+            if not line:
+                continue
+            rec = json.loads(line)
+            if rec.get("degraded_window"):
+                degraded += 1
+            else:
+                runs.append(rec["stages"])
+    return runs, degraded
 
 
 def _vals(cur, hist, metric):
@@ -100,7 +111,7 @@ def _auto_depth(cur):
 def _fused_split(cur):
     """The MicroBatcher's per-batch phase attribution (server.py logs it,
     bench.py folds the means into the fused row's note)."""
-    m = re.search(r"phase split/batch over .+? ms",
+    m = re.search(r"phase split/batch over .+",
                   cur["serve_microbatch_streams_per_sec.note"])
     return (m.group(0) if m
             else "phase split not recorded by the latest canonical run "
@@ -138,7 +149,7 @@ def _encode_pct_ceiling(cur):
     return f"{100.0 * float(m.group(1)) / float(m.group(2)):.0f}%"
 
 
-def compute_spans(cur, hist):
+def compute_spans(cur, hist, n_degraded=0):
     """Span name -> regenerated text. Every name here must appear in at
     least one GENERATED_FILES member (the test asserts coverage both ways);
     the same name may appear in several files and gets the same text."""
@@ -147,6 +158,9 @@ def compute_spans(cur, hist):
     fused = cur["serve_microbatch_streams_per_sec"]
     floor = 1000.0 / p50
     n_runs = len(hist) if hist else 1
+    excluded = (f"; {n_degraded} degraded-window run(s) excluded "
+                f"from envelopes (annotated in the history file)"
+                if n_degraded else "")
     spans = {
         # headline event2img + rasterize rows
         "event2img_latest": _num(cur["event2img_events_per_sec"] / 1e6)
@@ -173,7 +187,7 @@ def compute_spans(cur, hist):
             f"{_envelope(cur, hist, 'serve_throughput_streams_per_sec')}, "
             f"fused "
             f"{_envelope(cur, hist, 'serve_microbatch_streams_per_sec')} "
-            f"streams/s"
+            f"streams/s{excluded}"
         ),
         # input-feed / compute overlap table (canonical latest run)
         "ov_feed": _num(cur["nin_lora_feed_ms"]),
@@ -247,7 +261,8 @@ def regenerate(text, spans, fname="BASELINE.md"):
 
 
 def main():
-    spans = compute_spans(load_stages(), load_history())
+    hist, n_degraded = load_history()
+    spans = compute_spans(load_stages(), hist, n_degraded)
     seen_all = set()
     for path in GENERATED_FILES:
         fname = os.path.basename(path)

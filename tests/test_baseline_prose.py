@@ -107,7 +107,8 @@ def test_generated_spans_current():
 
     if not os.path.exists(ub.STAGES_PATH):
         pytest.skip("no canonical BENCH_STAGES.json on this host")
-    spans = ub.compute_spans(ub.load_stages(), ub.load_history())
+    hist, n_degraded = ub.load_history()
+    spans = ub.compute_spans(ub.load_stages(), hist, n_degraded)
 
     seen_all = set()
     for path in ub.GENERATED_FILES:
