@@ -94,17 +94,43 @@ def test_probe_wait_retries_wedge_then_recovers(monkeypatch):
                         lambda: calls.append(1) or answers[len(calls) - 1])
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("BENCH_PROBE_WAIT_S", "1200")
-    assert bench._device_alive_with_wait() is None
+    diagnosis, retries = bench._device_alive_with_wait()
+    assert diagnosis is None
+    assert retries == 2  # feeds the post-wedge degraded-window cooldown
     assert len(calls) == 3
 
     calls.clear()
     answers[:] = ["tiny-matmul probe exited 1 (NOT a wedge — fix the "
                   "environment): ImportError"]
-    assert "NOT a wedge" in bench._device_alive_with_wait()
+    diagnosis, retries = bench._device_alive_with_wait()
+    assert "NOT a wedge" in diagnosis and retries == 0
     assert len(calls) == 1
 
     calls.clear()
     answers[:] = ["tiny-matmul probe timed out after 180s — relay wedged"]
     monkeypatch.setenv("BENCH_PROBE_WAIT_S", "0")
-    assert "relay wedged" in bench._device_alive_with_wait()
+    diagnosis, retries = bench._device_alive_with_wait()
+    assert "relay wedged" in diagnosis and retries == 0
     assert len(calls) == 1
+
+
+def test_post_wedge_cooldown(monkeypatch):
+    """A probe that retried through a wedge must cool down before the
+    stages (the chip serves ~15 min of silently degraded perf after a
+    wedge clears) and stamp the run's conditions; a clean probe must not
+    sleep at all."""
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+
+    assert bench._post_wedge_cooldown(0) == ""
+    assert slept == []
+
+    note = bench._post_wedge_cooldown(3)
+    assert slept == [600.0]
+    assert "3 probe retries" in note and "cooldown" in note
+
+    slept.clear()
+    monkeypatch.setenv("BENCH_RECOVERY_COOLDOWN_S", "0")
+    note = bench._post_wedge_cooldown(2)
+    assert slept == []  # cooldown disabled: no sleep, but the artifact
+    assert "degraded window" in note  # must still say how it was measured
