@@ -60,6 +60,29 @@ def write_stage_artifacts(records, path):
             }) + "\n")
 
 
+def _refresh_generated_prose():
+    """After a CANONICAL run rewrote BENCH_STAGES.json/BENCH_HISTORY,
+    immediately regenerate the gen spans in BASELINE.md/README.md so the
+    committed prose can never lag a driver-run bench (rounds 2-4 each
+    shipped envelopes one artifact behind; the prose test then fails for
+    whoever reads the repo next). Prints to stderr — bench's stdout
+    contract is ONE JSON line — and never fails the run over prose."""
+    import contextlib
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    try:
+        import update_baseline
+
+        with contextlib.redirect_stdout(sys.stderr):
+            update_baseline.main()
+    except Exception as err:  # artifact stands on its own either way
+        print(f"# update_baseline failed (regenerate by hand): {err}",
+              file=sys.stderr)
+    finally:
+        sys.path.pop(0)
+
+
 def make_event_batch(rng, B, T, N, H, W):
     xs = rng.integers(0, W, size=(B, T, N, 1))
     ys = rng.integers(0, H, size=(B, T, N, 1))
@@ -397,6 +420,8 @@ def main(run_conditions: str = ""):
             suffix += "-custom"
         path = STAGES_PATH.replace(".json", suffix + ".json")
     write_stage_artifacts(bench.records, path)
+    if path == STAGES_PATH:
+        _refresh_generated_prose()
 
     print(json.dumps({
         "metric": "event2img_events_per_sec",

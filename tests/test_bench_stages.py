@@ -114,6 +114,26 @@ def test_probe_wait_retries_wedge_then_recovers(monkeypatch):
     assert len(calls) == 1
 
 
+def test_refresh_generated_prose_stdout_clean(capsys):
+    """The canonical-run prose refresh must write nothing to stdout (the
+    bench contract is one JSON line) and leave an already-current
+    BASELINE.md/README.md byte-identical."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = [os.path.join(repo, n) for n in ("BASELINE.md", "README.md")]
+    if not os.path.exists(os.path.join(repo, "BENCH_STAGES.json")):
+        import pytest
+
+        pytest.skip("no canonical BENCH_STAGES.json on this host")
+    before = [open(p).read() for p in paths]
+    bench._refresh_generated_prose()
+    out = capsys.readouterr().out
+    assert out == "", f"stdout polluted: {out!r}"
+    after = [open(p).read() for p in paths]
+    assert after == before  # spans were already current
+
+
 def test_post_wedge_cooldown(monkeypatch):
     """A probe that retried through a wedge must cool down before the
     stages (the chip serves ~15 min of silently degraded perf after a
